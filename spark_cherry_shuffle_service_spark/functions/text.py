@@ -1,0 +1,58 @@
+"""Shared text-processing column expressions (JVM-side, no Python UDFs).
+
+One tokenization convention used by every text operator AND mirrored
+verbatim in the DuckDB oracles: trim → split on runs of spaces. The
+fixture `documents.text` is already lowercase space-separated tokens;
+the regexes stay in the Java∩RE2 common dialect so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens. Oracle twin: string_split_regex(trim(x), ' +')."""
+    return F.split(F.trim(col), " +")
+
+
+def distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles3(col: Column) -> Column:
+    """Distinct 3-word shingles.
+
+    Oracle twin:
+      list_distinct(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    """
+    t = tokens(col)
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return F.when(F.size(t) >= 3, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
+    """MinHash signature as array<string>: per seed s, the lexicographic min
+    of md5(s || '|' || shingle). md5 is identical across engines, so the
+    signature (and thus LSH banding) is engine-independent — unlike
+    murmur-based `hash()`, which differs between Spark and DuckDB.
+
+    Oracle twin:
+      list_transform(generate_series(0, N-1),
+        s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x))))
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                shingle_col, lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh))
+            )
+        ),
+    )

@@ -1,0 +1,11 @@
+"""Operator modules — importing this package populates the query registry."""
+
+import spark_cherry_shuffle_service_spark.operators.relational  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.windows_setops  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.subqueries_scalar  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.workloads  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.textanalysis  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.dedup  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.similarity  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.events_ops  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,243 @@
+"""Deduplication operators over `documents` (north-star extension).
+
+Four strategies, all engine-side (no Python UDFs):
+- exact:       hash-groupBy on normalized text (the 100 TB workhorse).
+- n-gram Jaccard: exact pairwise similarity inside blocking groups.
+- MinHash+LSH: shingle → md5-minhash signature → banded bucket join →
+               candidate pairs → exact-Jaccard verification. The scale
+               path: candidate generation is a hash join on (band, key),
+               never an all-pairs product.
+- SimHash:     bitwise majority fingerprint; near-dups = small Hamming
+               distance on a 32-bit int.
+
+md5 (not murmur `hash()`) everywhere a hash feeds the *result*, because
+md5 is bit-identical between Spark and the DuckDB oracle.
+
+Scale notes: exact dedup is one shuffle on the fingerprint. MinHash-LSH
+shuffles on band keys — bounded fan-out (B bands per doc); hot buckets are
+split by AQE. The pairwise-Jaccard query is intentionally blocked by
+`source` (a real pipeline blocks by LSH bucket or length band) so cost is
+Σ group² not N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.text import (
+    minhash_signature,
+    shingles3,
+    tokens,
+)
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+_SQL_TOKS = "string_split_regex(trim(text), ' +')"
+_SQL_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 2),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+# MinHash-LSH parameters: 16 hashes = 8 bands × 2 rows over 3-gram
+# shingles. P(candidate) at jaccard j is 1-(1-j²)^8 → ~0.5 at j=0.3,
+# ~1.0 at j≥0.7, ~0.008 at j=0.03 — selective on realistic corpora
+# (fixture avg 3-gram jaccard ≈ 0.001).
+_MH_N, _MH_BANDS, _MH_ROWS = 16, 8, 2
+_MH_TAU = 0.3
+_JACC_TAU = 0.3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group by md5(normalized text), keep lowest doc_id.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(text)) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(text))
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.trim(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise 3-gram Jaccard within a blocking group (source).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACC_TAU}
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", shingles3(F.col("text")).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jacc = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("j"),
+        )
+        .filter(F.col("j") >= _JACC_TAU)
+        .select("doc_a", "doc_b", F.round(F.col("j"), 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: the near-dup scale path.
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    band_rows = []
+    for band in range(_MH_BANDS):
+        lo = band * _MH_ROWS + 1
+        hi = lo + _MH_ROWS - 1
+        band_rows.append(
+            f"SELECT doc_id, {band} AS band, md5(array_to_string(sig[{lo}:{hi}], '')) AS bkey FROM sig"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_transform(generate_series(0, {_MH_N - 1}),
+               s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sig
+      FROM toks
+    ), banded AS ( {banded} ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 4) AS jaccard
+    FROM cands
+    JOIN toks ta ON ta.doc_id = doc_a
+    JOIN toks tb ON tb.doc_id = doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {_MH_TAU}
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", shingles3(F.col("text")).alias("sh")
+    )
+    sig = docs.select("doc_id", "sh", minhash_signature(F.col("sh"), _MH_N).alias("sig"))
+    # Bands: explode each signature into (band, band_key) — fan-out is
+    # exactly _MH_BANDS rows per doc, then a hash join on the bucket key.
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("sig"), band * _MH_ROWS + 1, _MH_ROWS), "")
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jacc = inter.cast("double") / union
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("j", jacc)
+        .filter(F.col("j") >= _MH_TAU)
+        .select("doc_a", "doc_b", F.round(F.col("j"), 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit fingerprint via per-bit majority vote over token hashes.
+# Pure integer math (md5-hex → int, modulo bit tests) → engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents) t
+    ), votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN h % (CAST(pow(2, i + 1) AS BIGINT)) >= CAST(pow(2, i) AS BIGINT)
+                      THEN 1 ELSE -1 END) AS v
+      FROM tok, generate_series(0, 31) AS g(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    bits = tok.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"))
+    p_i = F.pow(F.lit(2.0), F.col("i")).cast("long")
+    p_i1 = F.pow(F.lit(2.0), F.col("i") + 1).cast("long")
+    votes = bits.groupBy("doc_id", "i").agg(
+        F.sum(F.when((F.col("h") % p_i1) >= p_i, 1).otherwise(-1)).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

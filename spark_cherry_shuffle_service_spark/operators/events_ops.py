@@ -1,0 +1,134 @@
+"""Event-stream batch operators over the `events` fixture.
+
+The reference exercises no streaming (SURVEY.md §2.10) — these extend the
+surface per the north star: time-bucketed aggregation, JSON extraction, and
+sessionization. Each has a batch form here (oracle-checkable); the true
+Structured Streaming forms (watermark + window, applyInPandasWithState)
+live in streaming/ and are covered by pytest.
+
+Scale: tumbling-window aggs partition by (bucket, type) — fully parallel;
+sessionization shuffles once on user_id and sorts within user, which is the
+same plan `session_window` would produce on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour window aggregation (batch twin of streaming window agg).
+# ---------------------------------------------------------------------------
+@query(
+    "events_window_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'total_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("events", "window_time"),
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the props column — get_json_object / json_extract.
+# ---------------------------------------------------------------------------
+@query(
+    "events_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    """,
+    tags=("events", "json"),
+)
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (30-min inactivity gap): gaps-and-islands — the batch twin
+# of streaming session windows. Oracle uses lag + cumulative flag sum.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           SUM(n) AS n_events,
+           SUM(sess_seconds) AS total_session_seconds
+    FROM (
+      SELECT user_id, session_id,
+             date_diff('second', MIN(ts), MAX(ts)) AS sess_seconds,
+             COUNT(*) AS n
+      FROM sessions GROUP BY user_id, session_id
+    ) s
+    GROUP BY user_id
+    """,
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("sess_seconds"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.sum("sess_seconds").alias("total_session_seconds"),
+    )

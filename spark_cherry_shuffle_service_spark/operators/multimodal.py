@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are opaque `binary` columns + typed metadata. The
+container has no codec libraries, so the *decode* step is a clearly-marked
+deterministic stub — but the Spark-side plumbing (binary columns, schema,
+Arrow-batched mapInPandas, partitioning) is real and tested.
+
+Pattern for 100 TB: binary payloads live in parquet next to metadata;
+decode/feature-extract runs as mapInPandas over Arrow batches so each
+Python worker touches a bounded batch of blobs; all filtering/joining on
+metadata happens JVM-side *before* the expensive decode (predicate
+pushdown keeps undecoded blobs unread where possible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary 'payload' column (fixture has no real blobs: encode
+    the text — byte-identical in Spark and the oracle's encode())."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# Metadata over binary columns — JVM-side only (no decode).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.length(F.col("payload"))).alias("total_bytes"),
+        F.max(F.length(F.col("payload"))).alias("max_bytes"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_payloads"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract via Arrow-batched mapInPandas. The "decode" is a
+# STUB (no image libs in container): it derives deterministic fake
+# dimensions from the bytes. Real deployments swap `_decode_stub` for
+# PIL/ffmpeg; the Spark plumbing (schema, batching, partition shape) is
+# identical.
+# ---------------------------------------------------------------------------
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, checksum). Replace with a
+    real codec in production; raises nothing so the pipeline shape is
+    testable end-to-end."""
+    n = len(payload)
+    checksum = sum(payload[:64]) + n
+    width = 16 + (checksum % 64)
+    height = 16 + ((checksum // 64) % 48)
+    return width, height, checksum
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        payloads = pdf["payload"]
+        decoded = [_decode_stub(bytes(p)) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": payloads.map(len).astype("int32"),
+                "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "checksum": pd.Series([d[2] for d in decoded], dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_decode",
+    oracle=None,  # Python decode stub — rows-only check (SURVEY.md §5 note)
+    tags=("multimodal", "mapInPandas", "stub"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return docs.mapInPandas(decode_batches, DECODE_SCHEMA)

@@ -1,0 +1,586 @@
+"""Relational spine: scans, filters, joins, aggregations (SURVEY.md §2.1-2.4).
+
+Each query is a TPC-DS-shaped pattern from the reference's benchmark corpus
+(/root/reference/spark-code/code/sql/core/src/test/resources/tpcds/*.sql),
+re-expressed over the TPC-H-ish fixtures with the DataFrame API so Catalyst
+plans it (predicate pushdown, join selection, partial aggregation — all
+automatic, SURVEY.md §4).
+
+Scale notes: dimension joins (region/nation/customer/supplier/part) are
+broadcast — no shuffle of the fact table on dim joins even at 100 TB. Fact-
+fact joins (orders⋈lineitem) shuffle on the join key; AQE handles skew and
+coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
+from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+def _d(col: str) -> F.Column:
+    return F.to_date(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# Scan → filter → groupBy/agg → sort. TPC-H Q1 shape; covers the agg spine of
+# 74/103 TPC-DS files (sum/avg/count — SURVEY.md §2.4, tpcds/q51.sql:13).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg_sql('l_quantity', 'avg_qty')},
+           {davg_sql('l_extendedprice', 'avg_price')},
+           {davg_sql('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+    price, disc, tax, qty = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(qty, "sum_qty"),
+        dsum(price, "sum_base_price"),
+        dsum(price * (1 - disc), "sum_disc_price"),
+        dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+        davg(qty, "avg_qty"),
+        davg(price, "avg_price"),
+        davg(disc, "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-way join + filter + agg + ORDER BY ... LIMIT (top-k). TPC-H Q3 shape =
+# the spine of 91/103 TPC-DS queries (SURVEY.md §7.1 step 2). customer is
+# broadcast (small dim).
+# ---------------------------------------------------------------------------
+@query(
+    "top_revenue",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "limit"),
+)
+def top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    ords = table(spark, sf_dir, "orders").filter(_d("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    li = table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") > F.lit("1996-06-30").cast("date"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            _d("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (no-group) aggregate — tpcds/q9.sql:2 pattern (SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_aggregate",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           {dsum_sql('l_extendedprice', 'total_price')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def scalar_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_extendedprice"), "total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min(_d("l_shipdate")).alias("first_ship"),
+        F.max(_d("l_shipdate")).alias("last_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT …) per group — tpcds/q16.sql:2,22, q94, q38 (SURVEY.md §2.4).
+# Distinct-agg = two-phase shuffle; at scale prefer approx_count_distinct
+# when exactness isn't required (kept exact here for oracle parity).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stddev_samp + ratio-of-aggregates — tpcds/q17.sql:7-12 (SURVEY.md §2.4).
+# stddev is order-dependent in the last ulps → rounded to 4 dp on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_stddev",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stdev,
+           ROUND(STDDEV_SAMP(l_quantity) / AVG(l_quantity), 4) AS qty_cov,
+           {davg_sql('l_quantity', 'qty_mean')}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "stddev"),
+)
+def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stdev"),
+            F.round(F.stddev_samp("l_quantity") / F.avg("l_quantity"), 4).alias("qty_cov"),
+            davg(F.col("l_quantity"), "qty_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING — tpcds/q44.sql:17 (SURVEY.md §2.4): agg then filter on aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+    tags=("agg", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "spend"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation SUM(CASE WHEN …) — tpcds/q9.sql:2-38, q88
+# (SURVEY.md §2.4); plus CASE WHEN / BETWEEN / IN / boolean composition
+# (§2.2). One pass over the fact table, no extra shuffle per bucket.
+# ---------------------------------------------------------------------------
+@query(
+    "conditional_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum_sql("CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice ELSE 0 END", 'rev_small')},
+           {dsum_sql("CASE WHEN l_quantity BETWEEN 11 AND 30 THEN l_extendedprice ELSE 0 END", 'rev_mid')},
+           {dsum_sql("CASE WHEN l_quantity > 30 THEN l_extendedprice ELSE 0 END", 'rev_big')},
+           SUM(CASE WHEN l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_returned_closed
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "case", "between", "in"),
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_linestatus").agg(
+        dsum(F.when(qty.between(1, 10), price).otherwise(F.lit(0.0)), "rev_small"),
+        dsum(F.when(qty.between(11, 30), price).otherwise(F.lit(0.0)), "rev_mid"),
+        dsum(F.when(qty > 30, price).otherwise(F.lit(0.0)), "rev_big"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "R") & ~(F.col("l_linestatus") == "O"), 1).otherwise(0)
+        ).alias("n_returned_closed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ROLLUP + grouping() + rank within rollup level — tpcds/q70.sql:5-10
+# and q5/q86 (SURVEY.md §2.4-2.5). NULL label rows normalized via coalesce
+# so both engines hash identically (SURVEY.md §7.3 hard-parts note).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_grouping",
+    oracle=f"""
+    WITH r AS (
+      SELECT COALESCE(r_name, '(all)') AS region_name,
+             COALESCE(n_name, '(all)') AS nation_name,
+             GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+             GROUPING(n_name) AS g_nation,
+             {dsum_sql('c_acctbal', 'total_bal')},
+             COUNT(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT region_name, nation_name, lochierarchy, total_bal, n_cust,
+           RANK() OVER (PARTITION BY lochierarchy, CASE WHEN g_nation = 0 THEN region_name END
+                        ORDER BY total_bal DESC, nation_name) AS rank_within_parent
+    FROM r
+    """,
+    tags=("rollup", "grouping", "window"),
+)
+def rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    base = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    rolled = (
+        base.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+            F.grouping("n_name").alias("g_nation"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation_name"),
+            "lochierarchy",
+            "g_nation",
+            "total_bal",
+            "n_cust",
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("g_nation") == 0, F.col("region_name"))
+    ).orderBy(F.col("total_bal").desc(), F.col("nation_name"))
+    return rolled.select(
+        "region_name",
+        "nation_name",
+        "lochierarchy",
+        "total_bal",
+        "n_cust",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table inner equi-join fan (fact → 2 dims) — the dominant TPC-DS shape
+# (SURVEY.md §2.3): lineitem ⋈ part ⋈ supplier, grouped by brand.
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT p_brand, s_nationkey,
+           {dsum_sql('l_quantity', 'total_qty')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size > 20
+    GROUP BY p_brand, s_nationkey
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") > 20)
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_nationkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER JOIN with NULL handling — tpcds/q80.sql, q77.sql (SURVEY.md §2.3).
+# Orders left-joined to their high-quantity lines; unmatched → NULL branch.
+# ---------------------------------------------------------------------------
+@query(
+    "join_left",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN big.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_without_big_lines,
+           {dsum_sql('COALESCE(big.big_qty, 0)', 'total_big_qty')}
+    FROM orders
+    LEFT JOIN (
+      SELECT l_orderkey, {dsum_sql('l_quantity', 'big_qty')}
+      FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey
+    ) big ON o_orderkey = big.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "outer"),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = table(spark, sf_dir, "orders")
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "big_qty"))
+    )
+    return (
+        ords.join(big, ords.o_orderkey == big.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_without_big_lines"),
+            dsum(F.coalesce(F.col("big_qty"), F.lit(0.0)), "total_big_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN of two aggregated series — tpcds/q51.sql (SURVEY.md §2.3).
+# Order-side vs lineitem-side daily revenue, dates don't fully overlap.
+# ---------------------------------------------------------------------------
+@query(
+    "join_full",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, {dsum_sql('o_totalprice', 'order_rev')}
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), l AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, {dsum_sql('l_extendedprice', 'ship_rev')}
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    )
+    SELECT COALESCE(o.d, l.d) AS day,
+           COALESCE(order_rev, 0) AS order_rev,
+           COALESCE(ship_rev, 0) AS ship_rev,
+           CASE WHEN o.d IS NULL THEN 'ship_only'
+                WHEN l.d IS NULL THEN 'order_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN l ON o.d = l.d
+    """,
+    tags=("join", "outer", "full"),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(_d("o_orderdate").alias("od"))
+        .agg(dsum(F.col("o_totalprice"), "order_rev"))
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(_d("l_shipdate").alias("ld"))
+        .agg(dsum(F.col("l_extendedprice"), "ship_rev"))
+    )
+    j = o.join(l, o.od == l.ld, "full")
+    return j.select(
+        F.coalesce(F.col("od"), F.col("ld")).alias("day"),
+        F.coalesce(F.col("order_rev"), F.lit(0.0)).alias("order_rev"),
+        F.coalesce(F.col("ship_rev"), F.lit(0.0)).alias("ship_rev"),
+        F.when(F.col("od").isNull(), "ship_only")
+        .when(F.col("ld").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (EXISTS / IN-subquery → left_semi) — tpcds/q10.sql:23-35,
+# q14a/q82 (SURVEY.md §2.3, §2.9). Catalyst's RewritePredicateSubquery does
+# the same rewrite for the SQL form.
+# ---------------------------------------------------------------------------
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    f_orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (NOT EXISTS → left_anti) — tpcds/q16.sql:19, q69 (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_no_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta join: equi-key + non-equi date predicate — tpcds/q72.sql
+# (`d3.d_date > d1.d_date + interval 5 days`, SURVEY.md §2.3). Planned as
+# SMJ/SHJ on the equi key with the range predicate as residual filter.
+# ---------------------------------------------------------------------------
+@query(
+    "join_theta",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+     AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "theta", "interval"),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ords = table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == ords.o_orderkey) & (
+        _d("l_shipdate") > F.date_add(_d("o_orderdate"), 60)
+    )
+    return (
+        li.join(ords, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-join: year-over-year revenue ratio — tpcds/q2.sql (wswscs y vs y+1,
+# SURVEY.md §2.3), incl. round() on a ratio (§2.8).
+# ---------------------------------------------------------------------------
+@query(
+    "self_join",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT year(CAST(o_orderdate AS DATE)) AS yr, {dsum_sql('o_totalprice', 'rev')}
+      FROM orders GROUP BY year(CAST(o_orderdate AS DATE))
+    )
+    SELECT a.yr AS yr, ROUND(b.rev / a.rev, 4) AS yoy_ratio
+    FROM yearly a JOIN yearly b ON b.yr = a.yr + 1
+    """,
+    tags=("join", "self", "cte"),
+)
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yearly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year(_d("o_orderdate")).alias("yr"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    a, b = yearly.alias("a"), yearly.alias("b")
+    return a.join(b, F.col("b.yr") == F.col("a.yr") + 1).select(
+        F.col("a.yr").alias("yr"),
+        F.round(F.col("b.rev") / F.col("a.rev"), 4).alias("yoy_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cartesian product (guarded small×small) — crossJoin enabled in the
+# reference (TPCDSQueryBenchmark.scala:58, SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+@query(
+    "cross_join",
+    oracle="""
+    SELECT r_name, p_brand, COUNT(*) AS n_combos
+    FROM region CROSS JOIN (SELECT DISTINCT p_brand FROM part) b
+    GROUP BY r_name, p_brand
+    """,
+    tags=("join", "cross"),
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = table(spark, sf_dir, "region")
+    brands = table(spark, sf_dir, "part").select("p_brand").distinct()
+    return reg.crossJoin(brands).groupBy("r_name", "p_brand").agg(F.count(F.lit(1)).alias("n_combos"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join, explicit hint — the reference forces this class
+# of plan via a 20 MB autoBroadcastJoinThreshold (TPCDSQueryBenchmark.scala:57,
+# SURVEY.md §2.3). At 100 TB the fact side never shuffles for dim joins.
+# ---------------------------------------------------------------------------
+@query(
+    "broadcast_dim_join",
+    oracle=f"""
+    SELECT r_name, {dsum_sql('c_acctbal', 'total_bal')}, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(F.col("c_acctbal"), "total_bal"), F.count(F.lit(1)).alias("n_cust"))
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over `embeddings` (north-star extension).
+
+- Brute-force cosine top-k: the correctness baseline. O(Q·N) — fine when
+  the query set is small or as the verify stage after candidate pruning.
+- All-pairs near-dup by cosine threshold.
+- Sign-LSH (random hyperplane) bucketing: the scale path — hyperplanes are
+  derived deterministically from md5 so Spark and the oracle agree bit-for-
+  bit; at 100 TB candidates come from a hash join on bucket id instead of a
+  cross join.
+
+Norms are precomputed once per vector (never inside the pair loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.vectors import dot, norm
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+_SQL_DOT_AB = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _sql_norm(col: str) -> str:
+    return f"sqrt({_SQL_DOT_AB.format(a=col, b=col)})"
+
+
+_TOPK_K = 5
+_TOPK_NQ = 20  # query vectors: vec_id < 20
+_PAIR_TAU = 0.4
+_LSH_PLANES = 8
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k for a small query set.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < {_TOPK_NQ}
+    ), scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_SQL_DOT_AB.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cos
+      FROM q JOIN n ON n.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_TOPK_K}
+    """,
+    tags=("similarity", "topk", "ann"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") < _TOPK_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _TOPK_K)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs near-duplicate detection by cosine threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_DOT_AB.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT_AB.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= {_PAIR_TAU}
+    """,
+    tags=("similarity", "dedup", "cosine"),
+)
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _PAIR_TAU)
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing (scale path): hyperplane h, dim d coefficient =
+# (md5-derived int in [-1000, 1000]) / 1000 — deterministic, engine-
+# independent pseudo-random planes. Bucket = bit pattern of dot signs.
+# ---------------------------------------------------------------------------
+def _sql_plane_coef(p: str, d: str) -> str:
+    return (
+        f"((('0x' || substr(md5({p}::VARCHAR || '_' || {d}::VARCHAR), 1, 8))::BIGINT % 2001)"
+        f" - 1000) / 1000.0"
+    )
+
+
+@query(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, {_LSH_PLANES - 1}), p ->
+                 CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(generate_series(1, len(embedding)), d ->
+                          CAST(embedding[d] AS DOUBLE) * ({_sql_plane_coef('p', '(d - 1)')}))),
+                        (x, y) -> x + y) > 0
+                      THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (x, y) -> x + y) AS bucket
+      FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("similarity", "lsh", "ann", "scale"),
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+
+    def plane_coef(p, d):
+        h = F.conv(
+            F.substring(F.md5(F.concat(p.cast("string"), F.lit("_"), d.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (h % 2001 - 1000) / F.lit(1000.0)
+
+    def plane_dot(p):
+        prods = F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            lambda x, d: x.cast("double") * plane_coef(p, d),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket_bits = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_PLANES - 1)),
+        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    bucketed = emb.select(
+        "vec_id",
+        F.aggregate(bucket_bits, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )

@@ -1,0 +1,199 @@
+"""Text analysis over `documents` (north-star extension; BASELINE.json).
+
+Language-ID (stopword-overlap heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (md5 + polynomial
+rolling hash). All JVM-side column expressions — no Python in the hot path;
+at 100 TB these are embarrassingly parallel scans with small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg
+from spark_cherry_shuffle_service_spark.functions.text import distinct_tokens, tokens
+from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+# Tiny per-language marker lists (public stopwords). The fixture text is
+# synthetic, so this exercises the *computation* (overlap-count argmax with
+# deterministic tie-priority), which is what the oracle verifies.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo", "ni", "ta"],
+}
+
+_SQL_TOKS = "string_split_regex(trim(text), ' +')"
+
+
+def _sql_list(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def _langid_score_sql(lang: str) -> str:
+    return f"len(list_intersect(list_distinct({_SQL_TOKS}), {_sql_list(LANG_MARKERS[lang])}))"
+
+
+_LANG_ORDER = list(LANG_MARKERS)  # tie-priority = declaration order
+
+
+# ---------------------------------------------------------------------------
+# Language ID: argmax of marker-word overlap, ties broken by fixed priority.
+# ---------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             { ", ".join(f"{_langid_score_sql(lg)} AS s_{lg}" for lg in _LANG_ORDER) },
+             GREATEST({ ", ".join(f"s_{lg}" for lg in _LANG_ORDER) }) AS m
+      FROM documents
+    )
+    SELECT true_lang,
+           CASE { " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in _LANG_ORDER) } END AS pred_lang,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY true_lang, CASE { " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in _LANG_ORDER) } END
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = distinct_tokens(F.col("text"))
+    scored = docs.select(
+        F.col("lang").alias("true_lang"),
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lg]]))).alias(
+                f"s_{lg}"
+            )
+            for lg in _LANG_ORDER
+        ],
+    ).withColumn("m", F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER]))
+    expr = None
+    for lg in _LANG_ORDER:
+        cond = F.col(f"s_{lg}") == F.col("m")
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return (
+        scored.withColumn("pred_lang", expr)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: token count, chars/token, marker-word (stopword) ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len({_SQL_TOKS}) AS n_toks,
+             length(replace(trim(text), ' ', ''))::DOUBLE / len({_SQL_TOKS}) AS chars_per_tok,
+             len(list_filter({_SQL_TOKS},
+                 t -> list_contains({_sql_list(LANG_MARKERS['en'])}, t)))::DOUBLE
+               / len({_SQL_TOKS}) AS stop_ratio
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS total_toks,
+           {davg_sql('chars_per_tok', 'avg_chars_per_tok')},
+           {davg_sql('stop_ratio', 'avg_stop_ratio')},
+           SUM(CASE WHEN n_toks BETWEEN 40 AND 80 THEN 1 ELSE 0 END) AS n_mid_length
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    per_doc = docs.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        (
+            F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("chars_per_tok"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("double") / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        davg(F.col("chars_per_tok"), "avg_chars_per_tok"),
+        davg(F.col("stop_ratio"), "avg_stop_ratio"),
+        F.sum(F.when(F.col("n_toks").between(40, 80), 1).otherwise(0)).alias("n_mid_length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens (common
+# Java/RE2 regex dialect).
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT lang,
+           SUM(len(string_split_regex(trim(text), ' +'))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        ).alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 of normalized text + polynomial rolling hash
+# over tokens (mod 1e9+7; pure integer math → engine-independent).
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(text)) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKS},
+                 t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_roll
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    token_codes = F.transform(
+        toks, lambda t: (F.length(t) * 7 + F.ascii(F.substring(t, 1, 1))).cast("long")
+    )
+    rolling = F.aggregate(
+        token_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.col("text"))).alias("fp_md5"),
+        rolling.alias("fp_roll"),
+    )

@@ -1,0 +1,351 @@
+"""Window functions, sorts/top-k and set operations (SURVEY.md §2.5-2.7).
+
+Window shapes mirror the reference corpus: rank()-per-partition
+(tpcds/q67.sql:13, q44, q47/q57), running sums with ROWS BETWEEN UNBOUNDED
+PRECEDING AND CURRENT ROW (tpcds/q51.sql:5-8), partition-wide avg vs row
+deviation (q47/q57), row_number/dense_rank (v2.7 q51a). Set ops: UNION ALL
+(q5/q71/q76), UNION-dedup (q14a), INTERSECT (q38/q8), EXCEPT (v2.7 q87
+semantics).
+
+Scale: a window over PARTITION BY k shuffles once on k; the running-sum
+flagship reuses the groupBy(day) partitioning for the window over the same
+key, so Catalyst inserts no second exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+def _d(col: str) -> F.Column:
+    return F.to_date(F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# rank() OVER (PARTITION BY … ORDER BY …) — tpcds/q67.sql:13 / q44. Unique
+# tiebreaker (s_suppkey) keeps ranks deterministic across engines
+# (SURVEY.md §7.3 window-ties note).
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT s_nationkey, s_name, s_acctbal,
+             RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank
+      FROM supplier
+    ) WHERE bal_rank <= 3
+    """,
+    tags=("window", "rank"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        table(spark, sf_dir, "supplier")
+        .select("s_nationkey", "s_name", "s_acctbal", F.rank().over(w).alias("bal_rank"))
+        .filter(F.col("bal_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running sum over agg-of-agg with ROWS UNBOUNDED PRECEDING — the
+# tpcds/q51.sql:5-8 pattern (`sum(sum(...)) OVER (ORDER BY d_date ROWS ...)`).
+# ---------------------------------------------------------------------------
+@query(
+    "window_running_sum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             {dsum_sql('l_extendedprice', 'rev')}
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    )
+    SELECT l_returnflag, d, rev,
+           CAST(SUM(CAST(ROUND(rev, 6) AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_returnflag ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume_rev
+    FROM daily
+    """,
+    tags=("window", "running_sum", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .filter(_d("l_shipdate").between(F.lit("1998-01-01").cast("date"), F.lit("1998-03-31").cast("date")))
+        .groupBy("l_returnflag", _d("l_shipdate").alias("d"))
+        .agg(dsum(F.col("l_extendedprice"), "rev"))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from spark_cherry_shuffle_service_spark.functions.aggregates import money
+
+    return daily.select(
+        "l_returnflag", "d", "rev", F.sum(money(F.col("rev"))).over(w).cast("double").alias("cume_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-wide avg vs per-row deviation — tpcds/q47.sql / q57.sql
+# (avg_monthly_sales vs sum_sales, SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+@query(
+    "window_avg_dev",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+             {dsum_sql('l_extendedprice', 'sales')}
+      FROM lineitem GROUP BY l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE))
+    ), with_avg AS (
+      SELECT l_suppkey, mon, sales,
+             CAST(SUM(CAST(ROUND(sales, 6) AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY l_suppkey) AS avg_sales
+      FROM monthly
+    )
+    SELECT l_suppkey, CAST(mon AS DATE) AS mon, sales, ROUND(avg_sales, 4) AS avg_sales,
+           ROUND(ABS(sales - avg_sales) / avg_sales, 4) AS dev
+    FROM with_avg
+    WHERE ABS(sales - avg_sales) / avg_sales > 0.8
+    """,
+    tags=("window", "avg", "abs"),
+)
+def window_avg_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.aggregates import money
+
+    monthly = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", F.date_trunc("month", _d("l_shipdate")).alias("mon"))
+        .agg(dsum(F.col("l_extendedprice"), "sales"))
+    )
+    w = Window.partitionBy("l_suppkey")
+    with_avg = monthly.select(
+        "l_suppkey",
+        "mon",
+        "sales",
+        (F.sum(money(F.col("sales"))).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_sales"),
+    )
+    dev = F.abs(F.col("sales") - F.col("avg_sales")) / F.col("avg_sales")
+    return with_avg.filter(dev > 0.8).select(
+        "l_suppkey",
+        F.col("mon").cast("date").alias("mon"),
+        "sales",
+        F.round(F.col("avg_sales"), 4).alias("avg_sales"),
+        F.round(dev, 4).alias("dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# row_number + dense_rank — v2.7 variants (tpcds-v2.7.0/q51a.sql,
+# SURVEY.md §2.5). Unique ORDER BY key for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "window_rownum_dense",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, p_name, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_drank
+      FROM part
+    ) WHERE rn <= 2
+    """,
+    tags=("window", "row_number", "dense_rank"),
+)
+def window_rownum_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_rn = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    w_dr = Window.partitionBy("p_brand").orderBy("p_size")
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.dense_rank().over(w_dr).alias("size_drank"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL across "channels" — tpcds/q5.sql / q71 / q76 (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@query(
+    "union_all_channels",
+    oracle=f"""
+    SELECT channel, nationkey, {dsum_sql('bal', 'total_bal')}, COUNT(*) AS n
+    FROM (
+      SELECT 'customer' AS channel, c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS channel, s_nationkey AS nationkey, s_acctbal AS bal FROM supplier
+    )
+    GROUP BY channel, nationkey
+    """,
+    tags=("setop", "union_all"),
+)
+def union_all_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("channel"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("channel"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return (
+        cust.unionAll(supp)
+        .groupBy("channel", "nationkey")
+        .agg(dsum(F.col("bal"), "total_bal"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION with dedup — tpcds/q14a.sql cross-channel (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    tags=("setop", "union"),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT — tpcds/q38.sql:11,20 / q8.sql:68 (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@query(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    tags=("setop", "intersect"),
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT — v2.7 q87-family semantics (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@query(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("setop", "except"),
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP — full tpcds/q51.sql shape: two aggregated series → running sums
+# via window frames → FULL OUTER JOIN → CASE/COALESCE comparison → top-k.
+# Exercises scan/filter/agg/window/full-outer/case/sort/limit in one plan;
+# this is `entry()`'s query.
+# ---------------------------------------------------------------------------
+@query(
+    "cumulative_compare",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, {dsum_sql('o_totalprice', 'rev')}
+      FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) = 1997
+      GROUP BY CAST(o_orderdate AS DATE)
+    ), l AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, {dsum_sql('l_extendedprice * (1 - l_discount)', 'rev')}
+      FROM lineitem
+      WHERE year(CAST(l_shipdate AS DATE)) = 1997
+      GROUP BY CAST(l_shipdate AS DATE)
+    ), oc AS (
+      SELECT d, CAST(SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
+      FROM o
+    ), lc AS (
+      SELECT d, CAST(SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
+      FROM l
+    )
+    SELECT COALESCE(oc.d, lc.d) AS day,
+           COALESCE(oc.cume, 0) AS order_cume,
+           COALESCE(lc.cume, 0) AS ship_cume,
+           CASE WHEN COALESCE(oc.cume, 0) > COALESCE(lc.cume, 0)
+                THEN 'orders_ahead' ELSE 'ship_ahead' END AS leader
+    FROM oc FULL OUTER JOIN lc ON oc.d = lc.d
+    ORDER BY day
+    LIMIT 100
+    """,
+    tags=("flagship", "window", "full", "cte", "limit"),
+)
+def cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.aggregates import money
+
+    cume_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year(_d("o_orderdate")) == 1997)
+        .groupBy(_d("o_orderdate").alias("d"))
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+        .select("d", F.sum(money(F.col("rev"))).over(cume_w).cast("double").alias("ocume"))
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.year(_d("l_shipdate")) == 1997)
+        .groupBy(_d("l_shipdate").alias("d"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "rev"))
+        .select(F.col("d").alias("ld"), F.sum(money(F.col("rev"))).over(cume_w).cast("double").alias("lcume"))
+    )
+    j = o.join(l, o.d == l.ld, "full")
+    return (
+        j.select(
+            F.coalesce(F.col("d"), F.col("ld")).alias("day"),
+            F.coalesce(F.col("ocume"), F.lit(0.0)).alias("order_cume"),
+            F.coalesce(F.col("lcume"), F.lit(0.0)).alias("ship_cume"),
+            F.when(
+                F.coalesce(F.col("ocume"), F.lit(0.0)) > F.coalesce(F.col("lcume"), F.lit(0.0)),
+                "orders_ahead",
+            )
+            .otherwise("ship_ahead")
+            .alias("leader"),
+        )
+        .orderBy("day")
+        .limit(100)
+    )

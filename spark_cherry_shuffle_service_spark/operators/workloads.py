@@ -1,0 +1,103 @@
+"""Workload parity: the reference's two PySpark RDD shuffle workloads.
+
+The reference's `synthetic_workload.py:24-35` builds (key, 100-char value)
+pairs with key = id % partitions, then `groupByKey().mapValues(len)` — i.e.
+a keyed count; `skewed_synthetic_workload.py:28` maps a fraction k of all
+rows to key 1. Re-expressed as DataFrames (SURVEY.md §1.3): a single
+map-side-combined shuffle with no Python workers and no per-key
+materialization — `groupByKey` in the reference ships every value through
+the shuffle; `groupBy().count()` ships one partial count per key per map
+partition, which is the whole point at 100 TB.
+
+Oracle-checkable variants run the same keyed count over `lineitem`
+(key = l_orderkey % p — FIXTURES.md); generator-based variants
+(spark.range) match the reference's data shape exactly and are used by
+bench.py and tests (closed-form expected counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# synthetic_workload.py:27-35 semantics over the lineitem fixture:
+# key = l_orderkey % p → count per key.
+# ---------------------------------------------------------------------------
+@query(
+    "synthetic_groupcount",
+    oracle="""
+    SELECT l_orderkey % 100 AS key, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_orderkey % 100
+    """,
+    tags=("workload", "groupby"),
+)
+def synthetic_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 100).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# skewed_synthetic_workload.py:28 semantics: fraction k of rows forced onto
+# key 1 (here k≈0.8 via modulo bucket), rest spread by id % p. AQE +
+# map-side partial aggregation absorb the hot key (SURVEY.md §2.12).
+# ---------------------------------------------------------------------------
+@query(
+    "skewed_groupcount",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END AS key,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END
+    """,
+    tags=("workload", "groupby", "skew"),
+)
+def skewed_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1).cast("long")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generator-based exact replicas (no fixture input): used by tests (closed
+# form) and bench.py. Value column reproduces the reference's 100-char ASCII
+# payload deterministically (seeded via key-derived md5 chain, not
+# random.choice, so results are reproducible).
+# ---------------------------------------------------------------------------
+def synthetic_pairs(spark: SparkSession, n_rows: int, partitions: int) -> DataFrame:
+    """(key, value) pairs per synthetic_workload.py:26-28."""
+    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(3)])
+    return spark.range(1 + partitions, n_rows + 1 + partitions, 1, partitions).select(
+        (F.col("id") % partitions).alias("key"),
+        F.substring(payload, 1, 100).alias("value"),
+    )
+
+
+def skewed_pairs(spark: SparkSession, n_rows: int, partitions: int, k: float) -> DataFrame:
+    """skewed_synthetic_workload.py:28: first k·n rows on key 1."""
+    threshold = int(k * n_rows) + partitions + 1  # ids start at 1+partitions
+    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(3)])
+    return spark.range(1 + partitions, n_rows + 1 + partitions, 1, partitions).select(
+        F.when(F.col("id") < threshold, F.lit(1).cast("long"))
+        .otherwise(F.col("id") % partitions)
+        .alias("key"),
+        F.substring(payload, 1, 100).alias("value"),
+    )
+
+
+def group_count(pairs: DataFrame) -> DataFrame:
+    """groupByKey().mapValues(len) ≡ keyed count (synthetic_workload.py:33-35)."""
+    return pairs.groupBy("key").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,60 @@
+"""Query registry: one QuerySpec per operator from SURVEY.md §2.
+
+Every spec carries a Spark DataFrame builder AND (where SQL-expressible) an
+equivalent ANSI-SQL oracle string for DuckDB differential testing — the
+reference's correctness strategy is golden-output SQL testing
+(SURVEY.md §5; SQLQueryTestSuite.scala:129), which we adapt to a live
+DuckDB oracle over the same parquet fixtures.
+
+Cross-engine determinism convention (critical for value-hash comparison):
+per-row double arithmetic is IEEE-deterministic across engines, but
+*aggregation order* is not. Every floating-point SUM therefore routes
+through `ROUND(expr, 6) → DECIMAL(18,6) → SUM → DOUBLE` on BOTH engines
+(helpers in functions/aggregates.py + plans/oracle.py), which is exact and
+order-independent. Queries ending in LIMIT always order by a unique
+tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None (rows-only check)
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Importing operator modules populates the registry.
+    import spark_cherry_shuffle_service_spark.operators  # noqa: F401
+
+    return dict(REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    return all_specs()[name]

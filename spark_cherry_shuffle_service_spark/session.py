@@ -1,0 +1,69 @@
+"""SparkSession factory with reference-derived configuration.
+
+The reference tunes its cluster via spark-driver.sh flags: shuffle
+partitions (`-p`, spark-driver.sh:147-148), snappy parquet
+(spark-driver.sh:152), a 20 MB broadcast threshold + cross joins enabled
+(TPCDSQueryBenchmark.scala:57-58). Its headline contribution — the Cherry
+task-aware shuffle service (skew interest, look-ahead block caching,
+shuffle survival across executor loss) — is reproduced here with Spark's
+own adaptive execution: AQE skew-join splitting, partition coalescing and
+local shuffle readers give the same *measurable effects* (SURVEY.md §2.12)
+without any custom shuffle plumbing.
+
+Scale notes (100 TB design point):
+- `spark.sql.shuffle.partitions` is only the pre-AQE upper bound; AQE
+  coalesces to match actual bytes, so a large static value is safe on a
+  big cluster while local test runs stay small via SPARK_GRAFT_CPUS.
+- Skewed keys (the reference's `skewed_synthetic_workload.py` k-fraction
+  hot key) are split by `spark.sql.adaptive.skewJoin` at join time; for
+  aggregations Spark's partial (map-side) aggregation already bounds the
+  hot key's shuffle volume to one row per map partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cherry-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    p = shuffle_partitions or _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_default_parallelism()}]")
+        # Shuffle sizing: reference exposes -p (spark-driver.sh:147-148).
+        .config("spark.sql.shuffle.partitions", str(p))
+        .config("spark.default.parallelism", str(p))
+        # AQE replaces Cherry's skew-awareness and small-block handling
+        # (SURVEY.md §2.12): runtime partition coalescing, skew-join
+        # splitting, local shuffle readers.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join planning parity: TPCDSQueryBenchmark.scala:57-58.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(20 * 1024 * 1024))
+        # Deterministic cross-engine comparison (DuckDB oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Arrow for the few pandas-UDF operators (multimodal, streaming state).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and convert in the catalog (lossless here —
+        # fixture has no sub-µs components).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,76 @@
+"""Table registry: parquet-backed named views.
+
+Mirrors the reference's table setup — `spark.read.parquet(dir/table)` +
+`createOrReplaceTempView(table)` for every benchmark table
+(/root/reference/spark-code/code/sql/core/src/test/scala/org/apache/spark/
+sql/execution/benchmark/TPCDSQueryBenchmark.scala:69-74) — over the
+driver-generated TPC-H-ish fixtures (TESTDATA.md / FIXTURES.md).
+
+Scan-path notes for 100 TB: reads go through Spark's vectorized parquet
+reader; filters/projections expressed on these DataFrames push down to the
+scan (verify with .explain → PushedFilters / ReadSchema). At cluster scale
+the same API reads a partitioned table directory; partition-column filters
+then prune entire directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every driver fixture table (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's vectorized reader
+        # rejects; read nanos as long (runtime-settable legacy conf) and
+        # convert — lossless, the fixture carries no sub-µs precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every table as a temp view (TPCDSQueryBenchmark.scala:71 pattern)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partitioned parquet sink — reference's generator writes partitioned,
+    clustered fact tables (tpc-ds-gen/TPCDSPreparation.scala:17-25)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """Benchmark sink: full computation, no materialization
+    (TPCDSQueryBenchmark.scala:100 `.noop()`)."""
+    df.write.format("noop").mode("overwrite").save()

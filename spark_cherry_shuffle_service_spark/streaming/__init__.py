@@ -1,0 +1,6 @@
+from spark_cherry_shuffle_service_spark.streaming.streams import (  # noqa: F401
+    EVENTS_SCHEMA,
+    read_events_stream,
+    sessionize_stream,
+    windowed_counts_stream,
+)

@@ -1,0 +1,95 @@
+"""Structured Streaming over the events table (north-star extension).
+
+The reference ships Spark's streaming module but exercises none of it
+(SURVEY.md §2.10); these are the idiomatic Structured Streaming forms of
+the batch twins in operators/events_ops.py:
+
+- windowed_counts_stream: watermark + tumbling window aggregation (late
+  data beyond the watermark is dropped — the streaming-correct analogue of
+  the batch group-by-hour).
+- sessionize_stream: session windows via the built-in session_window
+  (gap-based), the streaming analogue of the batch gaps-and-islands query.
+
+Tested with `trigger(availableNow=True)` over the parquet fixtures — the
+same code runs against kafka/file sources on a cluster unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The fixture stores ts as TIMESTAMP(NANOS) → read as long (legacy conf,
+# see sources/catalog.py) and convert to a µs timestamp after read.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_ = TimestampType  # re-exported for stream authors writing real ts sources
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema must be explicit
+    for streaming reads)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark for late-data eviction."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (stateful streaming aggregation).
+
+    State is keyed by (user_id, session_window); Spark merges adjacent
+    windows whose gap < `gap` and finalizes a session once the watermark
+    passes — bounded state at any scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table; returns the
+    batch DataFrame of results (test/bench helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
