@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline query set on $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with local[$SPARK_GRAFT_CPUS], forcing full
+computation through the noop sink (the reference benchmarks the same way:
+TPCDSQueryBenchmark.scala:100 `spark.sql(q).noop()`), and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from spark_cherry_shuffle_service_spark.session import get_spark
+from spark_cherry_shuffle_service_spark.sources.catalog import write_noop
+
+# Headline set: the relational spine + shuffle-heavy workloads + the
+# north-star extension operators. A representative slice of SURVEY.md §2.
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue",
+    "join_inner",
+    "join_theta",
+    "join_full",
+    "cumulative_compare",
+    "rollup_grouping",
+    "window_avg_dev",
+    "agg_distinct",
+    "synthetic_groupcount",
+    "skewed_groupcount",
+    "events_sessionize",
+    "text_token_count",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="cherry-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        write_noop(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

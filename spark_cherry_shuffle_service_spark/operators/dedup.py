@@ -90,8 +90,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", shingles3(F.col("text")).alias("sh")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
     )
     a = docs.alias("a")
     b = docs.alias("b")
@@ -154,10 +156,36 @@ def _minhash_oracle() -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles3(F.col("text")).alias("sh")
+    # Repartition: the fixture is one small file → one scan partition, but
+    # signature computation is CPU-bound per row; spread it across the
+    # cluster (same move a 100 TB corpus needs after coalesced scans).
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")  # BEFORE the projection, so shingle
+        # computation runs distributed, not on the lone scan partition
+        .select("doc_id", shingles3(F.col("text")).alias("sh"))
+        # The shingle sets feed three consumers (signature build + both
+        # sides of the verification join): persist instead of recomputing —
+        # the Spark-native analogue of the reference's reused-stage-output
+        # caching (ShuffleServiceBackend.scala:305-388, SURVEY.md §7.1.5).
+        .persist()
     )
-    sig = docs.select("doc_id", "sh", minhash_signature(F.col("sh"), _MH_N).alias("sig"))
+    # Signature via explode → N md5 projections → groupBy-min: stays inside
+    # whole-stage codegen and parallelizes, unlike nested array lambdas
+    # (interpreted per-row). Values are identical to
+    # functions/text.py::minhash_signature and the oracle.
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(_MH_N)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(_MH_N)]
+    ).select("doc_id", F.array(*[F.col(f"h{s}") for s in range(_MH_N)]).alias("sig"))
     # Bands: explode each signature into (band, band_key) — fan-out is
     # exactly _MH_BANDS rows per doc, then a hash join on the bucket key.
     banded = sig.select(
@@ -224,7 +252,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).select(

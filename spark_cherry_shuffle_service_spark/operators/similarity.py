@@ -61,8 +61,10 @@ _LSH_PLANES = 8
     tags=("similarity", "topk", "ann"),
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
     q = emb.filter(F.col("vec_id") < _TOPK_NQ).select(
         F.col("vec_id").alias("query_id"),
@@ -103,8 +105,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "cosine"),
 )
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
@@ -154,7 +158,9 @@ def _sql_plane_coef(p: str, d: str) -> str:
     tags=("similarity", "lsh", "ann", "scale"),
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
 
     def plane_coef(p, d):
         h = F.conv(

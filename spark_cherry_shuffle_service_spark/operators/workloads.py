@@ -79,7 +79,7 @@ def skewed_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def synthetic_pairs(spark: SparkSession, n_rows: int, partitions: int) -> DataFrame:
     """(key, value) pairs per synthetic_workload.py:26-28."""
-    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(3)])
+    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(4)])
     return spark.range(1 + partitions, n_rows + 1 + partitions, 1, partitions).select(
         (F.col("id") % partitions).alias("key"),
         F.substring(payload, 1, 100).alias("value"),
@@ -89,7 +89,7 @@ def synthetic_pairs(spark: SparkSession, n_rows: int, partitions: int) -> DataFr
 def skewed_pairs(spark: SparkSession, n_rows: int, partitions: int, k: float) -> DataFrame:
     """skewed_synthetic_workload.py:28: first k·n rows on key 1."""
     threshold = int(k * n_rows) + partitions + 1  # ids start at 1+partitions
-    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(3)])
+    payload = F.concat(*[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{i}"))) for i in range(4)])
     return spark.range(1 + partitions, n_rows + 1 + partitions, 1, partitions).select(
         F.when(F.col("id") < threshold, F.lit(1).cast("long"))
         .otherwise(F.col("id") % partitions)

@@ -47,7 +47,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema must be explicit
     for streaming reads)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # File streams need a directory source; glob down to the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

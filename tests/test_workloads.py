@@ -1,0 +1,34 @@
+"""Workload-parity tests with closed-form expected counts
+(SURVEY.md §5 item 3; FIXTURES.md 'workload-parity synthetic inputs')."""
+
+from __future__ import annotations
+
+from spark_cherry_shuffle_service_spark.operators.workloads import (
+    group_count,
+    skewed_pairs,
+    synthetic_pairs,
+)
+
+
+def test_synthetic_counts_closed_form(spark):
+    p, n = 8, 4000
+    res = {r["key"]: r["n"] for r in group_count(synthetic_pairs(spark, n, p)).collect()}
+    # ids run 1+p .. n+p → each residue class gets exactly n/p rows
+    assert len(res) == p
+    assert all(v == n // p for v in res.values()), res
+
+
+def test_skewed_counts_closed_form(spark):
+    p, n, k = 8, 4000, 0.8
+    res = {r["key"]: r["n"] for r in group_count(skewed_pairs(spark, n, p, k)).collect()}
+    hot = int(k * n)
+    # key 1 gets the k·n forced rows plus its modulo share of the rest
+    assert res[1] >= hot
+    assert sum(res.values()) == n
+    non_hot = {kk: v for kk, v in res.items() if kk != 1}
+    assert all(v <= n // p for v in non_hot.values())
+
+
+def test_value_payload_shape(spark):
+    rows = synthetic_pairs(spark, 100, 4).select("value").limit(5).collect()
+    assert all(len(r["value"]) == 100 for r in rows)  # 100-char ASCII payload
