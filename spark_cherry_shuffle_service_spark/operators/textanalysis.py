@@ -168,6 +168,61 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over tokens (mod 1e9+7; pure integer math → engine-independent).
 # ---------------------------------------------------------------------------
 @query(
+    "text_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    ), counted AS (
+      SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term
+    )
+    SELECT lang, term, n, rnk FROM (
+      SELECT lang, term, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM counted
+    ) WHERE rnk <= 10
+    """,
+    tags=("text", "topk", "shuffle"),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language: the classic explode→count→per-group-top-k
+    shuffle pattern. At 100 TB the groupBy is map-side combined and the
+    top-k is a bounded per-partition heap via the rank window."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    counted = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counted.select("lang", "term", "n", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@query(
+    "text_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # tests/test_scale_paths.py bounds the relative error vs exact counts.
+    tags=("text", "approx", "scale"),
+)
+def text_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct: the 100 TB substitute for exact COUNT(DISTINCT)
+    (single-pass HLL, no second shuffle). Not in the reference surface
+    (SURVEY.md §2.4 'not present') — provided as the scale path."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.approx_count_distinct(F.md5(F.trim(F.col("text")))).alias("approx_unique_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -1,0 +1,83 @@
+"""Physical-plan hygiene: the properties that make these queries survive a
+100× scale-up (pushdown, pruning, broadcast, partial agg, no Python in the
+hot path). A correctness-green query with a bad plan FAILS here."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_cherry_shuffle_service_spark.plans.explain import (
+    count_ops,
+    formatted_plan,
+    plan_ops,
+    pushed_filters,
+    read_schemas,
+    uses_python_eval,
+)
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = SPECS["pricing_summary"].builder(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"date filter not pushed: {pf}"
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    df = SPECS["pricing_summary"].builder(spark, SF_SMOKE)
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema found"
+    # lineitem has 11 columns; the query touches 7
+    assert all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    df = SPECS["join_inner"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert ops.count("BroadcastHashJoin") == 2, ops
+    assert "SortMergeJoin" not in ops
+
+
+def test_top_revenue_broadcasts_customer(spark):
+    df = SPECS["top_revenue"].builder(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # top-k goes through TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregations_are_partial(spark):
+    """Map-side combine: HashAggregate below AND above the exchange —
+    the skew-absorbing property the reference chases with its shuffle
+    service (SURVEY.md §2.12)."""
+    df = SPECS["skewed_groupcount"].builder(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert count_ops(df, "Exchange") == 1, plan
+
+
+def test_single_pass_conditional_agg(spark):
+    df = SPECS["conditional_agg"].builder(spark, SF_SMOKE)
+    assert count_ops(df, "Exchange") == 1  # one shuffle for 4 conditional sums
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in SPECS if n != "multimodal_decode")
+)
+def test_no_python_in_hot_path(spark, name):
+    df = SPECS[name].builder(spark, SF_SMOKE)
+    assert not uses_python_eval(df), f"{name} row-trips through Python"
+
+
+def test_multimodal_decode_uses_arrow_map(spark):
+    df = SPECS["multimodal_decode"].builder(spark, SF_SMOKE)
+    assert "MapInPandas" in formatted_plan(df)
+
+
+def test_aqe_and_skew_handling_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"

@@ -1,0 +1,69 @@
+"""Source/sink coverage (SURVEY.md §2.1): partitioned parquet write with
+partition pruning, CSV read, temp-view catalog, noop sink, range source."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.explain import formatted_plan
+from spark_cherry_shuffle_service_spark.sources.catalog import (
+    register_views,
+    table,
+    write_noop,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_and_partition_pruning(spark, tmp_path):
+    """The reference generates partitioned+clustered fact tables
+    (TPCDSPreparation.scala:17-25); partition-column filters must prune
+    directories, not just rows."""
+    out = str(tmp_path / "li_part")
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    write_partitioned(li, out, ["l_returnflag"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    pruned = back.filter(F.col("l_returnflag") == "A")
+    plan = formatted_plan(pruned)
+    # pruning shows up as a PartitionFilters entry on the scan
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1]
+    want = li.filter(F.col("l_returnflag") == "A").count()
+    assert pruned.count() == want
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """CSV input — reference wordcount path (spark-driver.sh:48)."""
+    out = str(tmp_path / "nation_csv")
+    nat = table(spark, SF_SMOKE, "nation")
+    nat.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert back.count() == nat.count()
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nat.collect()}
+
+
+def test_temp_view_catalog_and_sql(spark):
+    """createOrReplaceTempView + spark.sql — the reference's table setup
+    (TPCDSQueryBenchmark.scala:69-74)."""
+    register_views(spark, SF_SMOKE)
+    got = spark.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    assert got == table(spark, SF_SMOKE, "lineitem").count()
+
+
+def test_noop_sink_forces_computation(spark):
+    df = table(spark, SF_SMOKE, "orders").groupBy("o_orderstatus").count()
+    write_noop(df)  # raises if the plan can't execute
+
+
+def test_range_source(spark):
+    """In-memory range source — synthetic_workload.py:27 parallelize."""
+    n = spark.range(1, 1001, 1, 8).count()
+    assert n == 1000
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(KeyError):
+        table(spark, SF_SMOKE, "nonexistent")
