@@ -345,6 +345,79 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Explicit multi-key equi-join (JOIN ... ON k1 AND k2) — tpcds/q2.sql,
+# q64.sql (SURVEY.md §2.3): per-(order,supplier) aggregate joined back to
+# line level on both keys.
+# ---------------------------------------------------------------------------
+@query(
+    "join_multikey",
+    oracle=f"""
+    WITH os AS (
+      SELECT l_orderkey AS k_order, l_suppkey AS k_supp,
+             COUNT(*) AS n_lines, {dsum_sql('l_quantity', 'supp_qty')}
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity / supp_qty', 'qty_share_sum')}
+    FROM lineitem
+    JOIN os ON l_orderkey = k_order AND l_suppkey = k_supp
+    WHERE n_lines > 1
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "multikey"),
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    os_agg = li.groupBy(
+        F.col("l_orderkey").alias("k_order"), F.col("l_suppkey").alias("k_supp")
+    ).agg(F.count(F.lit(1)).alias("n_lines"), dsum(F.col("l_quantity"), "supp_qty"))
+    return (
+        li.join(
+            os_agg,
+            (li.l_orderkey == os_agg.k_order) & (li.l_suppkey == os_agg.k_supp),
+        )
+        .filter(F.col("n_lines") > 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity") / F.col("supp_qty"), "qty_share_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global multi-column ORDER BY with explicit NULL placement + LIMIT —
+# SURVEY.md §2.6 (91/103 files end in ORDER BY, e.g. tpcds/q70.sql:34-35).
+# NULLs synthesized via nullif (FIXTURES.md note); unique tiebreaker keeps
+# the LIMIT deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "orderby_nulls",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NULLIF(ROUND(c_acctbal, 0), 0.0) AS bal_rounded
+    FROM customer
+    ORDER BY bal_rounded DESC NULLS FIRST, c_mktsegment ASC, c_custkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "nulls", "limit"),
+)
+def orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.nullif(F.round(F.col("c_acctbal"), 0), F.lit(0.0))
+    return (
+        c.select("c_custkey", "c_mktsegment", bal.alias("bal_rounded"))
+        .orderBy(
+            F.col("bal_rounded").desc_nulls_first(),
+            F.col("c_mktsegment").asc(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LEFT OUTER JOIN with NULL handling — tpcds/q80.sql, q77.sql (SURVEY.md §2.3).
 # Orders left-joined to their high-quantity lines; unmatched → NULL branch.
 # ---------------------------------------------------------------------------

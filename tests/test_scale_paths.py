@@ -69,3 +69,33 @@ def test_lsh_buckets_group_similar_vectors(spark):
     n = table(spark, SF_CORRECT, "embeddings").count()
     assert total == n
     assert all(0 <= r["bucket"] < 2**8 for r in rows)
+
+
+def test_pandas_udf_cosine_matches_jvm_expression(spark):
+    """UDF escape hatch (SURVEY.md §2.11): an Arrow-vectorized pandas_udf
+    dot product must agree with the JVM-side fold used by the similarity
+    operators — validates the documented 'drop to pandas_udf only when
+    built-ins cannot express it' path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from spark_cherry_shuffle_service_spark.functions.vectors import dot
+
+# 'from __future__ import annotations' stringifies hints, which
+    # pandas_udf can't infer — declare the scalar UDF without annotations.
+    def _dot(a, b):
+        import numpy as np
+
+        return pd.Series(
+            [float(np.dot(np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")))
+             for x, y in zip(a, b)]
+        )
+
+    dot_udf = pandas_udf(_dot, "double")
+
+    emb = table(spark, SF_CORRECT, "embeddings").limit(50)
+    both = emb.select(
+        dot(F.col("embedding"), F.col("embedding")).alias("jvm"),
+        dot_udf(F.col("embedding"), F.col("embedding")).alias("py"),
+    ).collect()
+    for r in both:
+        assert abs(r["jvm"] - r["py"]) <= 1e-9 * max(1.0, abs(r["jvm"]))

@@ -67,3 +67,18 @@ def test_range_source(spark):
 def test_unknown_table_rejected(spark):
     with pytest.raises(KeyError):
         table(spark, SF_SMOKE, "nonexistent")
+
+
+def test_external_table_over_parquet_location(spark, tmp_path):
+    """External table DDL — reference creates external tables over HDFS
+    parquet (TPCDSPreparation.scala:31); same DDL over a local location."""
+    out = str(tmp_path / "nation_ext")
+    nat = table(spark, SF_SMOKE, "nation")
+    nat.write.mode("overwrite").parquet(out)
+    spark.sql("DROP TABLE IF EXISTS nation_ext")
+    spark.sql(f"CREATE TABLE nation_ext USING parquet LOCATION '{out}'")
+    try:
+        got = spark.sql("SELECT COUNT(*) AS n FROM nation_ext").first()["n"]
+        assert got == nat.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_ext")

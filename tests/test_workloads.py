@@ -32,3 +32,21 @@ def test_skewed_counts_closed_form(spark):
 def test_value_payload_shape(spark):
     rows = synthetic_pairs(spark, 100, 4).select("value").limit(5).collect()
     assert all(len(r["value"]) == 100 for r in rows)  # 100-char ASCII payload
+
+
+def test_rdd_lambda_parity_with_dataframe(spark):
+    """The reference's only UDF mechanism is Python lambdas over RDDs
+    (synthetic_workload.py:27-35, SURVEY.md §2.11). Semantics parity:
+    groupByKey().mapValues(len) == DataFrame groupBy().count()."""
+    p, n = 4, 400
+    rdd_counts = dict(
+        spark.sparkContext.parallelize(range(1 + p, n + 1 + p), p)
+        .map(lambda x: (x % p, "v" * 10))
+        .groupByKey()
+        .mapValues(len)
+        .collect()
+    )
+    df_counts = {
+        r["key"]: r["n"] for r in group_count(synthetic_pairs(spark, n, p)).collect()
+    }
+    assert rdd_counts == df_counts
