@@ -1,0 +1,213 @@
+"""OLAP operators beyond the reference's exercised surface (SURVEY.md §2.4/§2.5
+"Not present" rows): lead/lag, first/last_value, ntile, RANGE frames, CUBE,
+GROUPING SETS, exact percentiles. The reference inherits all of these from
+Spark SQL unexercised (its TPC-DS corpus stops at rank/row_number + ROLLUP —
+SURVEY.md §2.5, tpcds/q67.sql:13, q70.sql:5-9); a complete engine must still
+offer them, so each lands here with a DuckDB oracle.
+
+Scale notes: every window below partitions by a bounded-cardinality key
+(returnflag, nationkey) so no single window partition exceeds executor
+memory; CUBE/GROUPING SETS expand rows by the number of grouping sets
+BEFORE the shuffle (Spark's Expand operator), so the shuffle carries
+|sets|× the map output — acceptable for ≤4 sets, and partial aggregation
+still combines map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import dsum, money
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# lead/lag: day-over-day revenue delta per return flag.
+# ---------------------------------------------------------------------------
+@query(
+    "window_lead_lag",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             {dsum_sql('l_extendedprice', 'rev')}
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1998-02-01' AND DATE '1998-02-28'
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    )
+    SELECT l_returnflag, d, rev,
+           ROUND(rev - LAG(rev, 1, 0.0) OVER (PARTITION BY l_returnflag ORDER BY d), 4) AS delta_prev,
+           ROUND(COALESCE(LEAD(rev) OVER (PARTITION BY l_returnflag ORDER BY d), 0.0), 4) AS next_rev
+    FROM daily
+    """,
+    tags=("window", "lead", "lag"),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.to_date("l_shipdate").between(
+                F.lit("1998-02-01").cast("date"), F.lit("1998-02-28").cast("date")
+            )
+        )
+        .groupBy("l_returnflag", F.to_date("l_shipdate").alias("d"))
+        .agg(dsum(F.col("l_extendedprice"), "rev"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    return daily.select(
+        "l_returnflag",
+        "d",
+        "rev",
+        F.round(F.col("rev") - F.lag("rev", 1, 0.0).over(w), 4).alias("delta_prev"),
+        F.round(F.coalesce(F.lead("rev").over(w), F.lit(0.0)), 4).alias("next_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value over a full-partition frame + ntile quartiles.
+# ---------------------------------------------------------------------------
+@query(
+    "window_first_last_ntile",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           FIRST_VALUE(s_suppkey) OVER w AS richest,
+           LAST_VALUE(s_suppkey) OVER w AS poorest,
+           NTILE(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "first_value", "ntile"),
+)
+def window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = [F.col("s_acctbal").desc(), F.col("s_suppkey")]
+    w_full = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_tile = Window.partitionBy("s_nationkey").orderBy(*order)
+    return table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.first("s_suppkey").over(w_full).alias("richest"),
+        F.last("s_suppkey").over(w_full).alias("poorest"),
+        F.ntile(4).over(w_tile).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame on a numeric order key: count of orders within the trailing
+# price band of width 10000 per priority (value-based, not row-based frame).
+# ---------------------------------------------------------------------------
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority, ROUND(o_totalprice, 0) AS price FROM orders
+      WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderpriority, price,
+           COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY price
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM o
+    """,
+    tags=("window", "range_frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderpriority", F.round("o_totalprice", 0).alias("price"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price").rangeBetween(-10000, 0)
+    return o.select(
+        "o_orderpriority", "price", F.count(F.lit(1)).over(w).alias("n_in_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE with grouping() labels — completes the ROLLUP family (tpcds/q70.sql's
+# grouping() arithmetic, SURVEY.md §2.4, applied to the lattice CUBE builds).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + GROUPING(l_linestatus) AS agg_level,
+           COUNT(*) AS n, {dsum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube", "grouping"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("agg_level"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "agg_level", "n", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (DataFrame.groupingSets, Spark 4): per-flag totals,
+# per-status totals, and the grand total in one pass over the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {dsum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice"), "sum_price"))
+        .select("l_returnflag", "l_linestatus", "n", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles + median per group. Spark `percentile` and DuckDB
+# `quantile_cont` both do linear interpolation; l_quantity is integral so
+# interpolated values are exact in double; the money median is rounded.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.9) AS q90,
+           ROUND(median(l_extendedprice), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "median"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+            F.round(F.expr("median(l_extendedprice)"), 4).alias("median_price"),
+        )
+    )

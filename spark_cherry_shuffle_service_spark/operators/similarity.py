@@ -191,3 +191,99 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+_IVF_K = 8  # coarse cells: centroids are vec_id 0..7
+_IVF_NQ_LO, _IVF_NQ_HI = 8, 18  # query vectors (excludes the centroids)
+_IVF_TOPK = 3
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (scale path #2): coarse-quantize every vector to its nearest
+# "centroid" (deterministically the first K vectors, so both engines agree
+# without training), then search only within the query's cell. At 100 TB the
+# assignment is one broadcast-join pass and the search is a hash join on
+# cell id over a table pre-partitioned (or bucketed) by cell — candidate
+# count drops from N to N/K per query, and real centroids (k-means) slot in
+# without changing the plan shape.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_ivf",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM (
+        SELECT n.vec_id, c.cent_id, n.embedding, n.nrm,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_SQL_DOT_AB.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+                 c.cent_id) AS rn
+        FROM n CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cell, embedding AS qe, nrm AS qn
+      FROM assigned WHERE vec_id >= {_IVF_NQ_LO} AND vec_id < {_IVF_NQ_HI}
+    ), scored AS (
+      SELECT q.query_id, q.cell, a.vec_id AS neighbor_id,
+             {_SQL_DOT_AB.format(a='q.qe', b='a.embedding')} / (q.qn * a.nrm) AS cos
+      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, cell, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cell, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "ivf", "ann", "scale"),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos_to_cent = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cos_c", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm")
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_NQ_LO) & (F.col("vec_id") < _IVF_NQ_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "cell", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+    )
+
