@@ -114,3 +114,88 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return docs.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize: decode → scale to fit a bounding box. The scale math is real; only
+# the pixel transform is stubbed (no image libs). 1 row in → 1 row out.
+# ---------------------------------------------------------------------------
+RESIZE_BOX = 64  # target bounding box (px)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_w", IntegerType()),
+        StructField("orig_h", IntegerType()),
+        StructField("new_w", IntegerType()),
+        StructField("new_h", IntegerType()),
+    ]
+)
+
+
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = _decode_stub(bytes(payload))
+            scale = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
+            rows.append((int(doc_id), w, h, max(1, int(w * scale)), max(1, int(h * scale))))
+        yield pd.DataFrame(rows, columns=["doc_id", "orig_w", "orig_h", "new_w", "new_h"]).astype(
+            {"doc_id": "int64", "orig_w": "int32", "orig_h": "int32", "new_w": "int32", "new_h": "int32"}
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=None,  # Python resize stub — rows-only check
+    tags=("multimodal", "mapInPandas", "resize", "stub"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return docs.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: treat the payload as a "video" of 256-byte frames and emit
+# every k-th frame — the 1 → N row fan-out shape a real video pipeline needs
+# (ffmpeg frame extraction swaps in for `_frame_stub`). Output cardinality
+# is data-dependent, which is why this MUST be mapInPandas, not a scalar UDF.
+# ---------------------------------------------------------------------------
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = max(1, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES)
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["frame_bytes"].append(len(frame))
+                out["frame_checksum"].append(sum(frame))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "frame_idx": "int32", "frame_bytes": "int32", "frame_checksum": "int64"}
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=None,  # Python frame stub — rows-only check
+    tags=("multimodal", "mapInPandas", "video", "stub"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    return docs.mapInPandas(frame_sample_batches, FRAME_SCHEMA)

@@ -86,13 +86,61 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value total) maintained across micro-batches.
+
+    This is the escape hatch for stateful logic session_window can't express
+    (custom eviction, cross-batch counters, ML feature state). State is one
+    small row per user — bounded by |users|, not |events| — and lives in the
+    state store, so a 1000-executor cluster shards it by user hash.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table; returns the
     batch DataFrame of results (test/bench helper)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

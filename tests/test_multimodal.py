@@ -33,6 +33,46 @@ def test_decode_stub_deterministic_and_distributed(spark):
         assert r["n_bytes"] == len(docs[doc_id].encode("utf-8"))
 
 
+def test_resize_fits_bounding_box_preserving_aspect(spark):
+    from spark_cherry_shuffle_service_spark.operators.multimodal import (
+        RESIZE_BOX,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["new_w"] <= RESIZE_BOX and 1 <= r["new_h"] <= RESIZE_BOX
+        if r["orig_w"] <= RESIZE_BOX and r["orig_h"] <= RESIZE_BOX:
+            assert (r["new_w"], r["new_h"]) == (r["orig_w"], r["orig_h"])
+        else:  # downscale keeps aspect ratio within integer truncation
+            scale = min(RESIZE_BOX / r["orig_w"], RESIZE_BOX / r["orig_h"])
+            assert r["new_w"] == max(1, int(r["orig_w"] * scale))
+            assert r["new_h"] == max(1, int(r["orig_h"] * scale))
+
+
+def test_frame_sample_fanout_matches_payload_size(spark):
+    """1 → N fan-out: every doc emits ceil(n_bytes/256)/4 sampled frames."""
+    from spark_cherry_shuffle_service_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    by_doc: dict[int, list] = {}
+    for r in multimodal_frame_sample(spark, SF_SMOKE).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    sizes = {
+        r["doc_id"]: len(r["text"].encode("utf-8"))
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert set(by_doc) == set(sizes)
+    for doc_id, frames in by_doc.items():
+        n_frames = max(1, -(-sizes[doc_id] // FRAME_BYTES))
+        want_idx = list(range(0, n_frames, FRAME_STRIDE))
+        assert sorted(f["frame_idx"] for f in frames) == want_idx
+
+
 def test_decode_filter_pushes_before_python(spark):
     """Metadata filters must run JVM-side before the Python decode stage:
     filtering on doc_id happens in the scan, not after mapInPandas."""

@@ -49,6 +49,49 @@ def test_sessionize_stream_matches_batch_session_window(spark):
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
 
 
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): split the fixture
+    into 3 files and stream one file per micro-batch, so per-user state
+    genuinely carries across batches; the final emitted row per user must
+    equal the batch-side totals."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        running_user_totals_stream,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "events_split")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream_raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_to_memory(running_user_totals_stream(stream_raw), "user_totals", mode="update")
+    # update mode appends one row per (user, batch); the final state per
+    # user is the row with the highest n_events (counts are monotone).
+    w_latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in w_latest.collect()}
+
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
 def test_stream_session_count_matches_gaps_and_islands(spark):
     """The streaming session_window must agree with the batch
     gaps-and-islands sessionization on per-user session counts."""
