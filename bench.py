@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_lsh_buckets",
+    "similarity_ivf",
+    "agg_cube",
+    "window_lead_lag",
+    "skewed_salted_groupcount",
 ]
 
 

@@ -101,3 +101,41 @@ def skewed_pairs(spark: SparkSession, n_rows: int, partitions: int, k: float) ->
 def group_count(pairs: DataFrame) -> DataFrame:
     """groupByKey().mapValues(len) ≡ keyed count (synthetic_workload.py:33-35)."""
     return pairs.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation: the explicit skew-mitigation path for when
+# partial aggregation isn't enough (e.g. the aggregate must see raw values —
+# collect_list, exact distinct — so map-side combine can't shrink the hot
+# key). Phase 1 shards each key across `salt` sub-keys and pre-aggregates;
+# phase 2 merges the ≤salt partials per key. The hot key's shuffle load drops
+# from |rows| on one reducer to |rows|/salt on each of `salt` reducers.
+# ---------------------------------------------------------------------------
+def salted_group_count(pairs: DataFrame, salt: int = 16) -> DataFrame:
+    """Two-phase keyed count equal to group_count() for any input."""
+    phase1 = (
+        pairs.withColumn("_salt", F.pmod(F.xxhash64("key", F.monotonically_increasing_id()), F.lit(salt)))
+        .groupBy("key", "_salt")
+        .agg(F.count(F.lit(1)).alias("pn"))
+    )
+    return phase1.groupBy("key").agg(F.sum("pn").cast("long").alias("n"))
+
+
+@query(
+    "skewed_salted_groupcount",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END AS key,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END
+    """,
+    tags=("workload", "groupby", "skew", "salt", "scale"),
+)
+def skewed_salted_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as skewed_groupcount, computed via the salted two-phase
+    plan — differential proof that salting is semantics-preserving."""
+    key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1).cast("long")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    pairs = table(spark, sf_dir, "lineitem").select(key.alias("key"))
+    return salted_group_count(pairs, salt=16)

@@ -64,17 +64,47 @@ def test_single_pass_conditional_agg(spark):
     assert count_ops(df, "Exchange") == 1  # one shuffle for 4 conditional sums
 
 
-@pytest.mark.parametrize(
-    "name", sorted(n for n in SPECS if n != "multimodal_decode")
-)
+# mapInPandas-based operators are the *sanctioned* Python path (Arrow-
+# batched, SURVEY.md §2.11); everything else must stay JVM-side.
+_ARROW_OK = sorted(n for n, s in SPECS.items() if "mapInPandas" in s.tags)
+
+
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if n not in _ARROW_OK))
 def test_no_python_in_hot_path(spark, name):
     df = SPECS[name].builder(spark, SF_SMOKE)
     assert not uses_python_eval(df), f"{name} row-trips through Python"
 
 
-def test_multimodal_decode_uses_arrow_map(spark):
-    df = SPECS["multimodal_decode"].builder(spark, SF_SMOKE)
+@pytest.mark.parametrize("name", _ARROW_OK)
+def test_multimodal_python_is_arrow_batched(spark, name):
+    df = SPECS[name].builder(spark, SF_SMOKE)
     assert "MapInPandas" in formatted_plan(df)
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF scale path: centroid assignment must be a broadcast join (the
+    centroid table is tiny); no shuffle of the full embedding table just to
+    pick cells."""
+    df = SPECS["similarity_ivf"].builder(spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" in plan_ops(df) or "BroadcastHashJoin" in plan_ops(df)
+
+
+def test_cube_and_grouping_sets_expand_before_shuffle(spark):
+    """CUBE/GROUPING SETS run as a single Expand + one aggregation pass —
+    not one job per grouping set."""
+    for name in ("agg_cube", "agg_grouping_sets"):
+        df = SPECS[name].builder(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Expand" in plan, name
+        assert count_ops(df, "Exchange") == 1, name
+
+
+def test_salted_groupcount_is_two_phase(spark):
+    """Salting: two aggregation exchanges (key+salt, then key), each with
+    map-side partials — the hot key never lands on a single reducer whole."""
+    df = SPECS["skewed_salted_groupcount"].builder(spark, SF_SMOKE)
+    assert count_ops(df, "Exchange") == 2
+    assert formatted_plan(df).count("HashAggregate") >= 4
 
 
 def test_aqe_and_skew_handling_enabled(spark):

@@ -34,6 +34,21 @@ def test_value_payload_shape(spark):
     assert all(len(r["value"]) == 100 for r in rows)  # 100-char ASCII payload
 
 
+def test_salted_group_count_equals_plain(spark):
+    """Salted two-phase aggregation is semantics-preserving on a skewed
+    input (k=0.8 of rows on key 1)."""
+    from spark_cherry_shuffle_service_spark.operators.workloads import (
+        salted_group_count,
+        skewed_pairs,
+    )
+
+    pairs = skewed_pairs(spark, 1000, 4, 0.8)
+    plain = {r["key"]: r["n"] for r in group_count(pairs).collect()}
+    salted = {r["key"]: r["n"] for r in salted_group_count(pairs, salt=8).collect()}
+    assert salted == plain
+    assert salted[1] >= 800  # the hot key really is hot
+
+
 def test_rdd_lambda_parity_with_dataframe(spark):
     """The reference's only UDF mechanism is Python lambdas over RDDs
     (synthetic_workload.py:27-35, SURVEY.md §2.11). Semantics parity:
