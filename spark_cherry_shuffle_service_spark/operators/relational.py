@@ -657,3 +657,108 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(dsum(F.col("c_acctbal"), "total_bal"), F.count(F.lit(1)).alias("n_cust"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping-priority query: the 3-way cust→orders→lineitem
+# spine with date predicates on both fact tables, agg, and sorted top-k —
+# the exact scan→filter→join→agg→sort→limit chain 91/103 of the reference's
+# TPC-DS corpus follows (SURVEY.md §7.1.2). Broadcast the filtered customer
+# segment; l_orderkey tiebreaker keeps LIMIT deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "spine", "topk", "tpch"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped local-supplier volume: 6-way join (two independent paths
+# to nation — customer's and supplier's — constrained equal), region filter,
+# group by nation. The widest join tree in the suite; dims broadcast, facts
+# hash-join on their keys.
+# ---------------------------------------------------------------------------
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "spine", "multiway", "tpch"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nat, supp.s_nationkey == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )

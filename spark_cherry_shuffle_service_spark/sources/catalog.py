@@ -70,6 +70,23 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, name: str, bucket_cols: list[str], n_buckets: int = 8
+) -> None:
+    """Bucketed managed table: pre-shuffles data into `n_buckets` files by
+    hash of `bucket_cols`, so joins/aggregations on those columns need NO
+    exchange at read time — the co-located-join strategy for repeatedly
+    joined 100 TB fact tables (equivalent effect to the reference pre-
+    clustering fact tables, TPCDSPreparation.scala:17-25)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def write_noop(df: DataFrame) -> None:
     """Benchmark sink: full computation, no materialization
     (TPCDSQueryBenchmark.scala:100 `.noop()`)."""

@@ -69,6 +69,35 @@ def test_unknown_table_rejected(spark):
         table(spark, SF_SMOKE, "nonexistent")
 
 
+def test_bucketed_join_needs_no_exchange(spark):
+    """Two tables bucketed on the join key sort-merge-join with ZERO
+    shuffle exchanges — the co-located join path for 100 TB fact-fact
+    joins (brief: 'bucketing for co-located joins')."""
+    from spark_cherry_shuffle_service_spark.plans.explain import plan_ops
+    from spark_cherry_shuffle_service_spark.sources.catalog import write_bucketed
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 8)
+    write_bucketed(od, "od_bkt", ["o_orderkey"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bkt").join(
+            spark.table("od_bkt"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        ops = plan_ops(joined)
+        assert "SortMergeJoin" in ops
+        assert not any("Exchange" in op for op in ops), ops
+        n = joined.count()
+        want = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")
+
+
 def test_external_table_over_parquet_location(spark, tmp_path):
     """External table DDL — reference creates external tables over HDFS
     parquet (TPCDSPreparation.scala:31); same DDL over a local location."""
