@@ -132,3 +132,74 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.sum("sess_seconds").alias("total_session_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join — an operator Spark lacks as a primitive (SURVEY.md §2.3 "not
+# present" list; DuckDB has native ASOF JOIN, used as the oracle). Spark-
+# first composition: tag both sides, union, one window pass per user carries
+# the latest click forward — ONE shuffle on user_id, no range-join explosion.
+# For each purchase: the most recent click by the same user at or before it.
+# At 100 TB this beats an inequality join (which Spark plans as BNLJ or a
+# sort-merge + filter over a huge range) because the union+window is linear
+# in events per user.
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.click_id, c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("events", "asof", "composition"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    # kind 0 = click, 1 = purchase → at equal ts the click sorts first, so
+    # `p.ts >= c.ts` (inclusive as-of) matches the oracle exactly.
+    tagged = clicks.select(
+        "user_id", "ts", "click_id", F.lit(None).cast("long").alias("purchase_id"), F.lit(0).alias("kind")
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(None).cast("long").alias("click_id"), "purchase_id", F.lit(1).alias("kind")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        "kind",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )

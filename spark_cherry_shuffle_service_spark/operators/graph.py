@@ -1,0 +1,106 @@
+"""Iterative graph algorithm: PageRank over the supplier↔customer trade
+graph. The reference runs Spark's JavaPageRank example as one of its
+workloads (spark-driver.sh:48-51, SURVEY.md §0.4) — this is the
+DataFrame-native form of that computation.
+
+Graph: undirected supplier↔customer edges (one edge per distinct pair that
+traded, derived from lineitem⋈orders), expressed as two directed edges, so
+every node has out-degree ≥ 1 (no dangling-node mass loss). Semantics match
+the classic Spark example: ranks start at 1.0; each iteration
+rank' = 0.15 + 0.85 · Σ_in (rank/out_degree).
+
+Determinism: each iteration's contribution sum routes through the
+ROUND→DECIMAL(18,6)→SUM→DOUBLE convention on both engines, so a fixed
+iteration count is bit-identical at any parallelism. The oracle unrolls the
+loop as chained CTEs — same dataflow Catalyst sees.
+
+Scale: edges are the only large table; they're built once, persisted, and
+re-joined each iteration (hash join on node id — the natural partitioning
+to reuse). 3 iterations = 3 shuffles on node id; at 100 TB you bucket the
+edge table by src so the per-iteration join is exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import money
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+_ITER = 3
+_DAMP = 0.85
+
+
+def _oracle() -> str:
+    csum = "CAST(SUM(CAST(ROUND({x}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 's' || l_suppkey AS s_node, 'c' || o_custkey AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS node, 1.0 AS rank FROM deg
+    )"""
+    ]
+    for i in range(1, _ITER + 1):
+        contrib = csum.format(x=f"r{i - 1}.rank / deg.d")
+        parts.append(
+            f""", r{i} AS (
+      SELECT e.dst AS node, 0.15 + {_DAMP} * {contrib} AS rank
+      FROM edges e
+      JOIN r{i - 1} ON e.src = r{i - 1}.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(rank, 6) AS pagerank FROM r{_ITER}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        .persist()  # re-joined every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(_ITER):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(money(F.col("rank") / F.col("d"))).cast("double").alias("contrib"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) + F.lit(_DAMP) * F.col("contrib")).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
