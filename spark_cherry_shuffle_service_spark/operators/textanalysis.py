@@ -252,3 +252,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.trim(F.col("text"))).alias("fp_md5"),
         rolling.alias("fp_roll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wordcount — the reference's example .py workload (spark-driver.sh:48-51,
+# SURVEY.md §0.4: wordcount over a CSV). Same semantics over the documents
+# corpus: full term → count table, one explode + one map-side-combined
+# shuffle. Restricted to terms with n >= 5 to keep the result set bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+      FROM documents
+    )
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "wordcount", "workload"),
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -134,6 +134,14 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication on event_id: state keeps one key per
+    event inside the watermark horizon and drops it once the watermark
+    passes — bounded state, unlike an unwatermarked dropDuplicates. The
+    streaming twin of the batch dedup_exact operator."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table; returns the
     batch DataFrame of results (test/bench helper)."""

@@ -45,6 +45,26 @@ def test_csv_roundtrip(spark, tmp_path):
     assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nat.collect()}
 
 
+def test_json_roundtrip(spark, tmp_path):
+    """JSON lines source: write/read with explicit schema (events.props is
+    JSON-in-string; whole-file JSON is the other common training-data
+    interchange format)."""
+    out = str(tmp_path / "nation_json")
+    nat = table(spark, SF_SMOKE, "nation")
+    nat.write.mode("overwrite").json(out)
+    back = spark.read.schema(nat.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink — the second columnar format Spark ships natively."""
+    out = str(tmp_path / "nation_orc")
+    nat = table(spark, SF_SMOKE, "nation")
+    nat.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nat.collect()))
+
+
 def test_temp_view_catalog_and_sql(spark):
     """createOrReplaceTempView + spark.sql — the reference's table setup
     (TPCDSQueryBenchmark.scala:69-74)."""

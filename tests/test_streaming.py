@@ -92,6 +92,33 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_streaming_dedup_drops_duplicate_event_ids(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: feed every event twice (two files),
+    expect each event_id exactly once downstream."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        dedup_stream,
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "events_dup")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(500)
+    raw.write.mode("overwrite").parquet(src)
+    raw.write.mode("append").parquet(src)  # every event twice
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = run_to_memory(dedup_stream(stream), "dedup_events", mode="append")
+    got = out.groupBy("event_id").count().collect()
+    assert len(got) == 500
+    assert all(r["count"] == 1 for r in got)
+
+
 def test_stream_session_count_matches_gaps_and_islands(spark):
     """The streaming session_window must agree with the batch
     gaps-and-islands sessionization on per-user session counts."""
