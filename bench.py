@@ -46,6 +46,11 @@ HEADLINE = [
     "agg_cube",
     "window_lead_lag",
     "skewed_salted_groupcount",
+    "shipping_priority",
+    "local_supplier_volume",
+    "events_asof_join",
+    "graph_pagerank",
+    "text_wordcount",
 ]
 
 

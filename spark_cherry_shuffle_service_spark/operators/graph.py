@@ -34,11 +34,13 @@ _DAMP = 0.85
 
 
 def _oracle() -> str:
+    # Node encoding: supplier s → 2s, customer c → 2c+1 (disjoint integer
+    # namespaces; integers hash/shuffle far cheaper than string ids).
     csum = "CAST(SUM(CAST(ROUND({x}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
     parts = [
         """
     WITH pairs AS (
-      SELECT DISTINCT 's' || l_suppkey AS s_node, 'c' || o_custkey AS c_node
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ), edges AS (
       SELECT s_node AS src, c_node AS dst FROM pairs
@@ -75,27 +77,32 @@ def _oracle() -> str:
     tags=("graph", "iterative", "pagerank"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    par = spark.sparkContext.defaultParallelism
+    # Single-file fixture scans as ONE partition; repartition before the
+    # join so edge construction parallelizes (BASELINE.md perf note).
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_node"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_node"),
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
-        .persist()  # re-joined every iteration
+    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Degree folds into the edge table ONCE; the persisted result is what
+    # every iteration re-joins. Ranks (one row per node) broadcasts here —
+    # at billions of nodes swap the broadcast for a shuffle-hash join
+    # against an edge table bucketed by src; the dataflow is unchanged.
+    edges_deg = edges.join(deg, "src").repartition(par).persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_ITER):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(money(F.col("rank") / F.col("d"))).cast("double").alias("contrib"))
         )
