@@ -61,6 +61,12 @@ def main() -> None:
     spark = get_spark(app_name="cherry-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Engine warmup (JIT, codegen, parquet reader init) so per-query numbers
+    # measure the query, not JVM startup. The reference's harness does the
+    # same via numIters warmup runs (TPCDSQueryBenchmark.scala:96-101).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     specs = all_specs()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -203,3 +203,43 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup: hour + day + grand-total
+# aggregates of the event stream in ONE pass (GROUPING SETS → single Expand
+# + single shuffle), instead of one job per resolution. The timeseries-DB
+# "continuous aggregate" ladder, Spark-first. agg_level disambiguates rows:
+# 0 = hourly, 1 = daily, 3 = grand total.
+# ---------------------------------------------------------------------------
+@query(
+    "events_multi_rollup",
+    oracle=f"""
+    SELECT day, hour,
+           GROUPING(day) * 2 + GROUPING(hour) AS agg_level,
+           COUNT(*) AS n_events, {dsum_sql('value', 'total_value')}
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((day, hour), (day), ())
+    """,
+    tags=("events", "rollup", "grouping_sets", "hypertable"),
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["day", "hour"], ["day"], []], "day", "hour")
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("hour")).alias("agg_level"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select("day", "hour", "agg_level", "n_events", "total_value")
+    )

@@ -35,6 +35,41 @@ def test_partitioned_write_and_partition_pruning(spark, tmp_path):
     assert pruned.count() == want
 
 
+def test_clustered_write_sorts_within_files(spark, tmp_path):
+    """clusterByPartitionColumns parity: rows inside each partition file are
+    sorted by the cluster column (tightens parquet min/max stats)."""
+    out = str(tmp_path / "li_clustered")
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    write_partitioned(li, out, ["l_returnflag"], cluster_cols=["l_shipdate"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    import glob
+
+    files = glob.glob(f"{out}/l_returnflag=*/*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(files[0], columns=["l_shipdate"]).column("l_shipdate").to_pylist()
+    assert col == sorted(col)
+
+
+def test_checkpoint_cuts_lineage(spark, tmp_path):
+    """Checkpointing = the Spark-native form of Cherry's 'shuffle output
+    survives executor loss' effect (SURVEY.md §4 failure story): the
+    checkpointed plan no longer depends on the upstream shuffle lineage."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    agg = (
+        table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ck = agg.checkpoint(eager=True)
+    assert ck.count() == agg.count()
+    # downstream plan reads the checkpoint, not the original scan+shuffle
+    plan = ck._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "lineitem" not in plan
+
+
 def test_csv_roundtrip(spark, tmp_path):
     """CSV input — reference wordcount path (spark-driver.sh:48)."""
     out = str(tmp_path / "nation_csv")
