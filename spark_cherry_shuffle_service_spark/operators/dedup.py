@@ -271,3 +271,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup DECISION: turn near-dup pairs into a keep/drop
+# verdict per vector (keep the lowest vec_id of each duplicate cluster's
+# pairs — the standard "canonical representative" rule). Pair generation
+# reuses the similarity_pairs formulation; at 100 TB candidates come from
+# the LSH/IVF bucket join instead of the blocked all-pairs product.
+# ---------------------------------------------------------------------------
+_EMB_TAU = 0.4
+
+_SQL_EMB_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_SQL_EMB_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), dup_pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {_SQL_EMB_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= {_EMB_TAU}
+    )
+    SELECT dup_id, MIN(keep_id) AS canonical_id, COUNT(*) AS n_matches
+    FROM dup_pairs
+    GROUP BY dup_id
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.vectors import dot, norm
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("keep_id"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dup_id"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        .filter(cos >= _EMB_TAU)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_matches"))
+    )

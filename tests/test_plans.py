@@ -111,3 +111,47 @@ def test_aqe_and_skew_handling_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+def test_aqe_actually_splits_skewed_join(spark):
+    """Not just config: with thresholds scaled to fixture size, AQE must
+    mark the hot-key join as skew-handled in the final adaptive plan — the
+    runtime effect Cherry targets with its task-aware service
+    (SURVEY.md §2.12 'Skew-aware interest')."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.operators.workloads import skewed_pairs
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # Skewed fact side (90% of rows on key 1, ~100 B/row → hot partition
+        # ≫ 64 KB) joined to a unique-key dim side: output stays |fact|,
+        # only the hot partition needs splitting.
+        fact = skewed_pairs(spark, 200_000, 8, 0.9)
+        dim = spark.range(0, 8).select(F.col("id").alias("key"), (F.col("id") * 10).alias("attr"))
+        joined = fact.join(dim, "key")
+        # collect THIS DataFrame: AQE finalizes a plan only after its own
+        # execution (count() would run a different, agg-topped plan).
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

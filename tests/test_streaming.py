@@ -92,6 +92,67 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time bound: purchases
+    joined to clicks by the same user within 1 hour before the purchase.
+    Must equal the identical batch join."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from spark_cherry_shuffle_service_spark.streaming.streams import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def src(kind):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_SMOKE)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == kind)
+        )
+
+    clicks = src("click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", "2 hours")
+    purchases = src("purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    ).withWatermark("p_ts", "2 hours")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("ss_join").collect()
+    }
+
+    ev = table(spark, SF_SMOKE, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(
+            bc,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_dedup_drops_duplicate_event_ids(spark, tmp_path):
     """dropDuplicatesWithinWatermark: feed every event twice (two files),
     expect each event_id exactly once downstream."""
