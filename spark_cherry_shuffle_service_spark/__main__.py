@@ -1,0 +1,136 @@
+"""CLI — the engine's equivalent of the reference's spark-driver.sh dispatch
+(/root/reference/spark-driver.sh:56-72: -w {tpcds,synthetic,skew,py} -q
+<query-filter> -p <parallelism> -k <skew-fraction>), re-expressed for a
+PySpark-native engine:
+
+    python -m spark_cherry_shuffle_service_spark query <name> [--sf-dir D] [--show N]
+    python -m spark_cherry_shuffle_service_spark query --list
+    python -m spark_cherry_shuffle_service_spark sql "SELECT ..." [--sf-dir D]
+    python -m spark_cherry_shuffle_service_spark workload synthetic -n 1000000 -p 100
+    python -m spark_cherry_shuffle_service_spark workload skew -n 1000000 -p 100 -k 0.8
+    python -m spark_cherry_shuffle_service_spark bench [--queries a,b,c]
+
+Cluster sizing flags map to config exactly as the reference's -p flag maps
+to spark.default.parallelism / spark.sql.shuffle.partitions
+(spark-driver.sh:147-148).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from spark_cherry_shuffle_service_spark.session import get_spark
+from spark_cherry_shuffle_service_spark.sources.catalog import (
+    DEFAULT_SF_DIR,
+    register_views,
+    write_noop,
+)
+
+
+def _spark(args):
+    return get_spark(
+        app_name="cherry-spark-cli",
+        shuffle_partitions=args.parallelism,
+    )
+
+
+def cmd_query(args) -> int:
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    if args.list:
+        for name in sorted(specs):
+            spec = specs[name]
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {','.join(spec.tags)}")
+        return 0
+    if not args.name or args.name not in specs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    t0 = time.perf_counter()
+    df = specs[args.name].builder(spark, args.sf_dir)
+    df.show(args.show, truncate=False)
+    print(f"[{args.name}] {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    spark = _spark(args)
+    register_views(spark, args.sf_dir)
+    spark.sql(args.text).show(args.show, truncate=False)
+    return 0
+
+
+def cmd_workload(args) -> int:
+    from spark_cherry_shuffle_service_spark.operators.workloads import (
+        group_count,
+        skewed_pairs,
+        synthetic_pairs,
+    )
+
+    spark = _spark(args)
+    pairs = (
+        skewed_pairs(spark, args.n, args.parallelism or 100, args.k)
+        if args.kind == "skew"
+        else synthetic_pairs(spark, args.n, args.parallelism or 100)
+    )
+    t0 = time.perf_counter()
+    counts = group_count(pairs).collect()  # reference collects too (synthetic_workload.py:35)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"workload": args.kind, "n": args.n, "keys": len(counts), "sec": round(dt, 3)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    spark = _spark(args)
+    specs = all_specs()
+    names = args.queries.split(",") if args.queries else sorted(
+        n for n, s in specs.items() if s.oracle is not None
+    )
+    timings = {}
+    for name in names:
+        df = specs[name].builder(spark, args.sf_dir)
+        t0 = time.perf_counter()
+        write_noop(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"queries": timings, "total": round(sum(timings.values()), 3)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="spark_cherry_shuffle_service_spark")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("-p", "--parallelism", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registered query by name")
+    q.add_argument("name", nargs="?")
+    q.add_argument("--list", action="store_true")
+    q.add_argument("--show", type=int, default=20)
+
+    s = sub.add_parser("sql", help="run raw SQL text over the registered catalog")
+    s.add_argument("text")
+    s.add_argument("--show", type=int, default=20)
+
+    w = sub.add_parser("workload", help="reference synthetic/skew workloads")
+    w.add_argument("kind", choices=["synthetic", "skew"])
+    w.add_argument("-n", type=int, default=1_000_000)
+    w.add_argument("-k", type=float, default=0.8)
+
+    b = sub.add_parser("bench", help="time queries through the noop sink")
+    b.add_argument("--queries", default=None)
+
+    args = ap.parse_args(argv)
+    return {"query": cmd_query, "sql": cmd_sql, "workload": cmd_workload, "bench": cmd_bench}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

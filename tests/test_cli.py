@@ -1,0 +1,43 @@
+"""CLI dispatch parity with the reference's spark-driver.sh surface."""
+
+from __future__ import annotations
+
+import json
+
+from spark_cherry_shuffle_service_spark.__main__ import main
+from tests.conftest import SF_SMOKE
+
+
+def test_cli_query_list(capsys):
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "oracle" in out
+
+
+def test_cli_query_runs(spark, capsys):
+    assert main(["--sf-dir", SF_SMOKE, "query", "broadcast_dim_join", "--show", "3"]) == 0
+    assert "r_name" in capsys.readouterr().out
+
+
+def test_cli_unknown_query_rejected(capsys):
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_sql(spark, capsys):
+    assert main(["--sf-dir", SF_SMOKE, "sql", "SELECT COUNT(*) AS n FROM nation"]) == 0
+    assert "25" in capsys.readouterr().out
+
+
+def test_cli_workload_synthetic_and_skew(spark, capsys):
+    assert main(["-p", "4", "workload", "synthetic", "-n", "1000"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["keys"] == 4 and rec["workload"] == "synthetic"
+    assert main(["-p", "4", "workload", "skew", "-n", "1000", "-k", "0.5"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["workload"] == "skew"
+
+
+def test_cli_bench_subset(spark, capsys):
+    assert main(["--sf-dir", SF_SMOKE, "bench", "--queries", "join_inner,top_revenue"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rec["queries"]) == {"join_inner", "top_revenue"}
