@@ -211,3 +211,43 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("median(l_extendedprice)"), 4).alias("median_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UDAF via pandas_udf GROUPED_AGG — the reference has NO UDAF mechanism at
+# all (SURVEY.md §2.11); this is Spark's: an Arrow-batched grouped
+# aggregate (geometric mean of quantity per flag). The JVM twin
+# exp(avg(ln x)) doubles as the DuckDB oracle, so the UDAF path itself is
+# differentially verified. Python here is the sanctioned Arrow path — one
+# batch per group, not per row.
+# ---------------------------------------------------------------------------
+@query(
+    "udaf_grouped_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(exp(avg(ln(l_quantity))), 6) AS geomean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "udaf", "pandas_udf", "mapInPandas"),
+)
+def udaf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.mean(np.log(v.to_numpy(dtype="float64")))))
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints, so Series→scalar inference can't kick in here.
+    geomean = pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+
+    return (
+        table(spark, sf_dir, "lineitem")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_returnflag")
+        # NB: a grouped-agg pandas UDF cannot be mixed with JVM aggregates
+        # in one agg() — Spark restriction [INVALID_PANDAS_UDF_PLACEMENT].
+        .agg(F.round(geomean(F.col("l_quantity")), 6).alias("geomean_qty"))
+    )

@@ -92,6 +92,27 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_stream_static_join_enriches_events(spark):
+    """Stream-static join: the streaming fact joins a static dimension
+    (user_id % 25 → nation) without watermark requirements — dimension
+    lookup at streaming time, the standard enrichment shape."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    nations = table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    stream = read_events_stream(spark, SF_SMOKE).withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int")
+    )
+    enriched = stream.join(nations, stream.nkey == nations.n_nationkey).groupBy("n_name").count()
+    got = {r["n_name"]: r["count"] for r in run_to_memory(enriched, "enriched").collect()}
+
+    ev = table(spark, SF_SMOKE, "events").withColumn("nkey", (F.col("user_id") % 25).cast("int"))
+    want = {
+        r["n_name"]: r["count"]
+        for r in ev.join(nations, ev.nkey == nations.n_nationkey).groupBy("n_name").count().collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with watermarks + time bound: purchases
     joined to clicks by the same user within 1 hour before the purchase.
