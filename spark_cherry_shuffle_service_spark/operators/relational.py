@@ -50,7 +50,15 @@ def _d(col: str) -> F.Column:
     tags=("agg", "filter", "scan"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+    # Round-robin repartition after the single-file scan: the 7 decimal
+    # partial aggregations are CPU-bound and would otherwise run inside the
+    # lone scan task (BASELINE.md perf note; a cluster-scale scan is
+    # naturally multi-partition and pays nothing extra for this).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(_d("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     price, disc, tax, qty = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(qty, "sum_qty"),
