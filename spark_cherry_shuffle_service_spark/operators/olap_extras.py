@@ -251,3 +251,79 @@ def udaf_grouped_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in one agg() — Spark restriction [INVALID_PANDAS_UDF_PLACEMENT].
         .agg(F.round(geomean(F.col("l_quantity")), 6).alias("geomean_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: order counts + revenue by priority, pivoted over order status.
+# Spark's relational pivot with explicit value list (explicit values avoid
+# the extra distinct-scan job AND keep the output schema static — required
+# for any production pipeline and for 100 TB, where a discovery pass over
+# the fact table costs a full scan). Oracle: the equivalent conditional
+# aggregation, which is also exactly how Catalyst lowers pivot.
+# ---------------------------------------------------------------------------
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "orders_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {', '.join(f'''SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s.lower()},
+           {dsum_sql(f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0.0 END", f"rev_{s.lower()}")}''' for s in _PIVOT_STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "rev"),
+        )
+    )
+    # flatten pivot's {value}_{agg} names to the oracle's n_{s} / rev_{s}
+    return piv.select(
+        "o_orderpriority",
+        *[
+            col
+            for s in _PIVOT_STATUSES
+            for col in (
+                F.col(f"{s}_n").alias(f"n_{s.lower()}"),
+                F.col(f"{s}_rev").alias(f"rev_{s.lower()}"),
+            )
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered collect_list / listagg: per-nation roster of the top suppliers.
+# Cross-engine determinism demands an explicit sort of the collected list
+# (unordered aggregation order differs between engines and between Spark
+# partitions — same issue dsum solves for sums).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT s_nationkey,
+           list_sort(list(s_suppkey)) AS supp_ids,
+           array_to_string(list_sort(list(s_name)), ',') AS roster
+    FROM supplier
+    WHERE s_acctbal > 9000
+    GROUP BY s_nationkey
+    """,
+    tags=("agg", "collect_list", "listagg"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_suppkey")).alias("supp_ids"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("roster"),
+        )
+    )
