@@ -51,6 +51,10 @@ HEADLINE = [
     "events_asof_join",
     "graph_pagerank",
     "text_wordcount",
+    "events_multi_rollup",
+    "orders_pivot",
+    "udaf_grouped_geomean",
+    "dedup_embedding_cosine",
 ]
 
 
