@@ -34,6 +34,27 @@ def test_value_payload_shape(spark):
     assert all(len(r["value"]) == 100 for r in rows)  # 100-char ASCII payload
 
 
+def test_mappartitions_topk_matches_declarative(spark):
+    """Tier-(c) escape hatch (raw mapPartitions heaps) must agree with the
+    declarative orderBy+limit it exists to replace."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.partitions import partition_topk
+    from spark_cherry_shuffle_service_spark.sources.catalog import table
+    from tests.conftest import SF_SMOKE
+
+    orders = table(spark, SF_SMOKE, "orders").repartition(8)
+    got = sorted(
+        (r["o_totalprice"], r["o_orderkey"])
+        for r in partition_topk(orders, "o_totalprice", 15).collect()
+    )
+    want = sorted(
+        (r["o_totalprice"], r["o_orderkey"])
+        for r in orders.orderBy(F.col("o_totalprice").desc()).limit(15).collect()
+    )
+    assert [p for p, _ in got] == [p for p, _ in want]
+
+
 def test_salted_group_count_equals_plain(spark):
     """Salted two-phase aggregation is semantics-preserving on a skewed
     input (k=0.8 of rows on key 1)."""
