@@ -108,6 +108,26 @@ def test_salted_groupcount_is_two_phase(spark):
     assert formatted_plan(df).count("HashAggregate") >= 4
 
 
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The full join-strategy surface the reference relies on Catalyst for
+    (SparkStrategies.scala:139 JoinSelection, SURVEY.md §2.3) is steerable
+    per-join via hints: BROADCAST, MERGE, SHUFFLE_HASH."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    orders = table(spark, SF_SMOKE, "orders")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, op in cases.items():
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        assert op in plan_ops(j), f"{hint} → {plan_ops(j)}"
+
+
 def test_aqe_and_skew_handling_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

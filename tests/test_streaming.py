@@ -92,6 +92,43 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
         assert abs(got[u][1] - want[u][1]) < 1e-6
 
 
+def test_foreach_batch_incremental_aggregate(spark, tmp_path):
+    """foreachBatch continuous aggregate: 3 micro-batches merged into a
+    parquet hourly table must equal the one-shot batch aggregate."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        EVENTS_SCHEMA,
+        run_incremental_aggregate,
+    )
+
+    src = str(tmp_path / "events_split")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # 3 separate merge batches
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    target = str(tmp_path / "hourly_agg")
+    run_incremental_aggregate(stream, target, str(tmp_path / "ckpt"))
+
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_static_join_enriches_events(spark):
     """Stream-static join: the streaming fact joins a static dimension
     (user_id % 25 → nation) without watermark requirements — dimension
