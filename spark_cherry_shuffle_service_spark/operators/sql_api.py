@@ -51,3 +51,62 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_text_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_NATION_LEADERS)
+
+
+# Channel-union rollup in SQL text — the tpcds/q5.sql shape: sales ⊎
+# returns per channel via UNION ALL of per-source aggregates, then a
+# channel-level rollup. Dialect-shared (runs verbatim on both engines).
+_Q_CHANNEL_UNION = """
+SELECT channel, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(amount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+FROM (
+  SELECT 'order' AS channel, o_totalprice AS amount FROM orders
+    WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'return' AS channel, l_extendedprice AS amount FROM lineitem
+    WHERE l_returnflag = 'R'
+)
+GROUP BY channel
+"""
+
+# EXCEPT-based cross-segment diff — the v2.7 q87 family's semantics
+# (customers ordering in 1997 but not 1998), expressed with EXCEPT.
+_Q_EXCEPT_CUSTOMERS = """
+SELECT COUNT(*) AS n_lapsed FROM (
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+)
+"""
+
+# Correlated scalar subquery in WHERE over an aggregate — the tpcds/q44
+# / q32 pattern (rows beating 1.3× their group average).
+_Q_ABOVE_AVG = """
+SELECT s_nationkey, s_suppkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal > 1.3 * (
+  SELECT AVG(s_acctbal) FROM supplier i WHERE i.s_nationkey = s.s_nationkey
+)
+"""
+
+
+@query("sql_text_channel_union", oracle=_Q_CHANNEL_UNION, tags=("sql", "union_all", "api"))
+def sql_text_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_CHANNEL_UNION)
+
+
+@query("sql_text_except", oracle=_Q_EXCEPT_CUSTOMERS, tags=("sql", "except", "api"))
+def sql_text_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_EXCEPT_CUSTOMERS)
+
+
+@query("sql_text_above_avg", oracle=_Q_ABOVE_AVG, tags=("sql", "correlated", "api"))
+def sql_text_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_ABOVE_AVG)
