@@ -770,3 +770,42 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shaped promo revenue: fact→part join on l_partkey (the one join
+# key no other query exercises), PROMO share via conditional aggregation
+# over the joined rows — ratio-of-conditional-sums, tpcds/q9-family shape.
+# part is a broadcastable mid-dim; the fact side never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_rev')},
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_rev')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-07-01'
+    GROUP BY p_brand
+    """,
+    tags=("join", "partkey", "conditional_agg", "tpch"),
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (_d("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (_d("l_shipdate") < F.lit("1997-07-01").cast("date"))
+    )
+    part = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), "promo_rev"),
+            dsum(rev, "total_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -34,6 +34,20 @@ def test_value_payload_shape(spark):
     assert all(len(r["value"]) == 100 for r in rows)  # 100-char ASCII payload
 
 
+def test_workload_scale_smoke_5m_rows(spark):
+    """The reference's experiment scale starts at 10M rows/GB
+    (synthetic_workload.py:24, README.md:127); run half that through the
+    generator + keyed count. Map-side combine means the shuffle carries one
+    partial per (key, partition) — 3.2k rows for 5M inputs — which is why
+    this completes in seconds and why the same plan holds at 100 TB."""
+    n, p = 5_000_000, 32
+    counts = {r["key"]: r["n"] for r in group_count(synthetic_pairs(spark, n, p)).collect()}
+    assert sum(counts.values()) == n
+    assert len(counts) == p
+    # closed form: ids [1+p, n+p] → each key k gets n/p rows when p | n
+    assert all(v == n // p for v in counts.values())
+
+
 def test_mappartitions_topk_matches_declarative(spark):
     """Tier-(c) escape hatch (raw mapPartitions heaps) must agree with the
     declarative orderBy+limit it exists to replace."""
