@@ -1,0 +1,79 @@
+"""Semantics pins for the differential-testing traps SURVEY.md §7.3 lists:
+NOT IN with NULLs (three-valued logic) and decimal division/rounding.
+Fixture keys are non-null, so these build their own literal inputs and run
+the SAME SQL text on Spark and DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def _both(spark, sql: str):
+    s = [tuple(r) for r in spark.sql(sql).collect()]
+    d = duckdb.connect().execute(sql).fetchall()
+    return sorted(map(repr, s)), sorted(map(repr, d))
+
+
+def test_not_in_with_null_matches_duckdb(spark):
+    """x NOT IN (subquery containing NULL) is never TRUE — both engines
+    must agree on the empty result (the classic anti-join trap)."""
+    sql = """
+    WITH t(x) AS (VALUES (1), (2), (4)),
+         s(y) AS (VALUES (1), (NULL))
+    SELECT x FROM t WHERE x NOT IN (SELECT y FROM s)
+    """
+    s, d = _both(spark, sql)
+    assert s == d == []
+
+
+def test_not_in_without_null_matches_duckdb(spark):
+    sql = """
+    WITH t(x) AS (VALUES (1), (2), (4)),
+         s(y) AS (VALUES (1), (3))
+    SELECT x FROM t WHERE x NOT IN (SELECT y FROM s)
+    """
+    s, d = _both(spark, sql)
+    assert s == d and len(s) == 2
+
+
+def test_null_comparisons_three_valued_logic(spark):
+    """NULL = NULL is NULL (filtered); IS NOT DISTINCT FROM treats NULLs
+    as equal — both engines agree on both operators."""
+    sql = """
+    WITH t(a, b) AS (VALUES (1, 1), (NULL, NULL), (1, NULL))
+    SELECT COUNT(*) FILTER (WHERE a = b) AS eq,
+           COUNT(*) FILTER (WHERE a IS NOT DISTINCT FROM b) AS ndeq
+    FROM t
+    """
+    s, d = _both(spark, sql)
+    assert s == d
+    assert s == ["(1, 2)"]
+
+
+def test_decimal_division_and_rounding_matches_duckdb(spark):
+    """The engine's money convention: compute ratios in DOUBLE, round
+    explicitly (tpcds/q2.sql `round(ws/ss,2)` shape). Verifies the exact
+    convention every registered query uses survives cross-engine."""
+    sql = """
+    WITH t(a, b) AS (VALUES
+      (CAST(123.45 AS DOUBLE), CAST(67.89 AS DOUBLE)),
+      (CAST(0.01 AS DOUBLE),   CAST(3.00 AS DOUBLE)),
+      (CAST(99999.99 AS DOUBLE), CAST(0.07 AS DOUBLE)))
+    SELECT ROUND(a / b, 2) AS ratio,
+           CAST(ROUND(a * b, 6) AS DECIMAL(18,6)) AS product_exact
+    FROM t
+    """
+    s, d = _both(spark, sql)
+    assert s == d
+
+
+def test_integer_division_and_modulo_match_duckdb(spark):
+    """/ on integers is engine-divergent (Spark: integer div; DuckDB 1.0:
+    float div) — the engine therefore always casts or uses % carefully.
+    Pin the SAFE forms used by registered queries: explicit CAST + %."""
+    sql = """
+    WITH t(a, b) AS (VALUES (7, 2), (-7, 2))
+    SELECT CAST(a AS DOUBLE) / b AS fdiv, a % b AS mod FROM t
+    """
+    s, d = _both(spark, sql)
+    assert s == d
