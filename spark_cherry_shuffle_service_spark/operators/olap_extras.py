@@ -327,3 +327,47 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("roster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — the inverse of orders_pivot: wide per-status aggregate
+# columns back to (priority, status, n) long form. Spark's DataFrame.unpivot
+# lowers to a single Expand (same operator CUBE uses) — no join, no UDF.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM (
+      SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+      UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+      UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
+    )
+    """,
+    tags=("agg", "unpivot", "melt"),
+)
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status",
+        valueColumnName="n",
+    ).withColumn("status", F.upper(F.substring(F.col("status"), 3, 1)))

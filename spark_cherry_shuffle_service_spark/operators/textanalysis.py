@@ -283,3 +283,26 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# posexplode / LATERAL VIEW shape: tokens with positions — the generator-
+# function form (Spark: posexplode; oracle: lateral generate_series join).
+# Bounded to doc_id < 25 so the row fan-out stays test-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "text_posexplode",
+    oracle=f"""
+    SELECT doc_id, CAST(z[2] - 1 AS INT) AS pos, z[1] AS term
+    FROM (
+      SELECT doc_id, unnest(list_zip(t, generate_series(1, len(t)))) AS z
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id < 25)
+    )
+    """,
+    tags=("text", "posexplode", "lateral"),
+)
+def text_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    return docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )

@@ -349,3 +349,40 @@ def cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL (SURVEY.md §2.7 lists
+# the DISTINCT forms in-corpus; the ALL forms complete the family). Inputs
+# are projections with real duplicate rows (priority, status).
+# ---------------------------------------------------------------------------
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+    EXCEPT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("setop", "except_all"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderpriority", "o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority", "o_orderstatus")
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+    INTERSECT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    tags=("setop", "intersect_all"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderpriority", "o_orderstatus")
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority", "o_orderstatus")
+    return a.intersectAll(b)
