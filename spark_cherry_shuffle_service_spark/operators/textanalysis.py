@@ -306,3 +306,38 @@ def text_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: per-column null/distinct/extremes over documents in ONE
+# aggregation pass (no per-column jobs) — the first step of any training-
+# data ingest. At 100 TB this is a single scan + scalar agg; distincts are
+# exact here for the oracle, approx_count_distinct in production.
+# ---------------------------------------------------------------------------
+@query(
+    "table_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(text) AS text_nonnull,
+           COUNT(DISTINCT lang) AS lang_distinct,
+           COUNT(DISTINCT source) AS source_distinct,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           MIN(length(text)) AS min_len,
+           MAX(length(text)) AS max_len
+    FROM documents
+    """,
+    tags=("profile", "agg", "pipeline"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("text_nonnull"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )

@@ -80,6 +80,40 @@ def test_csv_roundtrip(spark, tmp_path):
     assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nat.collect()}
 
 
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Parquet schema evolution: files written with different column sets
+    read back as one unified schema via mergeSchema — how a long-lived
+    training-data table absorbs new fields without rewrites."""
+    out = str(tmp_path / "evolving")
+    nat = table(spark, SF_SMOKE, "nation")
+    nat.select("n_nationkey", "n_name").write.mode("overwrite").parquet(out)
+    nat.select("n_nationkey", "n_regionkey").write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert merged.count() == 2 * nat.count()
+    # old rows surface the new column as NULL
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == nat.count()
+
+
+def test_entry_schema_is_stable(spark):
+    """The driver smoke-checks entry() for a stable schema — pin it."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.columns == ["day", "order_cume", "ship_cume", "leader"]
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """Approximate aggregates (the production path the exact-percentile
+    query notes): approx_percentile within 5% relative error of exact."""
+    li = table(spark, SF_SMOKE, "lineitem")
+    r = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    ).first()
+    assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"]
+
+
 def test_json_roundtrip(spark, tmp_path):
     """JSON lines source: write/read with explicit schema (events.props is
     JSON-in-string; whole-file JSON is the other common training-data
