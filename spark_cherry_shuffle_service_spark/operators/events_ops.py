@@ -243,3 +243,94 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hour", "agg_level", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel: view → click → purchase, strictly ordered per user
+# (each stage's first occurrence must follow the previous stage's). One
+# groupBy(user) pass with conditional min-timestamps — no joins, no
+# sequential scans; the standard funnel formulation at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS reached_click,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS reached_purchase
+    FROM stages
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    v = F.col("t_view").isNotNull()
+    vc = v & (F.col("t_click") > F.col("t_view"))
+    vcp = vc & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(v).alias("reached_view"),
+        one(vc).alias("reached_click"),
+        one(vcp).alias("reached_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-seen week; for each cohort, how
+# many are active k weeks later. Two aggregations (first-seen, then
+# cohort×offset distinct users) — the shuffle is on user_id then on
+# (cohort, offset); both map-side combined.
+# ---------------------------------------------------------------------------
+@query(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "retention", "cohort", "analytics"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
