@@ -809,3 +809,44 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-function breadth: extraction (year/quarter/month), datediff lag,
+# last_day, add_months — the date arithmetic family around the corpus's
+# `date + INTERVAL` pattern (SURVEY.md §2.8, tpcds/q5.sql:29, q72).
+# ---------------------------------------------------------------------------
+@query(
+    "date_functions",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           COUNT(*) AS n_lines,
+           {davg_sql("date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))", 'avg_ship_lag_days')},
+           MAX(last_day(CAST(o_orderdate AS DATE))) AS latest_month_end,
+           CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS earliest_plus_3mo
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+    GROUP BY year(o_orderdate), quarter(o_orderdate)
+    """,
+    tags=("date", "scalar_funcs"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (_d("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        & (_d("o_orderdate") < F.lit("2000-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            davg(F.datediff(_d("l_shipdate"), _d("o_orderdate")), "avg_ship_lag_days"),
+            F.max(F.last_day(_d("o_orderdate"))).alias("latest_month_end"),
+            F.min(F.add_months(_d("o_orderdate"), 3)).alias("earliest_plus_3mo"),
+        )
+    )
