@@ -85,6 +85,22 @@ def cmd_workload(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """DuckDB differential check as a product feature: every oracle query
+    (or --queries subset) run on both engines, per-query verdicts."""
+    from spark_cherry_shuffle_service_spark.plans.differential import compare_queries
+
+    spark = _spark(args)
+    names = args.queries.split(",") if args.queries else None
+    results = compare_queries(spark, args.sf_dir, names)
+    bad = 0
+    for name, verdict in sorted(results.items()):
+        print(f"{name:32s} {verdict}")
+        bad += verdict not in ("match",) and not verdict.startswith("SKIP")
+    print(f"{len(results)} compared, {bad} failures")
+    return 1 if bad else 0
+
+
 def cmd_bench(args) -> int:
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
@@ -126,10 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("bench", help="time queries through the noop sink")
     b.add_argument("--queries", default=None)
 
+    c = sub.add_parser("compare", help="DuckDB differential check per query")
+    c.add_argument("--queries", default=None)
+
     args = ap.parse_args(argv)
-    return {"query": cmd_query, "sql": cmd_sql, "workload": cmd_workload, "bench": cmd_bench}[
-        args.cmd
-    ](args)
+    return {
+        "query": cmd_query,
+        "sql": cmd_sql,
+        "workload": cmd_workload,
+        "bench": cmd_bench,
+        "compare": cmd_compare,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

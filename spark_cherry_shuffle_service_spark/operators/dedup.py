@@ -330,3 +330,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dup_id")
         .agg(F.min("keep_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal near-dup verification: text-level candidates (blocked 3-gram
+# Jaccard) re-scored with the embedding-space cosine of the same ids
+# (fixture convention: vec_id aligns with doc_id for the ids both tables
+# share; inner join drops docs without vectors). The two-signal pattern a
+# production dedup pipeline uses before dropping data: lexical candidates,
+# semantic confirmation.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_crossmodal",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents)
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_JACC_TAU}
+    ), n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)) AS nrm
+      FROM embeddings
+    )
+    SELECT doc_a, doc_b, jaccard,
+           ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(ea.embedding, eb.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)
+                 / (ea.nrm * eb.nrm), 6) AS cosine
+    FROM cand
+    JOIN n ea ON ea.vec_id = doc_a
+    JOIN n eb ON eb.vec_id = doc_b
+    """,
+    tags=("dedup", "crossmodal", "jaccard", "cosine"),
+)
+def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.vectors import dot, norm
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jacc = inter.cast("double") / union
+    cand = (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("j", jacc)
+        .filter(F.col("j") >= _JACC_TAU)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(F.col("j"), 4).alias("jaccard"),
+        )
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    cos = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(F.broadcast(ea), "doc_a")
+        .join(F.broadcast(eb), "doc_b")
+        .select("doc_a", "doc_b", "jaccard", F.round(cos, 6).alias("cosine"))
+    )

@@ -1,0 +1,98 @@
+"""Differential-comparison harness mirroring the driver's t2 check:
+row count + schema (sorted column names) + order-insensitive values.
+
+Values are compared EXACTLY (not approximately): the engine's aggregation
+convention (ROUND→DECIMAL→SUM→DOUBLE, see plans/registry.py) is designed
+to make Spark and DuckDB bit-identical, so any mismatch here is a real
+portability bug that would also fail the driver's value-hash.
+
+This lives in the package (not just tests/) so the CLI `compare`
+subcommand exposes the correctness gate as a user-facing feature.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_cherry_shuffle_service_spark.sources.catalog import TABLES
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    # Decimal, ints, strings, bools pass through
+    return v
+
+
+def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(r[c]) for c in cols) for r in df.collect()]
+    return cols, sorted(rows, key=repr)
+
+
+def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    rows = [tuple(_norm_cell(row[i]) for i in order) for row in cur.fetchall()]
+    return cols, sorted(rows, key=repr)
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def assert_matches_oracle(df: DataFrame, con, sql: str, name: str = "") -> None:
+    s_cols, s_rows = spark_rows(df)
+    d_cols, d_rows = duck_rows(con, sql)
+    assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        assert sr == dr, f"{name}: row {i} differs\n spark={sr}\n  duck={dr}"
+
+
+def compare_queries(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, str]:
+    """Run every (or the named) registered oracle queries on both engines;
+    return {name: 'match' | 'MISMATCH: ...' | 'ERROR: ...'}."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    con = duck_connection(sf_dir)
+    results: dict[str, str] = {}
+    for name in names or sorted(n for n, s in specs.items() if s.oracle):
+        spec = specs[name]
+        if spec.oracle is None:
+            results[name] = "SKIP: no oracle (rows-only)"
+            continue
+        try:
+            assert_matches_oracle(spec.builder(spark, sf_dir), con, spec.oracle, name=name)
+            results[name] = "match"
+        except AssertionError as ex:
+            results[name] = f"MISMATCH: {str(ex)[:200]}"
+        except Exception as ex:  # noqa: BLE001
+            results[name] = f"ERROR: {str(ex)[:200]}"
+    return results

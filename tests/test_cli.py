@@ -37,6 +37,15 @@ def test_cli_workload_synthetic_and_skew(spark, capsys):
     assert rec["workload"] == "skew"
 
 
+def test_cli_compare_subset(spark, capsys):
+    rc = main(
+        ["--sf-dir", SF_SMOKE, "compare", "--queries", "pricing_summary,join_inner"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("match") == 2 and "0 failures" in out
+
+
 def test_cli_bench_subset(spark, capsys):
     assert main(["--sf-dir", SF_SMOKE, "bench", "--queries", "join_inner,top_revenue"]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
