@@ -334,3 +334,31 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 2-hour windows every 1 hour — each event lands in TWO
+# overlapping windows (vs the tumbling form above). Spark's window()
+# generates the memberships; the oracle unnests the same two starts.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT event_type,
+             unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS ws
+      FROM events
+    )
+    GROUP BY ws, event_type
+    """,
+    tags=("events", "sliding_window"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )

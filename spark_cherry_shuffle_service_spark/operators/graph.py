@@ -111,3 +111,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) + F.lit(_DAMP) * F.col("contrib")).alias("rank"),
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+_CC_ITER = 4
+
+
+def _cc_oracle() -> str:
+    # k rounds of min-label propagation; labels after round k are
+    # deterministic whether or not the graph has fully converged.
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(1, _CC_ITER + 1):
+        parts.append(
+            f""", l{i} AS (
+      SELECT n.node, LEAST(n.label, MIN(m.label)) AS label
+      FROM l{i - 1} n
+      JOIN edges e ON e.src = n.node
+      JOIN l{i - 1} m ON m.node = e.dst
+      GROUP BY n.node, n.label
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS component, COUNT(*) AS n_nodes, MIN(node) AS min_node
+    FROM l{_CC_ITER}
+    GROUP BY label
+    """
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Connected components via k rounds of min-label propagation over the same
+# trade graph — the other canonical iterative graph workload (GraphX's
+# ConnectedComponents does exactly this under Pregel). Each round: every
+# node takes the min of its own and its neighbors' labels — one join + one
+# groupBy per round, same partitioning story as PageRank above.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_connected_components",
+    oracle=_cc_oracle(),
+    tags=("graph", "iterative", "components"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
+    ).repartition(par, "src").persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_CC_ITER):
+        neighbor_min = (
+            edges.join(F.broadcast(labels), edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(F.broadcast(neighbor_min), labels.node == neighbor_min.src)
+            .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
