@@ -371,3 +371,78 @@ def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     ).withColumn("status", F.upper(F.substring(F.col("status"), 3, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas — the fourth Arrow path (alongside mapInPandas,
+# grouped-agg pandas UDF, and applyInPandasWithState): whole-group
+# transformation, here per-nation z-score normalization of supplier
+# balances. The JVM/SQL twin ((x-avg)/stddev over a window) is the oracle,
+# so the grouped-map path itself is differentially verified.
+# ---------------------------------------------------------------------------
+@query(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           ROUND((s_acctbal - AVG(s_acctbal) OVER (PARTITION BY s_nationkey))
+                 / STDDEV_SAMP(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS bal_z
+    FROM supplier
+    """,
+    tags=("udf", "applyInPandas", "grouped_map", "mapInPandas"),
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("bal_z", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["s_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "s_suppkey": pdf["s_suppkey"],
+                "s_nationkey": pdf["s_nationkey"],
+                "bal_z": z.round(4),
+            }
+        )
+
+    return (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .groupBy("s_nationkey")
+        .applyInPandas(zscore, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank + cume_dist — the two distribution window functions, closing
+# out the window family (rank/dense_rank/row_number/ntile/lead/lag/
+# first/last/frames are covered elsewhere).
+# ---------------------------------------------------------------------------
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window", "percent_rank", "cume_dist"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
