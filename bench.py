@@ -55,6 +55,13 @@ HEADLINE = [
     "orders_pivot",
     "udaf_grouped_geomean",
     "dedup_embedding_cosine",
+    "events_funnel",
+    "events_retention",
+    "events_sliding_window",
+    "window_distribution",
+    "udf_grouped_map_zscore",
+    "dedup_crossmodal",
+    "graph_connected_components",
 ]
 
 

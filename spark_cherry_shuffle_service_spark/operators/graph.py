@@ -109,7 +109,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contribs.select(
             F.col("dst").alias("node"),
             (F.lit(0.15) + F.lit(_DAMP) * F.col("contrib")).alias("rank"),
-        )
+        # Persist every round: each round's broadcast runs as its OWN job,
+        # and jobs don't share shuffle outputs across separate actions —
+        # without the cache, round k recomputes rounds 1..k-1 (O(k²) work).
+        ).persist()
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
@@ -191,6 +194,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(F.broadcast(neighbor_min), labels.node == neighbor_min.src)
             .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
+            # per-round persist: see pagerank note — avoids O(k²) recompute
+            .persist()
         )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
