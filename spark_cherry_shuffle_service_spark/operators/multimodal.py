@@ -106,9 +106,26 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# The payload is utf-8 of ASCII-only fixture text, so the stub's byte math
+# (sum of first 64 bytes + length) is SQL-expressible: the Python decode
+# path gets a full DuckDB oracle, not just a rows-only check.
+_SQL_CHECKSUM = (
+    "list_reduce(list_prepend(0, list_transform("
+    "generate_series(1, least(64, length(text))), i -> ord(substr(text, i, 1)))),"
+    " (x, y) -> x + y) + length(text)"
+)
+
+
 @query(
     "multimodal_decode",
-    oracle=None,  # Python decode stub — rows-only check (SURVEY.md §5 note)
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST(16 + checksum % 64 AS INT) AS width,
+           CAST(16 + (checksum // 64) % 48 AS INT) AS height,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM (SELECT doc_id, length(text) AS n, {_SQL_CHECKSUM} AS checksum, text FROM documents)
+    """,
     tags=("multimodal", "mapInPandas", "stub"),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +164,18 @@ def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query(
     "multimodal_resize",
-    oracle=None,  # Python resize stub — rows-only check
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + checksum % 64 AS INT) AS orig_w,
+             CAST(16 + (checksum // 64) % 48 AS INT) AS orig_h
+      FROM (SELECT doc_id, {_SQL_CHECKSUM} AS checksum, text FROM documents)
+    )
+    SELECT doc_id, orig_w, orig_h,
+           CAST(greatest(1, trunc(orig_w * least(64.0 / orig_w, 64.0 / orig_h, 1.0))) AS INT) AS new_w,
+           CAST(greatest(1, trunc(orig_h * least(64.0 / orig_w, 64.0 / orig_h, 1.0))) AS INT) AS new_h
+    FROM dims
+    """,
     tags=("multimodal", "mapInPandas", "resize", "stub"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +221,23 @@ def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query(
     "multimodal_frame_sample",
-    oracle=None,  # Python frame stub — rows-only check
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(0,
+               CAST(greatest(1, ceil(length(text) / {FRAME_BYTES}.0)) AS INT) - 1,
+               {FRAME_STRIDE})) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(least({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS INT) AS frame_bytes,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                  generate_series(frame_idx * {FRAME_BYTES} + 1,
+                                  least(n, (frame_idx + 1) * {FRAME_BYTES})),
+                  i -> ord(substr(text, i, 1)))), (x, y) -> x + y) AS BIGINT) AS frame_checksum
+    FROM frames
+    """,
     tags=("multimodal", "mapInPandas", "video", "stub"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
