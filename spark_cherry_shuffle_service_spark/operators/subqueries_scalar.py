@@ -271,3 +271,68 @@ def not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# String-function breadth #2: regexp_replace (Spark replaces ALL matches by
+# default ≙ DuckDB's 'g' flag), translate, lpad/rpad, split_part — the rest
+# of the string family around §2.8's substr/concat/upper/lower/LIKE.
+# ---------------------------------------------------------------------------
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT p_brand,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           translate(p_type, 'AEIOU', 'aeiou') AS folded,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           split_part(p_brand, '#', 2) AS brand_num
+    FROM part
+    WHERE p_partkey % 50 = 0
+    """,
+    tags=("string", "regexp", "scalar_funcs"),
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 50 == 0)
+        .select(
+            "p_brand",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.translate("p_type", "AEIOU", "aeiou").alias("folded"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+            F.rpad("p_brand", 12, ".").alias("padded_brand"),
+            F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional scalar matrix: greatest/least (NULL-skipping), nullif,
+# ifnull/coalesce — completing §2.8's conditional family beyond CASE WHEN.
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_conditionals",
+    oracle="""
+    SELECT s_suppkey,
+           greatest(s_acctbal, 0.0) AS bal_floor0,
+           least(s_acctbal, 5000.0) AS bal_cap5k,
+           nullif(s_nationkey, 0) AS nation_or_null,
+           ifnull(nullif(s_nationkey, 0), -1) AS nation_defaulted
+    FROM supplier
+    WHERE s_suppkey % 7 = 0
+    """,
+    tags=("scalar_funcs", "conditional"),
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey",
+            F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+            F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+            F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_or_null"),
+            F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias("nation_defaulted"),
+        )
+    )
