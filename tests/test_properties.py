@@ -48,6 +48,39 @@ def test_dsum_is_partitioning_invariant(spark, values, parts):
 
 
 @given(
+    texts=st.lists(
+        st.text(alphabet=" abcdefg", min_size=0, max_size=60), min_size=1, max_size=5
+    )
+)
+@_slow
+def test_shingles3_matches_python_reference(spark, texts):
+    """The zip_with shingle construction (functions/text.py) must equal the
+    obvious Python formulation for arbitrary whitespace-y strings —
+    including degenerate cases (empty, all-spaces, <3 tokens)."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.text import shingles3
+
+    def py_shingles(text: str) -> list[str]:
+        t = [w for w in text.strip().split(" ") if w != ""] if text.strip() else [text.strip()]
+        # mirror split(trim, ' +'): empty string yields ['']
+        if text.strip() == "":
+            t = [""]
+        raw = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        seen, out = set(), []
+        for s in raw:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out if len(t) >= 3 else []
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: list(r["sh"]) for r in df.select("id", shingles3(F.col("text")).alias("sh")).collect()}
+    want = {i: py_shingles(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@given(
     keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=300),
     salt=st.sampled_from([2, 7, 16]),
 )
