@@ -69,6 +69,29 @@ def test_mappartitions_topk_matches_declarative(spark):
     assert [p for p, _ in got] == [p for p, _ in want]
 
 
+def test_rdd_join_parity_with_dataframe(spark):
+    """The reference's (commented-out) RDD self-join (synthetic_workload.py:30,
+    SURVEY.md §2.3 'RDD join'): rdd.join(rdd) semantics == DataFrame inner
+    join on key, per-key pair counts identical."""
+    p, n = 4, 120
+    pairs = spark.sparkContext.parallelize(range(1 + p, n + 1 + p), p).map(
+        lambda x: (x % p, x)
+    )
+    rdd_counts: dict = {}
+    for k, _ in pairs.join(pairs).collect():
+        rdd_counts[k] = rdd_counts.get(k, 0) + 1
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "key long, v long")
+    joined = df.alias("a").join(df.alias("b"), "key").groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df_counts = {r["key"]: r["n"] for r in joined.collect()}
+    assert rdd_counts == df_counts
+    assert all(v == (n // p) ** 2 for v in df_counts.values())
+
+
 def test_salted_group_count_equals_plain(spark):
     """Salted two-phase aggregation is semantics-preserving on a skewed
     input (k=0.8 of rows on key 1)."""
