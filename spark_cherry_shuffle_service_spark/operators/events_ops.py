@@ -362,3 +362,34 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: props parsed into map<string,bigint> (from_json), then
+# element_at + map_keys — the map-column plumbing §1.2 notes the reference
+# never touches. Oracle via DuckDB's JSON functions on the same strings.
+# ---------------------------------------------------------------------------
+@query(
+    "events_map_type",
+    oracle="""
+    SELECT event_type,
+           array_to_string(json_keys(props), ',') AS key_set,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type, array_to_string(json_keys(props), ',')
+    """,
+    tags=("events", "map_type", "json"),
+)
+def events_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(
+            "event_type",
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_set"),
+            F.element_at(m, "k").alias("k"),
+        )
+        .groupBy("event_type", "key_set")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )

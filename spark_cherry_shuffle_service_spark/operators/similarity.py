@@ -287,3 +287,35 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cell", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Array-function stats per vector: size / min / max / mean via higher-order
+# array ops — the array surface §1.2 notes the reference never exercises.
+# ---------------------------------------------------------------------------
+@query(
+    "vector_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'min'), 6) AS vmin,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS vmax,
+           ROUND(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 (a, b) -> a + b) / len(embedding), 6) AS vmean
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("array", "vector", "stats"),
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(dbl), 6).alias("vmin"),
+        F.round(F.array_max(dbl), 6).alias("vmax"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b) / F.size("embedding"), 6
+        ).alias("vmean"),
+    )
