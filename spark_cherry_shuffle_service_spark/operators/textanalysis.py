@@ -341,3 +341,33 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).alias("min_len"),
         F.max(F.length("text")).alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array predicates: exists / forall over token arrays — the
+# last HOF pair (transform/aggregate/zip_with/filter appear elsewhere).
+# ---------------------------------------------------------------------------
+@query(
+    "text_hof_predicates",
+    oracle=f"""
+    SELECT lang,
+           SUM(CASE WHEN list_bool_or(list_transform({_SQL_TOKS}, t -> length(t) >= 10))
+                    THEN 1 ELSE 0 END) AS n_with_long_token,
+           SUM(CASE WHEN list_bool_and(list_transform({_SQL_TOKS}, t -> length(t) <= 14))
+                    THEN 1 ELSE 0 END) AS n_all_short,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "hof", "exists", "forall"),
+)
+def text_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    has_long = F.exists(toks, lambda t: F.length(t) >= 10)
+    all_short = F.forall(toks, lambda t: F.length(t) <= 14)
+    return docs.groupBy("lang").agg(
+        F.sum(F.when(has_long, 1).otherwise(0)).alias("n_with_long_token"),
+        F.sum(F.when(all_short, 1).otherwise(0)).alias("n_all_short"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
