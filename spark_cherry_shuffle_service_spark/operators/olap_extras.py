@@ -446,3 +446,34 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical + boolean aggregates: corr / covar_samp (Pearson, rounded —
+# product sums are order-dependent in the last ulps) and bool_and/bool_or —
+# the two aggregate families §2.4 doesn't otherwise touch.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_stats_bool",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_high_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "corr", "bool"),
+)
+def agg_stats_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        )
+    )
