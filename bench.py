@@ -62,6 +62,17 @@ HEADLINE = [
     "udf_grouped_map_zscore",
     "dedup_crossmodal",
     "graph_connected_components",
+    # TPC-H spine completion (operators/tpch_suite.py): the heaviest of the
+    # Q2-Q22 analogs — multi-way join trees, EXISTS/NOT-EXISTS chains,
+    # correlated-avg decorrelation, disjunctive join predicates.
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "customer_distribution",
+    "large_volume_customers",
+    "discounted_revenue",
+    "waiting_suppliers",
 ]
 
 
