@@ -176,3 +176,55 @@ def test_aqe_actually_splits_skewed_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_forecast_revenue_is_pure_pushdown_scan(spark):
+    """Q6 analog: every predicate reaches the parquet scan; exactly one
+    aggregation exchange and no join — the plan a 100 TB scan needs."""
+    df = SPECS["forecast_revenue"].builder(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    ops = plan_ops(df)
+    assert not any("Join" in o for o in ops), ops
+    assert count_ops(df, "Exchange") == 1, ops
+
+
+def test_discounted_revenue_extracts_equi_key_from_disjunction(spark):
+    """Q19 analog: the OR-of-ANDs predicate spans both sides, but Catalyst
+    must still join on the common p_partkey equi-key (hash join), never a
+    nested-loop over the disjunction."""
+    df = SPECS["discounted_revenue"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert "BroadcastHashJoin" in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops and "CartesianProduct" not in ops, ops
+
+
+def test_waiting_suppliers_uses_semi_and_anti_joins(spark):
+    """Q21 analog: the EXISTS / NOT EXISTS chain must plan as one semi and
+    one anti join (the RewritePredicateSubquery shape), not materialized
+    subqueries."""
+    plan = formatted_plan(SPECS["waiting_suppliers"].builder(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:1200]
+    assert "LeftAnti" in plan, plan[:1200]
+
+
+def test_customer_distribution_keeps_predicate_inside_outer_join(spark):
+    """Q13 analog: the o_orderpriority filter lives in the join condition —
+    unmatched customers must survive, so the plan keeps LeftOuter with the
+    extra predicate rather than filtering before/after."""
+    df = SPECS["customer_distribution"].builder(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan[:1200]
+    # two aggregations: per-customer count, then histogram
+    assert plan.count("HashAggregate") >= 4, plan[:1200]
+
+
+def test_min_cost_supplier_broadcasts_bounded_sides(spark):
+    """Q2 analog: region-filtered supplier set and size/type-filtered part
+    slice are bounded independent of SF — both must broadcast; the only
+    shuffles are the pair-distinct and the per-part MIN."""
+    df = SPECS["min_cost_supplier"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert ops.count("BroadcastHashJoin") >= 3, ops
+    assert "CartesianProduct" not in ops, ops
