@@ -73,6 +73,10 @@ HEADLINE = [
     "large_volume_customers",
     "discounted_revenue",
     "waiting_suppliers",
+    # Training-data pipeline stages (operators/datapipe.py).
+    "dataset_split",
+    "pack_sequences",
+    "corpus_filter_funnel",
 ]
 
 

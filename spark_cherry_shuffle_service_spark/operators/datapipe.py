@@ -1,0 +1,272 @@
+"""Training-data pipeline operators: sampling, splitting, packing, mixing.
+
+The north-star extension surface (build brief): the operations a
+large-scale LLM training-data pipeline runs over a 100 TB corpus between
+raw scrape and tokenized shards. The reference exercises none of these
+(its surface is TPC-DS + RDD shuffle workloads, SURVEY.md §0), so these are
+beyond-reference operators over the `documents` fixture table.
+
+Determinism convention: every sampling/splitting decision is a pure
+function of md5(doc_id) — no RNG, no partition-order dependence — so
+results are bit-identical across engines (DuckDB oracle) and at any
+parallelism, and a re-run over 100 TB assigns every document the same
+split/sample/bucket (the property production pipelines need for
+reproducible dataset cards). md5, never murmur `hash()` (CLAUDE.md rule).
+
+Scale notes: all operators are single-pass scans with conditional
+aggregation or hash-partitioned windows. `pack_sequences` deliberately
+packs within hash buckets — a single global running sum would serialize on
+one reducer at 100 TB; per-bucket packing keeps every partition independent
+(each bucket is one window partition) at the cost of at most one underfull
+bin per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+# md5(doc_id) → first 8 hex chars → BIGINT: the shared deterministic
+# "random" source. Spark and DuckDB twins produce identical values
+# (same pattern as dedup.py::dedup_simhash).
+_H_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def _h() -> F.Column:
+    return F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform sampling: ~10% of the corpus via a hash-bucket
+# predicate. Unlike df.sample() (RNG seeded per-partition, not reproducible
+# across engines or repartitioning), the hash predicate is a pushable
+# per-row filter: same sample at any parallelism, no extra pass.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_H_SQL} % 10 = 0
+    ORDER BY doc_id
+    """,
+    tags=("datapipe", "sampling"),
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(_h() % 10 == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/validation/test split: 80/10/10 by hash bucket, with per-split
+# corpus stats. One scan, one aggregation — the split column is a pure
+# projection, so at 100 TB this is exactly as expensive as a count.
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT CASE WHEN {_H_SQL} % 100 < 80 THEN 'train'
+                WHEN {_H_SQL} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("datapipe", "split"),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = _h() % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: fixed quota per language via row_number over the
+# hash order (deterministic rank; doc_id tiebreak). The window partitions
+# by stratum, so each language samples independently in parallel.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, source
+    FROM (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_H_SQL}, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+    tags=("datapipe", "sampling", "window"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_h(), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-budget bins (context
+# windows) via a running token sum. Packing runs WITHIN md5 buckets — each
+# bucket is an independent window partition, so 100 TB packs in parallel
+# (a single global cumsum would bottleneck one reducer); the cost is at
+# most one underfull trailing bin per bucket. Token count is the
+# whitespace-token proxy (text_token_count's ws convention).
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_H_SQL} % 8 AS bucket,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT bucket, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT bucket, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           ROUND(SUM(n_tokens) / 512.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY bucket, bin_id
+    ORDER BY bucket, bin_id
+    """,
+    tags=("datapipe", "packing", "window"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (_h() % 8).alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "bucket",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).alias("bin_id"),
+    )
+    return (
+        packed.groupBy("bucket", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
+        )
+        .orderBy("bucket", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter funnel: per-stage survivor counts of a chained quality
+# filter (lang allowlist → length band → type-token-ratio floor, the
+# repetition heuristic) in ONE pass — conditional aggregation instead of
+# four filtered scans.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           SUM(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS n_lang_ok,
+           SUM(CASE WHEN lang IN ('en', 'de', 'fr')
+                     AND n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS n_len_ok,
+           SUM(CASE WHEN lang IN ('en', 'de', 'fr')
+                     AND n_chars BETWEEN 100 AND 2000
+                     AND len(list_distinct(string_split_regex(trim(text), ' +')))
+                         >= 0.4 * len(string_split_regex(trim(text), ' +'))
+               THEN 1 ELSE 0 END) AS n_quality_ok
+    FROM documents
+    """,
+    tags=("datapipe", "quality", "funnel"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lang_ok = F.col("lang").isin("en", "de", "fr")
+    len_ok = lang_ok & F.col("n_chars").between(100, 2000)
+    toks = F.split(F.trim(F.col("text")), " +")
+    # Type-token ratio: repetitive (low-vocabulary) docs fail the floor.
+    qual_ok = len_ok & (F.size(F.array_distinct(toks)) >= 0.4 * F.size(toks))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(lang_ok.cast("int")).alias("n_lang_ok"),
+        F.sum(len_ok.cast("int")).alias("n_len_ok"),
+        F.sum(qual_ok.cast("int")).alias("n_quality_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture weights: per-source token share and the upsampling weight
+# that equalizes the mixture (uniform target across sources). Ratio of a
+# global scalar aggregate (broadcast) to per-group sums — same decorrelated
+# scalar-subquery shape as important_parts (Q11).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mixture",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), ' +'))) AS src_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(src_tokens) AS total_tokens, COUNT(*) AS n_sources FROM src)
+    SELECT source, n_docs, src_tokens,
+           ROUND(src_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+           ROUND((CAST(total_tokens AS DOUBLE) / n_sources) / src_tokens, 6) AS mix_weight
+    FROM src, tot
+    ORDER BY source
+    """,
+    tags=("datapipe", "mixture"),
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " +"))).alias("src_tokens"),
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round(F.col("src_tokens") / F.col("total_tokens").cast("double"), 6).alias("token_share"),
+            F.round(
+                (F.col("total_tokens").cast("double") / F.col("n_sources")) / F.col("src_tokens"), 6
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
