@@ -139,3 +139,73 @@ def skewed_salted_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = table(spark, sf_dir, "lineitem").select(key.alias("key"))
     return salted_group_count(pairs, salt=16)
+
+
+# ---------------------------------------------------------------------------
+# Salted SHUFFLE JOIN: the join-side twin of salted_group_count. When the
+# probe side has a hot key and the build side is too big to broadcast, a
+# plain shuffle join lands every hot-key row on ONE reducer. Salting shards
+# the probe side into `salt` sub-keys and replicates each build row `salt`
+# times (explode over the salt range), so the hot key spreads across `salt`
+# reducers. Result is provably identical to the unsalted join (the oracle
+# runs the plain join). AQE's skew-join split handles this automatically
+# when it can (test_aqe_actually_splits_skewed_join); the manual pattern is
+# for the cases AQE can't re-plan — e.g. when a downstream stage requires
+# the join's partitioning (BASELINE.md gotcha) — and is the 100 TB recipe
+# the reference's skewed workload motivates (SURVEY.md §2.12).
+# ---------------------------------------------------------------------------
+_SKEW_KEY_SQL = "CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END"
+
+
+@query(
+    "skewed_salted_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT {_SKEW_KEY_SQL} AS key, l_quantity FROM lineitem
+    ), dim AS (
+      SELECT p_partkey % 100 AS dkey,
+             {{dsum}} FROM part GROUP BY p_partkey % 100
+    )
+    SELECT key, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(dim_price * l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS weighted
+    FROM fact JOIN dim ON key = dkey
+    GROUP BY key
+    """.format(
+        dsum="CAST(SUM(CAST(ROUND(p_retailprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dim_price"
+    ),
+    tags=("workload", "join", "skew", "salt", "scale"),
+)
+def skewed_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALT = 16
+    key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1).cast("long")).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    # Salt is never part of the result, so any deterministic-per-row spread
+    # works; xxhash64 over the row identity is cheapest (stays in codegen).
+    fact = table(spark, sf_dir, "lineitem").select(
+        key.alias("key"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).alias("fsalt"),
+    )
+    from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+
+    dim = (
+        table(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 100).alias("dkey"))
+        .agg(dsum(F.col("p_retailprice"), "dim_price"))
+    )
+    # Replicate each build row across the salt range; hint shuffle_hash to
+    # model the big-build case where broadcast isn't available.
+    dim_salted = dim.withColumn(
+        "dsalt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    ).hint("shuffle_hash")
+    joined = fact.join(
+        dim_salted,
+        (fact.key == dim_salted.dkey) & (fact.fsalt == dim_salted.dsalt),
+    )
+    return joined.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("dim_price") * F.col("l_quantity"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("weighted"),
+    )

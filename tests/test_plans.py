@@ -228,3 +228,13 @@ def test_min_cost_supplier_broadcasts_bounded_sides(spark):
     ops = plan_ops(df)
     assert ops.count("BroadcastHashJoin") >= 3, ops
     assert "CartesianProduct" not in ops, ops
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    """Join-side salting: the physical join must be a shuffled join whose
+    keys include the salt column — the hot key's rows spread across `salt`
+    reducers instead of landing on one."""
+    df = SPECS["skewed_salted_join"].builder(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan_ops(df), plan_ops(df)
+    assert "fsalt" in plan and "dsalt" in plan, plan[:1500]
