@@ -77,6 +77,8 @@ HEADLINE = [
     "dataset_split",
     "pack_sequences",
     "corpus_filter_funnel",
+    "kmeans_assign",
+    "skewed_salted_join",
 ]
 
 

@@ -319,3 +319,74 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b) / F.size("embedding"), 6
         ).alias("vmean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment step (Lloyd round): assign every vector to its nearest
+# of K deterministic centroids (the first K vectors by vec_id — k-means#
+# style seeding would also be deterministic but adds nothing to the plan
+# shape), report per-cluster size and inertia. Centroids broadcast; the
+# embedding table streams through one codegen'd projection + one shuffle
+# for the argmin window and final agg — the 100 TB-safe shape. Full Lloyd
+# iteration = alternate this with a per-dim centroid update (posexplode →
+# groupBy(cluster, dim) → avg → re-assemble), persisting per round exactly
+# like graph.py's iterative ops.
+# ---------------------------------------------------------------------------
+_KM_K = 8
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS ce,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS cc
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ), v AS (
+      SELECT vec_id, embedding,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS vv
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id, centroid_id,
+             vv - 2 * {_SQL_DOT_AB.format(a='embedding', b='ce')} + cc AS d2
+      FROM v CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, centroid_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rnk
+      FROM scored
+    )
+    SELECT centroid_id AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+    FROM assigned WHERE rnk = 1
+    GROUP BY centroid_id
+    """,
+    tags=("similarity", "clustering", "ml"),
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv"))
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("vv").alias("cc"),
+        )
+    )
+    scored = emb.crossJoin(cent).select(
+        "vec_id",
+        "centroid_id",
+        (F.col("vv") - 2 * dot(F.col("embedding"), F.col("ce")) + F.col("cc")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        scored.select("vec_id", "centroid_id", "d2", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") == 1)
+        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"), dsum(F.col("d2"), "inertia"))
+    )
