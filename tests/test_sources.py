@@ -200,3 +200,27 @@ def test_external_table_over_parquet_location(spark, tmp_path):
         assert got == nat.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_ext")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning (SURVEY.md §4, Optimizer.scala:55
+    PartitionPruning batch): when the fact table is partitioned on the
+    join key and the dim side carries a selective filter, the fact scan
+    must be pruned at RUNTIME by a subquery on the dim — the mechanism
+    that turns a 100 TB partitioned scan into only the matching
+    partitions. Verified both in the plan (dynamicpruning expression) and
+    by result equality."""
+    out = str(tmp_path / "orders_by_priority")
+    ords = table(spark, SF_SMOKE, "orders")
+    write_partitioned(ords, out, ["o_orderpriority"])
+
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "cold")], ["prio", "tier"]
+    ).filter(F.col("tier") == "hot")
+    joined = fact.join(dim, fact.o_orderpriority == dim.prio)
+
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = ords.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert joined.count() == want
