@@ -21,12 +21,14 @@ l_commitdate/l_receiptdate/l_shipmode/c_phone columns):
   orders);
 - Q9's supply cost is 0.4 * p_retailprice * l_quantity (partsupp absent).
 
-Scale notes: nation/region (25/5 rows) are always broadcast; filtered
-dimension subsets (a brand slice of part, one region's suppliers) are
-broadcast because the filter bounds them independent of SF; unfiltered
-part/supplier/customer joins are left unhinted — at 100 TB those tables
-scale with SF and Catalyst/AQE must pick shuffle strategies from runtime
-stats rather than a hard-coded hint.
+Scale notes: explicit broadcast hints appear ONLY on sides whose size is
+bounded independent of SF — nation/region (25/5 rows) and 1-row scalar
+aggregates (Q15's MAX, Q11's threshold, Q22's AVG). Everything that scales
+with SF (supplier, part, customer, and any filtered slice of them — a
+region filter keeps 1/5 of suppliers at ANY scale) is left unhinted: at
+fixture sizes Catalyst's autoBroadcastJoinThreshold still picks broadcast,
+while at 100 TB AQE decides from runtime stats instead of being forced
+into an OOM-ing broadcast by a hint.
 """
 
 from __future__ import annotations
@@ -92,15 +94,12 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # One region's suppliers: bounded by the region filter -> broadcastable.
-    ps = pairs.join(F.broadcast(eur), pairs.l_suppkey == eur.s_suppkey).select(
+    ps = pairs.join(eur, pairs.l_suppkey == eur.s_suppkey).select(
         "l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name"
     )
     mn = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(F.min("s_acctbal").alias("min_bal"))
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(
-            F.col("p_size").between(20, 30) & (F.col("p_type") == "STANDARD")
-        )
+    prt = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(20, 30) & (F.col("p_type") == "STANDARD")
     )
     return (
         ps.join(mn, (ps.l_partkey == mn.m_partkey) & (ps.s_acctbal == mn.min_bal))
@@ -222,7 +221,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = supp.join(n1, supp.s_nationkey == F.col("k1"))
     c2 = cust.join(n2, cust.c_nationkey == F.col("k2"))
     return (
-        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        li.join(s2, li.l_suppkey == s2.s_suppkey)
         .join(ords, li.l_orderkey == ords.o_orderkey)
         .join(c2, ords.o_custkey == c2.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -264,9 +263,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "conditional_agg"),
 )
 def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    )
+    prt = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     nat = F.broadcast(table(spark, sf_dir, "nation"))
     reg = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
     # American customers (region-filtered -> bounded fraction of customer).
@@ -285,7 +282,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _rev()
     return (
         li.join(prt, li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -324,7 +321,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "like"),
 )
 def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prt = F.broadcast(
+    prt = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
@@ -337,7 +334,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(prt, li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(ords, li.l_orderkey == ords.o_orderkey)
         .groupBy(F.col("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(amount, "sum_profit"))
@@ -426,7 +423,7 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
     pv = li.groupBy("l_partkey").agg(dsum(_rev(), "part_value"))
     total = li.agg((dsum(_rev(), "t")))
@@ -549,7 +546,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -578,15 +575,13 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(
-            (F.col("p_brand") != "Brand#5")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
-        )
+    prt = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
     )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
         .join(prt, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -619,7 +614,7 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(davg(F.col("l_quantity"), "avg_qty"))
-    prt = F.broadcast(
+    prt = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand").isin("Brand#3", "Brand#4") & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
@@ -668,7 +663,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b_orderkey")
     )
     ords = table(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == F.col("b_orderkey"), "left_semi"
+        big, F.col("o_orderkey") == F.col("b_orderkey"), "left_semi"
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
@@ -706,7 +701,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    prt = F.broadcast(
+    prt = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
         .select("p_partkey", "p_brand", "p_size")
@@ -752,9 +747,7 @@ def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "semi", "having", "like"),
 )
 def promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
-    )
+    prt = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     movers = (
         table(spark, sf_dir, "lineitem")
         .filter(
@@ -837,7 +830,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(late_stats, late.l_orderkey == F.col("t_orderkey"))
         .filter((F.col("mn") != F.col("mx")) & (F.col("lmn") == F.col("lmx")))
     )
-    supp = F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waiting.join(supp, waiting.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
