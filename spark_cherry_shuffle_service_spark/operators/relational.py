@@ -6,10 +6,12 @@ re-expressed over the TPC-H-ish fixtures with the DataFrame API so Catalyst
 plans it (predicate pushdown, join selection, partial aggregation — all
 automatic, SURVEY.md §4).
 
-Scale notes: dimension joins (region/nation/customer/supplier/part) are
-broadcast — no shuffle of the fact table on dim joins even at 100 TB. Fact-
-fact joins (orders⋈lineitem) shuffle on the join key; AQE handles skew and
-coalesces post-shuffle partitions.
+Scale notes: forced broadcast hints appear only on SF-invariant sides
+(nation/region). Customer/supplier/part scale with SF, so their joins are
+unhinted: autoBroadcastJoinThreshold still broadcasts them at fixture
+sizes (plan tests assert it), while at 100 TB AQE chooses from runtime
+stats. Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+handles skew and coalesces post-shuffle partitions.
 """
 
 from __future__ import annotations
@@ -102,7 +104,7 @@ def top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") > F.lit("1996-06-30").cast("date"))
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "l_orderkey",
             _d("o_orderdate").alias("order_date"),
@@ -345,8 +347,8 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").filter(F.col("p_size") > 20)
     supp = table(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_nationkey")
         .agg(dsum(F.col("l_quantity"), "total_qty"), F.count(F.lit(1)).alias("n_lines"))
     )
@@ -706,7 +708,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.to_date("o_orderdate").alias("odate"),
@@ -798,7 +800,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_d("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (_d("l_shipdate") < F.lit("1997-07-01").cast("date"))
     )
-    part = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type"))
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(part, li.l_partkey == F.col("p_partkey"))
