@@ -238,3 +238,36 @@ def test_salted_join_shuffles_on_key_plus_salt(spark):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan_ops(df), plan_ops(df)
     assert "fsalt" in plan and "dsalt" in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime filter injection (the non-partitioned cousin of dynamic
+    partition pruning): a selective dim filter on a shuffle join injects a
+    bloom filter of the build keys into the fact scan, pruning probe rows
+    before the exchange — at 100 TB this cuts the shuffled bytes of every
+    selective fact⋈dim join. Thresholds lowered to fixture scale; config
+    restored after."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, SF_SMOKE, "lineitem")
+        prt = table(spark, SF_SMOKE, "part").filter(F.col("p_type") == "PROMO")
+        j = li.join(prt, li.l_partkey == prt.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev_scan
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
