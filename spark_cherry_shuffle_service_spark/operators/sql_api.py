@@ -110,3 +110,24 @@ def sql_text_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_text_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_ABOVE_AVG)
+
+
+# TPC-H Q6 verbatim (modulo fixture column types): the purest
+# scan→filter→agg query as ONE dialect-shared SQL text — proof the engine
+# runs the reference's corpus style unmodified (spark.sql path) while the
+# same string is its own oracle.
+_Q_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_text_tpch_q6", oracle=_Q_TPCH_Q6, tags=("sql", "tpch", "api"))
+def sql_text_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q6)
