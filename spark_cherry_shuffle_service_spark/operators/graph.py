@@ -200,3 +200,73 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-supplier graph (suppliers that shared an
+# order): the third classic graph workload next to PageRank and connected
+# components. Edges are canonical (a < b) distinct pairs; triangles are
+# counted once each via the ordered 3-way edge self-join a < b < c — the
+# standard distributed triangle-join. Scale: the per-order pair fan-out is
+# bounded by lines-per-order (≤13 in the fixtures, C(13,2)=78 pairs max);
+# the edge table shuffles on its join keys and at 100 TB would be bucketed
+# by src like the PageRank edges. Per-node output (triangle membership
+# count per supplier) keeps the result a stable, oracle-able table.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b AS node FROM tri
+      UNION ALL SELECT c AS node FROM tri
+    )
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    """,
+    tags=("graph", "join", "triangle"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    # Three roles of the same edge table; persist so the build happens once
+    # (same reuse rationale as the PageRank edge table).
+    pairs = pairs.persist()
+    e1 = pairs.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = pairs.select(F.col("u").alias("s_b"), F.col("v").alias("t_c"))
+    e3 = pairs.select(F.col("u").alias("w_a"), F.col("v").alias("w_c"))
+    tri = (
+        e1.join(e2, F.col("t_b") == F.col("s_b"))
+        .join(e3, (F.col("w_a") == F.col("t_a")) & (F.col("w_c") == F.col("t_c")))
+        .select("t_a", "t_b", "t_c")
+    )
+    nodes = (
+        tri.select(F.col("t_a").alias("node"))
+        .unionAll(tri.select(F.col("t_b").alias("node")))
+        .unionAll(tri.select(F.col("t_c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+    )
