@@ -477,3 +477,126 @@ def agg_stats_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap fill: a complete calendar spine (sequence between the
+# corpus min/max ship date) LEFT-joined to daily revenue, missing days
+# filled with zero and flagged — the standard time-series densification
+# every reporting rollup needs before window math. The spine is generated
+# (never materialized in storage) and is bounded by the date range, not by
+# SF; the daily aggregate is one shuffle on day.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             {dsum_sql('l_extendedprice', 'day_rev')},
+             COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY CAST(l_shipdate AS DATE)
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT spine.day,
+           COALESCE(day_rev, 0.0) AS day_rev,
+           COALESCE(n_lines, 0) AS n_lines,
+           CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine LEFT JOIN daily ON spine.day = daily.d
+    ORDER BY spine.day
+    """,
+    tags=("olap", "gapfill", "timeseries"),
+)
+def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        dsum(F.col("l_extendedprice"), "day_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return (
+        F.broadcast(spine)  # bounded by the date range, never by SF
+        .join(daily, F.col("day") == F.col("d"), "left")
+        .select(
+            "day",
+            F.coalesce(F.col("day_rev"), F.lit(0.0)).alias("day_rev"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.when(F.col("d").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher statistical moments (skewness, excess kurtosis) computed from raw
+# power sums. Built-in skewness/kurtosis differ across engines (population
+# vs sample corrections), so both sides compute the SAME closed form from
+# dsum(x), dsum(x²), dsum(x³), dsum(x⁴) — order-independent, bit-identical,
+# and a single aggregation pass (4 conditional sums, no second scan).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {dsum_sql('l_quantity', 's1')},
+             {dsum_sql('l_quantity * l_quantity', 's2')},
+             {dsum_sql('l_quantity * l_quantity * l_quantity', 's3')},
+             {dsum_sql('l_quantity * l_quantity * l_quantity * l_quantity', 's4')}
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(s1 / n, 6) AS mean_qty,
+           ROUND((s2 / n - (s1 / n) * (s1 / n)), 6) AS var_qty,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_qty,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_qty
+    FROM s
+    """,
+    tags=("agg", "stats", "moments"),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = F.col("l_quantity")
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(q, "s1"),
+            dsum(q * q, "s2"),
+            dsum(q * q * q, "s3"),
+            dsum(q * q * q * q, "s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(m2, 1.5)
+    kurt = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m) / F.pow(m2, 2) - 3
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_qty"),
+        F.round(skew, 6).alias("skew_qty"),
+        F.round(kurt, 6).alias("kurt_qty"),
+    )
