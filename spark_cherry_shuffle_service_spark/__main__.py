@@ -9,6 +9,7 @@ PySpark-native engine:
     python -m spark_cherry_shuffle_service_spark workload synthetic -n 1000000 -p 100
     python -m spark_cherry_shuffle_service_spark workload skew -n 1000000 -p 100 -k 0.8
     python -m spark_cherry_shuffle_service_spark bench [--queries a,b,c]
+    python -m spark_cherry_shuffle_service_spark explain <name>
 
 Cluster sizing flags map to config exactly as the reference's -p flag maps
 to spark.default.parallelism / spark.sql.shuffle.partitions
@@ -101,6 +102,22 @@ def cmd_compare(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_explain(args) -> int:
+    """Formatted physical plan for a registered query — the .explain
+    feedback loop (pushdown / broadcast / exchange inspection) as a
+    product feature."""
+    from spark_cherry_shuffle_service_spark.plans.explain import formatted_plan
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; use query --list", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    print(formatted_plan(specs[args.name].builder(spark, args.sf_dir)))
+    return 0
+
+
 def cmd_bench(args) -> int:
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
@@ -145,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compare", help="DuckDB differential check per query")
     c.add_argument("--queries", default=None)
 
+    e = sub.add_parser("explain", help="print a query's formatted physical plan")
+    e.add_argument("name")
+
     args = ap.parse_args(argv)
     return {
         "query": cmd_query,
@@ -152,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         "workload": cmd_workload,
         "bench": cmd_bench,
         "compare": cmd_compare,
+        "explain": cmd_explain,
     }[args.cmd](args)
 
 

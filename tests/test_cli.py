@@ -50,3 +50,10 @@ def test_cli_bench_subset(spark, capsys):
     assert main(["--sf-dir", SF_SMOKE, "bench", "--queries", "join_inner,top_revenue"]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rec["queries"]) == {"join_inner", "top_revenue"}
+
+
+def test_cli_explain_shows_pushed_filters(spark, capsys):
+    assert main(["--sf-dir", SF_SMOKE, "explain", "forecast_revenue"]) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out and "l_discount" in out
+    assert main(["--sf-dir", SF_SMOKE, "explain", "no_such_query"]) == 2
