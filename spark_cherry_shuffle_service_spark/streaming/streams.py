@@ -205,3 +205,67 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest: the training-data pipeline's front door. New
+# document files stream in, pass the quality filter (datapipe.py's funnel
+# stages), get their md5-deterministic split assignment, and land in a
+# split-partitioned parquet sink — exactly-once via the file sink's
+# checkpoint/commit log. Because the split is a pure function of doc_id,
+# streaming ingest and a batch backfill assign every document identically
+# (proven in tests/test_streaming.py::test_corpus_ingest_stream_matches_batch).
+# ---------------------------------------------------------------------------
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def corpus_ingest_transform(docs: DataFrame) -> DataFrame:
+    """Quality filter + deterministic split assignment (stateless — no
+    watermark needed; every operator here is a per-row projection)."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    bucket = h % 100
+    return (
+        docs.filter(
+            F.col("lang").isin("en", "de", "fr")
+            & F.col("n_chars").between(100, 2000)
+            & (F.size(F.array_distinct(toks)) >= 0.4 * F.size(toks))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        )
+    )
+
+
+def run_corpus_ingest(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain all available document files into the split-partitioned sink."""
+    staged = corpus_ingest_transform(read_documents_stream(spark, sf_dir))
+    q = (
+        staged.writeStream.format("parquet")
+        .partitionBy("split")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -255,3 +255,23 @@ def test_stream_session_count_matches_gaps_and_islands(spark):
     g = {r["user_id"]: r["n_sessions"] for r in got.collect()}
     b = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     assert g == b
+
+
+def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest (filter → split → partitioned sink) lands exactly
+    the rows the batch pipeline computes, with identical split assignment
+    (md5-deterministic — backfill and live ingest agree), and the sink is
+    split-pruned on read."""
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        corpus_ingest_transform,
+        run_corpus_ingest,
+    )
+
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    run_corpus_ingest(spark, SF_SMOKE, out, ckpt)
+
+    back = spark.read.parquet(out)
+    batch = corpus_ingest_transform(table(spark, SF_SMOKE, "documents"))
+    key = lambda r: (r["doc_id"], r["split"], r["n_tokens"])  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, batch.collect()))
+    assert back.count() > 0
