@@ -38,10 +38,30 @@ def _spark(args):
     )
 
 
+# The reference selects benchmark queries by number (spark-driver.sh
+# --query-filter q2,q5); map TPC-H numbers to the analog query names.
+TPCH_ALIASES = {
+    "q1": "pricing_summary", "q2": "min_cost_supplier", "q3": "shipping_priority",
+    "q4": "order_priority_check", "q5": "local_supplier_volume", "q6": "forecast_revenue",
+    "q7": "volume_shipping", "q8": "market_share", "q9": "product_profit",
+    "q10": "returned_items", "q11": "important_parts", "q12": "late_line_priority",
+    "q13": "customer_distribution", "q14": "promo_revenue", "q15": "top_supplier",
+    "q16": "supplier_part_counts", "q17": "small_qty_revenue",
+    "q18": "large_volume_customers", "q19": "discounted_revenue",
+    "q20": "promotion_candidates", "q21": "waiting_suppliers",
+    "q22": "global_sales_opportunity",
+}
+
+
+def _resolve(name: str | None) -> str | None:
+    return TPCH_ALIASES.get(name.lower(), name) if name else name
+
+
 def cmd_query(args) -> int:
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
     specs = all_specs()
+    args.name = _resolve(args.name)
     if args.list:
         for name in sorted(specs):
             spec = specs[name]
@@ -110,6 +130,7 @@ def cmd_explain(args) -> int:
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
     specs = all_specs()
+    args.name = _resolve(args.name)
     if args.name not in specs:
         print(f"unknown query {args.name!r}; use query --list", file=sys.stderr)
         return 2
@@ -123,7 +144,7 @@ def cmd_bench(args) -> int:
 
     spark = _spark(args)
     specs = all_specs()
-    names = args.queries.split(",") if args.queries else sorted(
+    names = [_resolve(n) for n in args.queries.split(",")] if args.queries else sorted(
         n for n, s in specs.items() if s.oracle is not None
     )
     timings = {}

@@ -57,3 +57,11 @@ def test_cli_explain_shows_pushed_filters(spark, capsys):
     out = capsys.readouterr().out
     assert "PushedFilters" in out and "l_discount" in out
     assert main(["--sf-dir", SF_SMOKE, "explain", "no_such_query"]) == 2
+
+
+def test_cli_tpch_number_aliases(spark, capsys):
+    """spark-driver.sh selects queries by number (--query-filter q2,q5);
+    the CLI accepts the same q-numbers for the TPC-H analogs."""
+    assert main(["--sf-dir", SF_SMOKE, "bench", "--queries", "q6,q19"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rec["queries"]) == {"forecast_revenue", "discounted_revenue"}
