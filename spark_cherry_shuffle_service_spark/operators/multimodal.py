@@ -243,3 +243,60 @@ def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
     return docs.mapInPandas(frame_sample_batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: a fixed-width feature vector per blob (8-bin byte
+# histogram — the stub stand-in for an image/audio embedding model), Arrow-
+# batched and numpy-vectorized per batch. Completes the decode /
+# feature-extract / resize / frame-sample quartet; like the others, the
+# stub's byte math is replicated in SQL so the Python path has a full
+# oracle. At scale the histogram becomes a model forward pass over the
+# same mapInPandas plumbing (bounded batch of blobs per worker).
+# ---------------------------------------------------------------------------
+FEATURE_BINS = 8
+
+FEATURE_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"h{b}", IntegerType()) for b in range(FEATURE_BINS)]
+)
+
+
+def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        rows = []
+        for p in pdf["payload"]:
+            arr = np.frombuffer(bytes(p), dtype=np.uint8) % FEATURE_BINS
+            rows.append(np.bincount(arr, minlength=FEATURE_BINS)[:FEATURE_BINS])
+        hist = np.vstack(rows) if rows else np.zeros((0, FEATURE_BINS), dtype=np.int64)
+        out = {"doc_id": pdf["doc_id"].astype("int64")}
+        for b in range(FEATURE_BINS):
+            out[f"h{b}"] = pd.Series(hist[:, b], dtype="int32")
+        yield pd.DataFrame(out)
+
+
+_SQL_BYTES = "list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))"
+
+_SQL_HIST_COLS = ",\n           ".join(
+    f"CAST(len(list_filter(bl, x -> x % {FEATURE_BINS} = {b})) AS INT) AS h{b}"
+    for b in range(FEATURE_BINS)
+)
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_HIST_COLS}
+    FROM (SELECT doc_id, {_SQL_BYTES} AS bl FROM documents)
+    """,
+    tags=("multimodal", "mapInPandas", "stub", "features"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    # Same repartition rationale as the other multimodal ops: spread the
+    # Python batches across cores instead of one scan partition.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(feature_batches, FEATURE_SCHEMA)
