@@ -62,6 +62,16 @@ def get_spark(
         # default; read as long and convert in the catalog (lossless here —
         # fixture has no sub-µs components).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Straggler mitigation: the Cherry paper's motivation is reduce-task
+        # stalls on slow shuffle reads; on a real cluster speculative
+        # re-launch of the slowest tasks covers the residual stragglers AQE
+        # can't re-plan away. No-op under local[] (single "executor").
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "3")
+        # Input split sizing: 128 MB parquet splits keep one task's columnar
+        # batches inside executor memory at any SF (brief: size
+        # maxPartitionBytes so partitions fit at the target SF).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
