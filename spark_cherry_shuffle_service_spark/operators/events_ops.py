@@ -393,3 +393,41 @@ def events_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "key_set")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured VARIANT path (Spark 4): parse the JSON props column into
+# VARIANT once and extract typed fields — the modern engine's answer to
+# repeated get_json_object string parsing (events_json), and the schema-
+# flexible column type a training-data pipeline uses for heterogeneous
+# per-record metadata. Oracle extracts the same field with DuckDB's JSON
+# functions; aggregates use the exact-integer path (k is an int field).
+# ---------------------------------------------------------------------------
+@query(
+    "events_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "variant", "json"),
+)
+def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
