@@ -431,3 +431,46 @@ def events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: per-user event-type bigrams via lag over the
+# (ts, event_id) order — sequence mining's first step (what follows what),
+# with transition probabilities per source type. The window partitions by
+# user (bounded per-user history); the matrix itself is |types|² rows.
+# ---------------------------------------------------------------------------
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "window", "sequence"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_src = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src).cast("double"), 6).alias("p_next"),
+    ).orderBy("prev_type", "next_type")

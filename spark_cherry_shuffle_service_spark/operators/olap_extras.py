@@ -23,6 +23,8 @@ from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
+_REV_EXPR = "l_extendedprice * (1 - l_discount)"
+
 
 # ---------------------------------------------------------------------------
 # lead/lag: day-over-day revenue delta per return flag.
@@ -599,4 +601,102 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m2, 6).alias("var_qty"),
         F.round(skew, 6).alias("skew_qty"),
         F.round(kurt, 6).alias("kurt_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value: customers grouped by first-order year (the cohort),
+# revenue tracked by years-since-first-order offset. Two aggregation grains
+# (per-customer min for the cohort, then cohort×offset rollup) — the
+# classic product-analytics retention-revenue matrix in one pass over
+# orders. The per-customer grain shuffles on custkey; the cohort matrix is
+# bounded (years × offsets), so the second aggregation is cheap at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey AS fc_custkey,
+             MIN(CAST(year(o_orderdate) AS INT)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_year,
+           CAST(year(o_orderdate) AS INT) - cohort_year AS year_offset,
+           COUNT(DISTINCT o_custkey) AS active_customers,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 'cohort_revenue')}
+    FROM orders JOIN firsts ON o_custkey = fc_custkey
+    GROUP BY cohort_year, CAST(year(o_orderdate) AS INT) - cohort_year
+    """,
+    tags=("olap", "cohort", "analytics"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = table(spark, sf_dir, "orders")
+    firsts = ords.groupBy(F.col("o_custkey").alias("fc_custkey")).agg(
+        F.min(F.year("o_orderdate").cast("int")).alias("cohort_year")
+    )
+    return (
+        ords.join(firsts, ords.o_custkey == firsts.fc_custkey)
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("int") - F.col("cohort_year")).alias("year_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "cohort_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification: parts ranked by revenue, classified by
+# cumulative revenue share (A ≤ 70%, B ≤ 90%, C rest). The global-order
+# cumulative window runs over the PER-PART AGGREGATE (|part| rows), never
+# the fact table — the safe pattern for "global" windows at 100 TB: reduce
+# to the bounded grain first, then window over the small result.
+# ---------------------------------------------------------------------------
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l_partkey, {dsum_sql(_REV_EXPR, 'part_rev')}
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, part_rev,
+             SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+             SUM(part_rev) OVER () AS total_rev
+      FROM pr
+    )
+    SELECT CASE WHEN cum_rev <= 0.7 * total_rev THEN 'A'
+                WHEN cum_rev <= 0.9 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           {dsum_sql('part_rev', 'class_revenue')}
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("olap", "pareto", "window", "analytics"),
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = li.groupBy("l_partkey").agg(dsum(rev, "part_rev"))
+    w_cum = Window.orderBy(F.col("part_rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "part_rev",
+        F.sum("part_rev").over(w_cum).alias("cum_rev"),
+        F.sum("part_rev").over(w_all).alias("total_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") <= 0.7 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.9 * F.col("total_rev"), "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"), dsum(F.col("part_rev"), "class_revenue")
     )
