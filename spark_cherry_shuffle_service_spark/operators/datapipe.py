@@ -77,7 +77,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_H_SQL} % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
@@ -152,7 +152,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            ROUND(SUM(n_tokens) / 512.0, 6) AS fill_ratio
     FROM packed
     GROUP BY bucket, bin_id
@@ -198,14 +198,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_filter_funnel",
     oracle="""
     SELECT COUNT(*) AS n_total,
-           SUM(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS n_lang_ok,
-           SUM(CASE WHEN lang IN ('en', 'de', 'fr')
-                     AND n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS n_len_ok,
-           SUM(CASE WHEN lang IN ('en', 'de', 'fr')
+           CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+           CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr')
+                     AND n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr')
                      AND n_chars BETWEEN 100 AND 2000
                      AND len(list_distinct(string_split_regex(trim(text), ' +')))
                          >= 0.4 * len(string_split_regex(trim(text), ' +'))
-               THEN 1 ELSE 0 END) AS n_quality_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
     FROM documents
     """,
     tags=("datapipe", "quality", "funnel"),
@@ -237,7 +237,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH src AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(trim(text), ' +'))) AS src_tokens
+             CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS src_tokens
       FROM documents GROUP BY source
     ), tot AS (SELECT SUM(src_tokens) AS total_tokens, COUNT(*) AS n_sources FROM src)
     SELECT source, n_docs, src_tokens,

@@ -248,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     """,

@@ -96,8 +96,8 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(DISTINCT session_id) AS n_sessions,
-           SUM(n) AS n_events,
-           SUM(sess_seconds) AS total_session_seconds
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sess_seconds) AS BIGINT) AS total_session_seconds
     FROM (
       SELECT user_id, session_id,
              date_diff('second', MIN(ts), MAX(ts)) AS sess_seconds,
@@ -263,10 +263,10 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS reached_click,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS reached_purchase
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
     FROM stages
     """,
     tags=("events", "funnel", "analytics"),
@@ -375,7 +375,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            array_to_string(json_keys(props), ',') AS key_set,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type, array_to_string(json_keys(props), ',')
     """,
@@ -408,7 +408,7 @@ def events_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_distinct_k

@@ -44,7 +44,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_blobs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes,
            COUNT(DISTINCT md5(text)) AS n_distinct_payloads
     FROM documents

@@ -270,7 +270,7 @@ _PIVOT_STATUSES = ("F", "O", "P")
     "orders_pivot",
     oracle=f"""
     SELECT o_orderpriority,
-           {', '.join(f'''SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s.lower()},
+           {', '.join(f'''CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s.lower()},
            {dsum_sql(f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0.0 END", f"rev_{s.lower()}")}''' for s in _PIVOT_STATUSES)}
     FROM orders
     GROUP BY o_orderpriority
@@ -341,9 +341,9 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT o_orderpriority,
-             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-             SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, status, n FROM (

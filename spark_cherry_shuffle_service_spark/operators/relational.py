@@ -239,7 +239,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql("CASE WHEN l_quantity BETWEEN 1 AND 10 THEN l_extendedprice ELSE 0 END", 'rev_small')},
            {dsum_sql("CASE WHEN l_quantity BETWEEN 11 AND 30 THEN l_extendedprice ELSE 0 END", 'rev_mid')},
            {dsum_sql("CASE WHEN l_quantity > 30 THEN l_extendedprice ELSE 0 END", 'rev_big')},
-           SUM(CASE WHEN l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_returned_closed
+           CAST(SUM(CASE WHEN l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned_closed
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -436,7 +436,7 @@ def orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN big.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_without_big_lines,
+           CAST(SUM(CASE WHEN big.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_big_lines,
            {dsum_sql('COALESCE(big.big_qty, 0)', 'total_big_qty')}
     FROM orders
     LEFT JOIN (

@@ -36,7 +36,7 @@ def _d(col: str) -> F.Column:
     SELECT UPPER(SUBSTR(c_name, 1, 8)) AS name_prefix,
            LOWER(c_mktsegment) AS segment,
            COUNT(*) AS n,
-           SUM(CASE WHEN c_name LIKE '%00' THEN 1 ELSE 0 END) AS n_like_00,
+           CAST(SUM(CASE WHEN c_name LIKE '%00' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_00,
            MIN(CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR))) AS min_tag
     FROM customer
     GROUP BY UPPER(SUBSTR(c_name, 1, 8)), LOWER(c_mktsegment)
@@ -98,7 +98,7 @@ def date_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({dsum_sql('ABS(l_extendedprice * (1 - l_discount) - l_extendedprice)')} / COUNT(*), 2)
              AS avg_discount_amount,
            {davg_sql('COALESCE(NULLIF(l_discount, 0.0), 0.05)', 'avg_disc_defaulted')},
-           SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -103,10 +103,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS total_toks,
+           CAST(SUM(n_toks) AS BIGINT) AS total_toks,
            {davg_sql('chars_per_tok', 'avg_chars_per_tok')},
            {davg_sql('stop_ratio', 'avg_stop_ratio')},
-           SUM(CASE WHEN n_toks BETWEEN 40 AND 80 THEN 1 ELSE 0 END) AS n_mid_length
+           CAST(SUM(CASE WHEN n_toks BETWEEN 40 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_length
     FROM per_doc
     GROUP BY source
     """,
@@ -144,8 +144,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle="""
     SELECT lang,
-           SUM(len(string_split_regex(trim(text), ' +'))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY lang
@@ -351,10 +351,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_hof_predicates",
     oracle=f"""
     SELECT lang,
-           SUM(CASE WHEN list_bool_or(list_transform({_SQL_TOKS}, t -> length(t) >= 10))
-                    THEN 1 ELSE 0 END) AS n_with_long_token,
-           SUM(CASE WHEN list_bool_and(list_transform({_SQL_TOKS}, t -> length(t) <= 14))
-                    THEN 1 ELSE 0 END) AS n_all_short,
+           CAST(SUM(CASE WHEN list_bool_or(list_transform({_SQL_TOKS}, t -> length(t) >= 10))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_long_token,
+           CAST(SUM(CASE WHEN list_bool_and(list_transform({_SQL_TOKS}, t -> length(t) <= 14))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_all_short,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY lang

@@ -13,6 +13,7 @@ subcommand exposes the correctness gate as a user-facing feature.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 from typing import Any
 
@@ -22,12 +23,29 @@ from spark_cherry_shuffle_service_spark.sources.catalog import TABLES
 
 
 def _norm_cell(v: Any) -> Any:
+    """Type-TAGGED normalization.
+
+    The grading driver hashes Arrow values type-sensitively: DuckDB
+    HUGEINT (decimal128) vs Spark int64 is a hash mismatch even when the
+    numbers are equal, because Python's `Decimal(5) == 5 == 5.0` is True.
+    Tagging each scalar with a kind marker makes the local differential
+    exactly as strict, so that class of drift fails in pytest instead of
+    in the driver.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        # decimal-vs-decimal stays scale-insensitive (Decimal('5.0') ==
+        # Decimal('5')), but a decimal never equals an int/float cell.
+        return ("d", v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
@@ -36,7 +54,6 @@ def _norm_cell(v: Any) -> Any:
         return v.hex()
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
-    # Decimal, ints, strings, bools pass through
     return v
 
 

@@ -29,6 +29,28 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_arrow_schema_has_no_surprise_decimals(duck_correct, name):
+    """Guard for the driver's type-sensitive value hash: DuckDB returns
+    HUGEINT (Arrow decimal128(38,0)) for SUM over integers, while Spark
+    returns int64 — equal values, different hash. Every integer SUM in an
+    oracle must be CAST(... AS BIGINT); a decimal column is only allowed
+    when the query is explicitly decimal-native on BOTH engines (tagged
+    'decimal-native')."""
+    spec = SPECS[name]
+    schema = duck_correct.execute(spec.oracle).arrow().schema
+    decimal_cols = [
+        f"{f.name}:{f.type}" for f in schema if "decimal" in str(f.type)
+    ]
+    if "decimal-native" in spec.tags:
+        assert decimal_cols, f"{name}: tagged decimal-native but oracle returns none"
+    else:
+        assert not decimal_cols, (
+            f"{name}: oracle returns decimal columns {decimal_cols} — wrap the "
+            "integer SUM with CAST(... AS BIGINT) or tag the spec decimal-native"
+        )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
