@@ -64,3 +64,27 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
             )
         ),
     )
+
+
+def prefix_tokens(set_col: Column, tau: float) -> Column:
+    """PPJoin-style prefix filter for Jaccard threshold joins — provably
+    recall-complete candidate generation without an all-pairs product.
+
+    Lemma (Chaudhuri/Bayardo all-pairs similarity): order every token by a
+    global total order; if J(a,b) >= tau then |a ∩ b| >= α where
+    α = max(ceil(tau·|a|), ceil(tau·|b|)), and the first |x| - α + 1
+    tokens of each set must share at least one element. Taking each set's
+    prefix of length |x| - ceil(tau·|x|) + 1 (>= |x| - α + 1) preserves
+    the guarantee, so an equi-join on prefix tokens finds EVERY qualifying
+    pair. The global order here is md5(token) — deterministic and
+    engine-independent; frequency order would prune harder but needs a
+    corpus pass (the 100 TB variant computes token doc-frequencies first
+    and orders rarest-first).
+    """
+    keyed = F.array_sort(
+        F.transform(set_col, lambda s: F.struct(F.md5(s).alias("k"), s.alias("v")))
+    )
+    plen = F.greatest(
+        F.size(set_col) - F.ceil(F.lit(tau) * F.size(set_col)).cast("int") + 1, F.lit(0)
+    )
+    return F.transform(F.slice(keyed, F.lit(1), plen), lambda kv: kv["v"])

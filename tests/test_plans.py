@@ -285,3 +285,16 @@ def test_daily_gapfill_broadcasts_spine(spark):
     it must broadcast against the daily aggregate, not shuffle it."""
     df = SPECS["daily_gapfill"].builder(spark, SF_SMOKE)
     assert "BroadcastHashJoin" in plan_ops(df), plan_ops(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["similarity_pairs", "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_crossmodal"],
+)
+def test_pair_generators_have_no_allpairs_product(spark, name):
+    """Round-1 shipped these as O(N²) theta joins; candidates must now come
+    from bounded-key hash joins (LSH buckets / prefix tokens) — no
+    CartesianProduct or BroadcastNestedLoopJoin anywhere in the plan."""
+    ops = plan_ops(SPECS[name].builder(spark, SF_SMOKE))
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops, ops

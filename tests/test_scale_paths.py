@@ -99,3 +99,61 @@ def test_pandas_udf_cosine_matches_jvm_expression(spark):
     ).collect()
     for r in both:
         assert abs(r["jvm"] - r["py"]) <= 1e-9 * max(1.0, abs(r["jvm"]))
+
+
+def test_lsh_pair_results_subset_of_exact_pairs(spark):
+    """The banded sign-LSH near-dup path is the scale-shape replacement for
+    the all-pairs product; the all-pairs form survives HERE as the fixture
+    cross-check: every reported pair must be a true >= tau pair (exact
+    precision), and recall on the fixture's uniform-random vectors (the
+    LSH worst case) must clear a sanity floor."""
+    from spark_cherry_shuffle_service_spark.functions.vectors import dot, norm
+
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in SPECS["similarity_pairs"].builder(spark, SF_CORRECT).collect()
+    }
+    emb = table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    exact = {
+        (r["va"], r["vb"]): r["c"]
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    assert set(lsh) <= set(exact), "LSH reported a non-qualifying pair"
+    assert len(lsh) >= 0.3 * len(exact), (len(lsh), len(exact))
+
+
+def test_prefix_filter_candidates_are_recall_complete(spark):
+    """PPJoin prefix filtering is provably complete for the Jaccard
+    threshold — the prefix-join result must EQUAL the all-pairs answer."""
+    from spark_cherry_shuffle_service_spark.functions.text import shingles3
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in SPECS["dedup_ngram_jaccard"].builder(spark, SF_CORRECT).collect()
+    }
+    docs = table(spark, SF_CORRECT, "documents").select(
+        "doc_id", "source", shingles3(F.col("text")).alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    j = inter.cast("double") / (F.size("a.sh") + F.size("b.sh") - inter)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["j"]
+        for r in a.join(
+            b,
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), j.alias("j"))
+        .filter(F.col("j") >= 0.3)
+        .collect()
+    }
+    assert set(got) == set(exact), (
+        set(exact) - set(got), set(got) - set(exact))
