@@ -83,7 +83,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (2 * F.col("l_suppkey")).alias("s_node"),
             (2 * F.col("o_custkey") + 1).alias("c_node"),
@@ -95,14 +95,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # Degree folds into the edge table ONCE; the persisted result is what
-    # every iteration re-joins. Ranks (one row per node) broadcasts here —
-    # at billions of nodes swap the broadcast for a shuffle-hash join
-    # against an edge table bucketed by src; the dataflow is unchanged.
+    # every iteration re-joins. No broadcast hints anywhere in this file:
+    # orders and the per-node ranks/labels tables all scale with SF, so the
+    # hint would force a driver-sized build at large scale (SCALE.md
+    # policy) — the 20MB threshold/AQE still broadcasts them at fixture
+    # sizes, and at billions of nodes the right plan (shuffle-hash join
+    # against an edge table bucketed by src) emerges without code change.
     edges_deg = edges.join(deg, "src").repartition(par).persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(_ITER):
         contribs = (
-            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(money(F.col("rank") / F.col("d"))).cast("double").alias("contrib"))
         )
@@ -172,7 +175,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (2 * F.col("l_suppkey")).alias("s_node"),
             (2 * F.col("o_custkey") + 1).alias("c_node"),
@@ -187,12 +190,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_CC_ITER):
         neighbor_min = (
-            edges.join(F.broadcast(labels), edges.dst == labels.node)
+            edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         labels = (
-            labels.join(F.broadcast(neighbor_min), labels.node == neighbor_min.src)
+            labels.join(neighbor_min, labels.node == neighbor_min.src)
             .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
             # per-round persist: see pagerank note — avoids O(k²) recompute
             .persist()
