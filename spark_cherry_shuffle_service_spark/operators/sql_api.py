@@ -131,3 +131,100 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
 def sql_text_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_TPCH_Q6)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H spine queries as verbatim SQL text (the reference's only entry
+# point is spark.sql(queryString) over 131 SQL files —
+# TPCDSQueryBenchmark.scala:88,100). Q1/Q3/Q5/Q10 analogs below run the
+# SAME string on Spark and DuckDB: float SUMs go through the
+# ROUND→DECIMAL(18,6)→SUM→DOUBLE convention inline, every LIMIT carries a
+# unique tiebreak, and date arithmetic uses explicit bounds (DuckDB's
+# DATE + INTERVAL returns TIMESTAMP, so interval math stays out of the
+# shared dialect).
+# ---------------------------------------------------------------------------
+_Q_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+"""
+
+_Q_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_Q_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-10-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, ROUND(c_acctbal, 2), n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_text_q1", oracle=_Q_TPCH_Q1, tags=("sql", "tpch", "api"))
+def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q1)
+
+
+@query("sql_text_q3", oracle=_Q_TPCH_Q3, tags=("sql", "tpch", "api", "limit"))
+def sql_text_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q3)
+
+
+@query("sql_text_q5", oracle=_Q_TPCH_Q5, tags=("sql", "tpch", "api"))
+def sql_text_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q5)
+
+
+@query("sql_text_q10", oracle=_Q_TPCH_Q10, tags=("sql", "tpch", "api", "limit"))
+def sql_text_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q10)

@@ -73,7 +73,35 @@ def get_spark(
         # maxPartitionBytes so partitions fit at the target SF).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Observability parity: the reference exports per-stage/task metrics
+        # through Spark's Prometheus endpoint (core/.../PrometheusResource
+        # .scala:110-190, upstream conf spark.ui.prometheus.enabled). The
+        # conf is set unconditionally; metrics are actually served only when
+        # the UI is on (enable_ui=True / SPARK_GRAFT_UI=1 on a cluster —
+        # local test runs keep the UI off to avoid the port bind).
+        .config("spark.ui.prometheus.enabled", "true")
     )
+    # Elasticity/externalized-shuffle pass-through (SURVEY §2.12): Cherry's
+    # failure story is shuffle files surviving executor loss + scale-down.
+    # On K8s/YARN the same effect is the external shuffle service + dynamic
+    # allocation; local[] has a single executor, so these stay opt-in knobs
+    # driven by the environment rather than hard-coded (they would no-op or
+    # fail to bind locally).
+    #   SPARK_GRAFT_EXTERNAL_SHUFFLE=1 -> spark.shuffle.service.enabled
+    #   SPARK_GRAFT_DYNAMIC_ALLOCATION=min:max -> dynamicAllocation bounds
+    if os.environ.get("SPARK_GRAFT_EXTERNAL_SHUFFLE"):
+        builder = builder.config("spark.shuffle.service.enabled", "true")
+    dyn = os.environ.get("SPARK_GRAFT_DYNAMIC_ALLOCATION")
+    if dyn:
+        lo, _, hi = dyn.partition(":")
+        builder = (
+            builder.config("spark.dynamicAllocation.enabled", "true")
+            .config("spark.dynamicAllocation.minExecutors", lo or "0")
+            .config("spark.dynamicAllocation.maxExecutors", hi or lo or "2")
+            # shuffle tracking lets dynamic allocation work without an
+            # external shuffle service (K8s path)
+            .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
