@@ -46,6 +46,23 @@ def shingles3(col: Column) -> Column:
     return F.when(n >= 3, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col: Column, width: int) -> Column:
+    """Distinct `width`-word shingles — same shifted-zip construction as
+    shingles3 (no element_at indexing inside lambdas; see that docstring).
+
+    Oracle twin:
+      list_distinct(list_transform(generate_series(1, len(t) - W + 1),
+                    i -> array_to_string(t[i:i+W-1], ' ')))
+    """
+    t = tokens(col)
+    n = F.size(t)
+    acc = t
+    for k in range(2, width + 1):
+        acc = F.zip_with(acc, F.slice(t, k, n), lambda p, z: F.concat_ws(" ", p, z))
+    raw = F.slice(acc, F.lit(1), F.greatest(n - (width - 1), F.lit(0)))
+    return F.when(n >= width, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     """MinHash signature as array<string>: per seed s, the lexicographic min
     of md5(s || '|' || shingle). md5 is identical across engines, so the

@@ -270,3 +270,80 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: drop every corpus document sharing a 5-gram
+# with the held-out eval set — the standard benchmark-contamination guard a
+# training pipeline runs before tokenization (13-grams in the usual
+# published recipe; 5 here because fixture docs are 10-99 tokens). The
+# eval set (doc_id < _EVAL_N, a fixed-size stand-in for a benchmark
+# suite) is SF-invariant, so its distinct n-grams broadcast; corpus grams
+# probe that set with a semi join — one scan + one broadcast join at any
+# corpus size, never a corpus×corpus product.
+# ---------------------------------------------------------------------------
+_EVAL_N = 20
+_DECON_W = 5
+_SQL_GRAMS5 = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 4),"
+    " i -> array_to_string(t[i:i+4], ' ')))"
+)
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SQL_GRAMS5} AS gr
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), ' +') AS t FROM documents)
+    ), eval_g AS (
+      SELECT DISTINCT unnest(gr) AS g FROM s WHERE doc_id < {_EVAL_N}
+    ), corp AS (
+      SELECT doc_id, source, gr FROM s WHERE doc_id >= {_EVAL_N}
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(gr) AS g FROM corp)
+      WHERE g IN (SELECT g FROM eval_g)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+    FROM corp GROUP BY source
+    """,
+    tags=("datapipe", "dedup", "decontamination", "scale"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.text import shingles
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", shingles(F.col("text"), _DECON_W).alias("gr"))
+        .persist()  # eval grams + corpus probe both read it
+    )
+    eval_g = (
+        docs.filter(F.col("doc_id") < _EVAL_N)
+        .select(F.explode("gr").alias("g"))
+        .distinct()
+    )
+    corp = docs.filter(F.col("doc_id") >= _EVAL_N)
+    contaminated = (
+        corp.select("doc_id", F.explode("gr").alias("g"))
+        # fixed-size eval set -> SF-invariant broadcast (policy-compliant)
+        .join(F.broadcast(eval_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        corp.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_cont") == 1, 1).otherwise(0)).cast("long").alias("n_contaminated"),
+            F.sum(F.when(F.col("is_cont") == 1, 0).otherwise(1)).cast("long").alias("n_clean"),
+        )
+    )

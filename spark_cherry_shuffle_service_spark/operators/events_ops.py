@@ -474,3 +474,73 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_src).cast("double"), 6).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — the second temporal-join shape next to as-of:
+# every event of a user falling inside the 2-hour window opened by each of
+# that user's purchases. A naive inequality join plans as BNLJ/sort-merge +
+# filter over the full per-user cross product; the scale-safe form BINS
+# time into fixed-width buckets, EXPLODES each interval into the buckets it
+# covers (bounded: interval_len/bin_width + 1 rows), equi-joins on
+# (user_id, bin) — each event lives in exactly one bin, so no pair dedup
+# is needed — and applies the exact range predicate on the collisions.
+# This is the standard bucketed interval join (Databricks' range-join
+# optimization does the same binning internally). The oracle keeps the
+# declarative theta-join form, proving the bucketed plan returns the exact
+# answer.
+# ---------------------------------------------------------------------------
+_RANGE_HOURS = 2
+_RANGE_BIN_S = 3600
+
+
+@query(
+    "events_range_join",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS interval_id, user_id, ts AS start_ts,
+             ts + INTERVAL {_RANGE_HOURS} HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.interval_id, p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('e.value', 'total_value')}
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts < p.end_ts
+    GROUP BY p.interval_id, p.user_id
+    """,
+    tags=("events", "range-join", "temporal", "scale"),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ev_binned = ev.select(
+        "user_id", "ts", "value", (F.col("ts").cast("long") / _RANGE_BIN_S).cast("long").alias("bin")
+    )
+    start_sec = F.col("start_ts").cast("long")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_RANGE_HOURS} HOURS")).alias("end_ts"),
+        )
+        # one row per covered bin; +1 bin at the end covers the boundary —
+        # the exact predicate below discards any overshoot
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (start_sec / _RANGE_BIN_S).cast("long"),
+                    ((start_sec + _RANGE_HOURS * 3600) / _RANGE_BIN_S).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = purchases.join(ev_binned, ["user_id", "bin"]).filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return joined.groupBy("interval_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value")
+    )

@@ -182,11 +182,21 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Partition edges by DST — the key every per-round join probes — and
+    # labels by node: with equal partition counts the round's
+    # edges⋈labels join reuses both sides' partitioning (no exchange),
+    # the groupBy(src) is the round's ONE shuffle, and the label-update
+    # join (node == src) aligns with that shuffle's output. One exchange
+    # per round beats even the old forced-broadcast plan, and the shape
+    # is exactly what src/dst-bucketed edge tables give at 100 TB.
     edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-    ).repartition(par, "src").persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    ).repartition(par, "dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .repartition(par, "node")
     )
     for _ in range(_CC_ITER):
         neighbor_min = (

@@ -453,3 +453,190 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("centroid_id").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_members"), dsum(F.col("d2"), "inertia"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Lloyd iteration: assign → centroid UPDATE → re-assign. Extends
+# kmeans_assign with the step that makes k-means iterative: per-cluster
+# per-dimension means (davg convention → order-independent doubles),
+# re-assembled into centroid vectors, then a second assignment pass
+# scored against the UPDATED centroids. Everything is deterministic on
+# both engines (fold dots, decimal-summed means, cid tiebreaks), so the
+# whole two-pass pipeline is differentially checked — the pattern a
+# 100 TB training loop runs per epoch: broadcast K centroids, one
+# codegen'd scan + argmin, one (cluster, dim) shuffle for the update.
+# ---------------------------------------------------------------------------
+def _kmeans_lloyd_oracle() -> str:
+    from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
+
+    d2 = "vv - 2 * {dot} + cc".format(dot=_SQL_DOT_AB.format(a="embedding", b="ce"))
+    d2_c = "vv - 2 * {dot} + c.cc".format(dot=_SQL_DOT_AB.format(a="embedding", b="c.ce"))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS vv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, embedding AS ce,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS cc
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c0.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2}, cid) AS rnk
+        FROM v CROSS JOIN c0
+      ) WHERE rnk = 1
+    ), exploded AS (
+      SELECT cid,
+             unnest(list_transform(generate_series(1, len(embedding)),
+               i -> struct_pack(dim := i, val := CAST(embedding[i] AS DOUBLE)))) AS u
+      FROM a1 JOIN v USING (vec_id)
+    ), upd AS (
+      SELECT cid, u.dim AS dim, {davg_sql('u.val', 'avgval')}
+      FROM exploded GROUP BY cid, u.dim
+    ), cent1 AS (
+      SELECT cid, list(avgval ORDER BY dim) AS ce FROM upd GROUP BY cid
+    ), cent1n AS (
+      SELECT cid, ce, {_SQL_DOT_AB.format(a='ce', b='ce')} AS cc FROM cent1
+    ), a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT v.vec_id, c.cid, {d2_c} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {d2_c}, c.cid) AS rnk
+        FROM v CROSS JOIN cent1n c
+      ) WHERE rnk = 1
+    )
+    SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {dsum_sql('d2', 'inertia')}
+    FROM a2 GROUP BY cid
+    """
+
+
+@query(
+    "kmeans_lloyd",
+    oracle=_kmeans_lloyd_oracle(),
+    tags=("similarity", "clustering", "ml", "iterative"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum
+
+    par = spark.sparkContext.defaultParallelism
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv"))
+        .persist()  # scanned by both assignment passes + the update
+    )
+    c0 = F.broadcast(  # K rows, K fixed — SF-invariant per broadcast policy
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("vv").alias("cc")
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.col("vv") - 2 * dot(F.col("embedding"), F.col("ce")) + F.col("cc")
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            emb.crossJoin(cents)
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    a1 = assign(c0)
+    upd = (
+        a1.join(emb, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos", "val"))
+        .select("cid", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+        .groupBy("cid", "dim")
+        .agg(davg(F.col("val"), "avgval"))
+    )
+    cent1 = (
+        upd.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "avgval"))), lambda s: s["avgval"]
+            ).alias("ce")
+        )
+        .select("cid", "ce", dot(F.col("ce"), F.col("ce")).alias("cc"))
+    )
+    a2 = assign(F.broadcast(cent1))
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"), dsum(F.col("d2"), "inertia")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings — the memory-side companion to the
+# ANN operators: per-vector min/max affine quantization to 0..255 (the
+# standard SQ8 codec that shrinks an ANN index 4× with ~1e-2 recall cost).
+# Everything is per-row JVM array math (fold min/max, transform, fold sum),
+# deterministic on both engines: quantized code = FLOOR((x-min)/scale+0.5)
+# clamped to [0,255] (floor is engine-identical; no ROUND-mode ambiguity).
+# Reports a per-vector code checksum and the max reconstruction error.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), stats AS (
+      SELECT vec_id, e,
+             list_aggregate(e, 'min') AS vmin,
+             (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0 AS scale
+      FROM d
+    ), q AS (
+      SELECT vec_id, vmin, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(LEAST(255.0, GREATEST(0.0, FLOOR((x - vmin) / scale + 0.5))) AS BIGINT)
+             END) AS codes,
+             e
+      FROM stats
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT) AS dim,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, b) -> a + b) AS BIGINT) AS code_sum,
+           ROUND(list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(e)), i ->
+               abs(vmin + codes[i] * scale - e[i]))), (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) AS max_err
+    FROM q
+    """,
+    tags=("similarity", "quantization", "array"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", e.alias("e"))
+        .select(
+            "vec_id",
+            "e",
+            F.array_min("e").alias("vmin"),
+            ((F.array_max("e") - F.array_min("e")) / F.lit(255.0)).alias("scale"),
+        )
+    )
+    code = lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(255.0), F.greatest(F.lit(0.0), F.floor((x - F.col("vmin")) / F.col("scale") + 0.5))
+        ).cast("long")
+    )
+    qq = emb.select(
+        "vec_id", "e", "vmin", "scale", F.transform(F.col("e"), code).alias("codes")
+    )
+    # max reconstruction error: fold max over |dequant - x|, zipping codes
+    # with values (no element_at indexing inside the lambda)
+    errs = F.zip_with(
+        F.col("codes"),
+        F.col("e"),
+        lambda c, x: F.abs(F.col("vmin") + c * F.col("scale") - x),
+    )
+    return qq.select(
+        "vec_id",
+        F.size("codes").alias("dim"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b).alias("code_sum"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda a, b: F.when(b > a, b).otherwise(a)), 6
+        ).alias("max_err"),
+    )

@@ -298,3 +298,19 @@ def test_pair_generators_have_no_allpairs_product(spark, name):
     ops = plan_ops(SPECS[name].builder(spark, SF_SMOKE))
     assert "CartesianProduct" not in ops, ops
     assert "BroadcastNestedLoopJoin" not in ops, ops
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """events_range_join must plan as an equi-join on (user, bin) — the
+    bucketed interval join — not a BroadcastNestedLoopJoin over the raw
+    range predicate."""
+    ops = plan_ops(SPECS["events_range_join"].builder(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+    assert "CartesianProduct" not in ops, ops
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set gram table is fixed-size (SF-invariant) and must reach
+    the corpus probe as a broadcast semi join, never a shuffle."""
+    plan = formatted_plan(SPECS["corpus_decontaminate"].builder(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
