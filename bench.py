@@ -79,6 +79,17 @@ HEADLINE = [
     "corpus_filter_funnel",
     "kmeans_assign",
     "skewed_salted_join",
+    # Round-2 additions: bucketed pair generation, temporal range join,
+    # full Lloyd iteration, decontamination, quantization, decimal-native
+    # money, verbatim SQL-text spine.
+    "similarity_pairs",
+    "dedup_ngram_jaccard",
+    "events_range_join",
+    "kmeans_lloyd",
+    "corpus_decontaminate",
+    "embedding_quantize",
+    "decimal_pricing",
+    "sql_text_q1",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.vectors import (
     dot,
     lsh_banded_sql,
-    lsh_bucket,
+    lsh_bucket_expr,
     norm,
 )
 from spark_cherry_shuffle_service_spark.plans.registry import query
@@ -116,13 +116,21 @@ def lsh_candidates(emb: DataFrame, a_name: str, b_name: str) -> DataFrame:
     T·2^r distinct values with bounded bucket sizes — AQE splits any hot
     bucket, and no CartesianProduct appears in the plan.
     """
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(_NDP_TABLES - 1))).alias("t"),
-    ).select(
-        "vec_id", "t", lsh_bucket(F.col("embedding"), F.col("t"), _NDP_PLANES).alias("bucket")
-    )
+    parts = [
+        emb.selectExpr(
+            "vec_id",
+            f"{t} AS t",
+            f"{lsh_bucket_expr(t, _NDP_PLANES)} AS bucket",
+        )
+        for t in range(_NDP_TABLES)
+    ]
+    banded = parts[0]
+    for part in parts[1:]:
+        banded = banded.unionByName(part)
+    # persist: probed twice by the self-join below, and Spark's cacheManager
+    # plan-matching shares this across the similarity_pairs /
+    # dedup_embedding_cosine twins within a session (banding computed once)
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
