@@ -63,6 +63,21 @@ def shingles(col: Column, width: int) -> Column:
     return F.when(n >= width, F.array_distinct(raw)).otherwise(F.array().cast("array<string>"))
 
 
+def bigrams(col: Column) -> Column:
+    """ALL adjacent word bigrams (duplicates kept — repetition metrics need
+    the multiset). Same shifted-zip construction as shingles3.
+
+    Oracle twin:
+      list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                     z -> z[1] || ' ' || z[2])
+    """
+    t = tokens(col)
+    n = F.size(t)
+    pairs = F.zip_with(t, F.slice(t, 2, n), lambda x, y: F.concat_ws(" ", x, y))
+    raw = F.slice(pairs, F.lit(1), F.greatest(n - 1, F.lit(0)))
+    return F.when(n >= 2, raw).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     """MinHash signature as array<string>: per seed s, the lexicographic min
     of md5(s || '|' || shingle). md5 is identical across engines, so the

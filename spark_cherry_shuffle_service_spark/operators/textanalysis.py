@@ -11,8 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import davg
-from spark_cherry_shuffle_service_spark.functions.text import distinct_tokens, tokens
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
+from spark_cherry_shuffle_service_spark.functions.text import bigrams, distinct_tokens, tokens
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -371,3 +372,220 @@ def text_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(all_short, 1).otherwise(0)).alias("n_all_short"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters (the Gopher/C4-style signals a pretraining
+# corpus is screened with): per-doc duplicate-token fraction and
+# most-frequent-bigram fraction, rolled up per source. One explode shuffle
+# keyed by (doc_id, gram) with map-side combine, then a per-source agg —
+# embarrassingly parallel at 100 TB (no cross-doc state).
+# ---------------------------------------------------------------------------
+_SQL_BIGRAMS = (
+    "list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]), z -> z[1] || ' ' || z[2])"
+)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, len(t) AS n_toks, len(list_distinct(t)) AS n_uniq,
+             {_SQL_BIGRAMS} AS grams
+      FROM tok
+    ), top_gram AS (
+      SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM per_doc)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), scored AS (
+      SELECT source,
+             1.0 - n_uniq::DOUBLE / n_toks AS dup_frac,
+             COALESCE(top_c, 0)::DOUBLE / GREATEST(n_toks - 1, 1) AS top_bigram_frac
+      FROM per_doc LEFT JOIN top_gram USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {davg_sql('dup_frac', 'avg_dup_frac')},
+           {davg_sql('top_bigram_frac', 'avg_top_bigram_frac')},
+           CAST(SUM(CASE WHEN dup_frac > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(SUM(CASE WHEN top_bigram_frac >= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_gram_spam
+    FROM scored
+    GROUP BY source
+    """,
+    tags=("text", "quality", "repetition", "pipeline"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        bigrams(F.col("text")).alias("grams"),
+    )
+    top_gram = (
+        per_doc.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    scored = per_doc.join(top_gram, "doc_id", "left").select(
+        "source",
+        (F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_toks")).alias("dup_frac"),
+        (
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_toks") - 1, F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("dup_frac"), "avg_dup_frac"),
+        davg(F.col("top_bigram_frac"), "avg_top_bigram_frac"),
+        F.sum(F.when(F.col("dup_frac") > 0.6, 1).otherwise(0)).alias("n_repetitive"),
+        F.sum(F.when(F.col("top_bigram_frac") >= 0.08, 1).otherwise(0)).alias("n_gram_spam"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking against a FIXED query-term set (Okapi BM25, k1=1.2 b=0.75).
+# The query vocabulary is SF-invariant, so its 4-row doc-frequency table and
+# the 1-row (N, avgdl) corpus stats may be broadcast under the repo policy;
+# the only SF-scaling shuffle is the (doc_id, term) tf aggregation. Per-term
+# contributions round through the DECIMAL convention so the per-doc sum is
+# parallelism-invariant; LIMIT is tiebroken by doc_id.
+# ---------------------------------------------------------------------------
+BM25_QUERY_TERMS = ("spark", "join", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+      WHERE term IN ({_bm25_terms_sql()})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ROUND(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+               6) AS c
+      FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, {dsum_sql('c', 'bm25')}, COUNT(*) AS n_terms
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+    tags=("text", "bm25", "ranking", "pipeline"),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = tokens(F.col("text"))
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # broadcast: fixed 4-term vocab + 1-row corpus stats (SF-invariant).
+    joined = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = joined.select("doc_id", F.round(idf * tf_norm, 6).alias("c"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(dsum(F.col("c"), "bm25"), F.count(F.lit(1)).alias("n_terms"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> doc frequency + the first 12 postings. The
+# postings sample is bounded BEFORE any collection (row_number <= 12 per
+# term), so per-term state never exceeds 12 rows regardless of corpus size —
+# collect_list only ever sees the bounded sample. df is counted in a
+# separate pre-filter aggregation over the same shuffle key.
+# ---------------------------------------------------------------------------
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+            FROM documents)
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+    ), ranked AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pairs
+    ), sample AS (
+      SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      FROM ranked WHERE rn <= 12 GROUP BY term
+    )
+    SELECT term, df, postings
+    FROM df JOIN sample USING (term)
+    """,
+    tags=("text", "index", "topk-per-group"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pairs = docs.select(
+        F.explode(distinct_tokens(F.col("text"))).alias("term"), "doc_id"
+    )
+    df_tbl = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    sample = (
+        pairs.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 12)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings")
+        )
+    )
+    return df_tbl.join(sample, "term").select("term", "df", "postings")

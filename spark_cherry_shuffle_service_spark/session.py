@@ -72,6 +72,13 @@ def get_spark(
         # batches inside executor memory at any SF (brief: size
         # maxPartitionBytes so partitions fit at the target SF).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Heap sizing: local[] runs driver and all executor threads in ONE
+        # JVM whose default 1g heap starves 32 task slots of execution
+        # memory and OOMs broadcast builds once a long bench session has
+        # accumulated cached blocks. Size it like a real executor (only
+        # effective at JVM launch; a getOrCreate() against a live session
+        # keeps the existing heap).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Observability parity: the reference exports per-stage/task metrics
         # through Spark's Prometheus endpoint (core/.../PrometheusResource

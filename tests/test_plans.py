@@ -314,3 +314,30 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     the corpus probe as a broadcast semi join, never a shuffle."""
     plan = formatted_plan(SPECS["corpus_decontaminate"].builder(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_bm25_broadcasts_fixed_sides_only(spark):
+    """BM25's doc-frequency table (fixed 4-term query vocab) and the 1-row
+    corpus stats are the ONLY broadcast sides; the per-doc tf/dl tables
+    scale with SF and must not be forced. No unbounded nested-loop join:
+    the single BroadcastNestedLoopJoin allowed is the 1-row stats cross."""
+    plan = formatted_plan(SPECS["text_bm25"].builder(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_inverted_index_bounds_postings_before_collect(spark):
+    """The rn <= 12 filter must sit between the window and the list
+    aggregation so per-term collected state is bounded at any corpus
+    size — Window then Filter then the collect_list aggregate."""
+    plan = formatted_plan(SPECS["text_inverted_index"].builder(spark, SF_SMOKE))
+    assert "Window" in plan, plan
+    assert "rn#" in plan and "<= 12" in plan, plan  # bounded before any collect
+    assert "collect_list" in plan, plan
+
+
+def test_repetition_agg_is_partial(spark):
+    """The (doc_id, gram) count behind the top-bigram metric must map-side
+    combine: partial_count before the exchange."""
+    plan = formatted_plan(SPECS["text_repetition"].builder(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial" in plan, plan
