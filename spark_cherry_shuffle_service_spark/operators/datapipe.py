@@ -347,3 +347,79 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_cont") == 1, 0).otherwise(1)).cast("long").alias("n_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: keep the highest-quality documents until a fixed
+# token budget is exhausted — the final "how much of the corpus makes the
+# training mix" cut. A naive global running sum over (score DESC) is ONE
+# reducer at 100 TB; instead the score is quantized into <= ~1000 buckets
+# (monotone in score, so bucket-major order == global score order), the
+# budget boundary is located on the TINY per-bucket rollup, and the exact
+# within-bucket cut runs as a bucket-partitioned window — every partition
+# independent, same rows as the global-window formulation (the oracle runs
+# the global form; results are identical because floor(score*1000) is
+# order-preserving and ties break on doc_id).
+# ---------------------------------------------------------------------------
+_BUDGET_TOKS = 20_000
+_STOPS_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+_TOKS_SQL = "string_split_regex(trim(text), ' +')"
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, len(t) AS n_toks,
+             len(list_filter(t, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE / len(t) AS score
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    ), cum AS (
+      SELECT doc_id, n_toks, score,
+             CAST(SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+      FROM scored
+    )
+    SELECT doc_id, ROUND(score, 6) AS score, n_toks, cum_toks
+    FROM cum WHERE cum_toks <= {_BUDGET_TOKS}
+    """,
+    tags=("datapipe", "budget", "selection", "scale"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.operators.textanalysis import LANG_MARKERS
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.trim(F.col("text")), " +")
+    stops = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).cast("double")
+            / F.size(toks)
+        ).alias("score"),
+    ).withColumn("bucket", F.floor(F.col("score") * 1000))
+    # Per-bucket token totals: <= ~1000 rows regardless of corpus size
+    # (SF-invariant), so the cross-bucket running sum is a trivially small
+    # single-partition window; only within-bucket windows touch doc rows.
+    per_bucket = scored.groupBy("bucket").agg(F.sum("n_toks").alias("btoks"))
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    prior = per_bucket.select(
+        "bucket", (F.sum("btoks").over(wb) - F.col("btoks")).alias("prior_toks")
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(prior, "bucket")
+        .select(
+            "doc_id",
+            F.round(F.col("score"), 6).alias("score"),
+            "n_toks",
+            (F.col("prior_toks") + F.sum("n_toks").over(wd)).alias("cum_toks"),
+        )
+        .filter(F.col("cum_toks") <= _BUDGET_TOKS)
+    )

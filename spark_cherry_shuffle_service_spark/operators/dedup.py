@@ -25,7 +25,7 @@ split by AQE. The pairwise-Jaccard query is intentionally blocked by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.text import (
@@ -144,7 +144,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding: the near-dup scale path.
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """Shared WITH-prefix ending in a `dups(doc_a, doc_b, jaccard)` CTE —
+    the verified near-dup pair table both minhash queries build on."""
     band_rows = []
     for band in range(_MH_BANDS):
         lo = band * _MH_ROWS + 1
@@ -167,24 +169,26 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
-                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 4) AS jaccard
-    FROM cands
-    JOIN toks ta ON ta.doc_id = doc_a
-    JOIN toks tb ON tb.doc_id = doc_b
-    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
-          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {_MH_TAU}
-    """
+    ), dups AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                   / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 4) AS jaccard
+      FROM cands
+      JOIN toks ta ON ta.doc_id = doc_a
+      JOIN toks tb ON tb.doc_id = doc_b
+      WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+            / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {_MH_TAU}
+    )"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_oracle() -> str:
+    return f"{_minhash_pairs_cte()}\n    SELECT doc_a, doc_b, jaccard FROM dups"
+
+
+def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) via banded MinHash
+    LSH — the shared body of dedup_minhash_lsh and dedup_cluster_canonical.
+    Oracle twin: _minhash_pairs_cte()'s `dups` CTE."""
     # Repartition: the fixture is one small file → one scan partition, but
     # signature computation is CPU-bound per row; spread it across the
     # cluster (same move a 100 TB corpus needs after coalesced scans).
@@ -256,6 +260,101 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("j", jacc)
         .filter(F.col("j") >= _MH_TAU)
         .select("doc_a", "doc_b", F.round(F.col("j"), 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pair_frame(spark, sf_dir)
+
+
+_CLUSTER_ROUNDS = 3
+
+
+def _cluster_oracle() -> str:
+    # Min-label propagation over the near-dup pair graph, unrolled to a
+    # fixed round count (same deterministic-round convention as
+    # graph.py::_cc_oracle — results are stable whether or not the tiny
+    # cluster graphs have converged, and 3 rounds covers any chain the
+    # fixture's planted dups form).
+    parts = [
+        _minhash_pairs_cte(),
+        """, edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )""",
+    ]
+    for i in range(1, _CLUSTER_ROUNDS + 1):
+        parts.append(
+            f""", l{i} AS (
+      SELECT n.node, LEAST(n.label, MIN(m.label)) AS label
+      FROM l{i - 1} n
+      JOIN edges e ON e.src = n.node
+      JOIN l{i - 1} m ON m.node = e.dst
+      GROUP BY n.node, n.label
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS doc_id, label AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size,
+           CASE WHEN node = label THEN 1 ELSE 0 END AS is_kept
+    FROM l{_CLUSTER_ROUNDS}
+    """
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering with canonical selection: the stage a real dedup
+# pipeline runs AFTER pair generation — connect the verified pairs into
+# clusters (min-label propagation, the connected-components kernel from
+# graph.py) and keep one canonical document per cluster (min doc_id).
+# Composes the two scale paths: LSH-banded candidates (never all-pairs)
+# and per-round-persisted iterative propagation. The label table scales
+# with the number of *duplicated* docs, not the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_canonical",
+    oracle=_cluster_oracle(),
+    tags=("dedup", "minhash", "clustering", "components", "pipeline"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pair_frame(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()  # re-joined every propagation round
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(_CLUSTER_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src)
+            .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
+            .persist()  # per-round persist: avoids O(k²) recompute (graph.py note)
+        )
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.when(F.col("node") == F.col("label"), 1).otherwise(0).alias("is_kept"),
     )
 
 

@@ -228,3 +228,88 @@ def sql_text_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_text_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_TPCH_Q10)
+
+
+# ---------------------------------------------------------------------------
+# Second SQL-text tranche: the Q4/Q12/Q14/Q19 shapes (EXISTS-count,
+# conditional-count pivot, promo ratio, disjunctive OR-of-ANDs predicate)
+# adapted to the fixture's columns (no l_shipmode/l_commitdate in the
+# generated lineitem), still one dialect-shared string per query. Integer
+# SUM(CASE ...) columns carry CAST(... AS BIGINT) inline — DuckDB returns
+# HUGEINT for bare integer SUMs (the round-1 hash-fail class).
+# ---------------------------------------------------------------------------
+_Q_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+_Q_TPCH_Q14 = """
+SELECT 100.00
+       * CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+"""
+
+_Q_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("sql_text_q4", oracle=_Q_TPCH_Q4, tags=("sql", "tpch", "api", "exists"))
+def sql_text_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q4)
+
+
+@query("sql_text_q12", oracle=_Q_TPCH_Q12, tags=("sql", "tpch", "api"))
+def sql_text_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q12)
+
+
+@query("sql_text_q14", oracle=_Q_TPCH_Q14, tags=("sql", "tpch", "api"))
+def sql_text_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q14)
+
+
+@query("sql_text_q19", oracle=_Q_TPCH_Q19, tags=("sql", "tpch", "api", "disjunctive"))
+def sql_text_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TPCH_Q19)
