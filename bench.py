@@ -90,6 +90,16 @@ HEADLINE = [
     "embedding_quantize",
     "decimal_pricing",
     "sql_text_q1",
+    # Round-2 second tranche: repetition/quality filters, BM25 + index,
+    # token-budget cut, near-dup clustering, exact percentiles, and the
+    # disjunctive-predicate SQL text.
+    "text_repetition",
+    "text_bm25",
+    "text_inverted_index",
+    "corpus_token_budget",
+    "dedup_cluster_canonical",
+    "agg_percentiles",
+    "sql_text_q19",
 ]
 
 

@@ -204,6 +204,46 @@ def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact interpolated percentiles (ordered-set aggregates): median / p90 /
+# quartiles per group. Spark `percentile` and DuckDB `quantile_cont` use
+# the same (1-g)·lower + g·upper interpolation, verified bit-identical on
+# this data. Exact percentiles sort within the aggregation — at 100 TB the
+# production path is approx_percentile (t-digest, single pass, mergeable);
+# this query pins the exact semantics the approximation is judged against.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_median,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.75) AS price_p75,
+           quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS price_iqr,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "ordered-set"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("qty_median"),
+            F.percentile("l_quantity", 0.9).alias("qty_p90"),
+            F.percentile("l_extendedprice", 0.25).alias("price_p25"),
+            F.percentile("l_extendedprice", 0.75).alias("price_p75"),
+            (
+                F.percentile("l_extendedprice", 0.75) - F.percentile("l_extendedprice", 0.25)
+            ).alias("price_iqr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # HAVING — tpcds/q44.sql:17 (SURVEY.md §2.4): agg then filter on aggregate.
 # ---------------------------------------------------------------------------
 @query(

@@ -313,3 +313,27 @@ def sql_text_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_text_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_TPCH_Q19)
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form behind CUBE/ROLLUP — tpcds q27/
+# q36/q70 family): three chosen grains in ONE Expand+aggregate pass, with
+# GROUPING() markers distinguishing them. Dialect note: Spark emits
+# GROUPING() as TINYINT, DuckDB as BIGINT — CAST inline so the shared text
+# hashes identically on both engines.
+# ---------------------------------------------------------------------------
+_Q_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
+
+@query("sql_text_grouping_sets", oracle=_Q_GROUPING_SETS, tags=("sql", "grouping-sets", "api"))
+def sql_text_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_GROUPING_SETS)

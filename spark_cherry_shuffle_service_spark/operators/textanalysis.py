@@ -423,21 +423,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = tokens(F.col("text"))
-    per_doc = docs.select(
+    # Two branches over docs: keep the bigram construction ONLY in the
+    # explode branch — carrying the gram array into the stats branch too
+    # would compute it twice (once per union/join branch; the cacheManager
+    # does not share subtrees across branches of one plan).
+    stats = docs.select(
         "doc_id",
         "source",
         F.size(toks).alias("n_toks"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-        bigrams(F.col("text")).alias("grams"),
     )
     top_gram = (
-        per_doc.select("doc_id", F.explode("grams").alias("g"))
+        docs.select("doc_id", F.explode(bigrams(F.col("text"))).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
     )
-    scored = per_doc.join(top_gram, "doc_id", "left").select(
+    scored = stats.join(top_gram, "doc_id", "left").select(
         "source",
         (F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_toks")).alias("dup_frac"),
         (
