@@ -100,6 +100,12 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "agg_percentiles",
     "sql_text_q19",
+    # Round-2 third tranche: unigram-LM surprisal scoring, temperature
+    # language mixing, RAG chunking, LSH k-NN graph.
+    "text_surprisal",
+    "corpus_temperature_sample",
+    "text_chunk",
+    "similarity_knn_graph",
 ]
 
 

@@ -423,3 +423,85 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_toks") <= _BUDGET_TOKS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted language sampling (the mT5/XLM-R data-mixing move:
+# raise per-language shares to alpha < 1 so low-resource languages are
+# relatively upsampled, then realize the target mixture by deterministically
+# DOWN-sampling over-represented languages; the largest relative weight
+# keeps rate 1.0 so nothing is upsampled). The fixture's lang column is
+# skewed (en ~43%), so the thresholds genuinely differ per stratum. Every keep/drop decision is a pure
+# function of md5(doc_id) against an integer threshold — reproducible at
+# any parallelism, re-runnable over 100 TB with identical output.
+#
+# Scale shape: one per-language count (map-side combined), a language-sized
+# weight table (SF-invariant language set → broadcast-eligible by policy),
+# one per-row filter on the scan. Thresholds are integers derived from
+# ROUND(rate,6) via FLOOR(x*1e6+0.5) so the comparison has no float
+# knife-edge between engines.
+# ---------------------------------------------------------------------------
+_TEMP_ALPHA = 0.6
+
+
+@query(
+    "corpus_temperature_sample",
+    oracle=f"""
+    WITH src AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(n_docs) AS n FROM src),
+    weighted AS (
+      SELECT lang, n_docs,
+             ROUND(n_docs / CAST(n AS DOUBLE), 6) AS share,
+             ROUND(pow(n_docs / CAST(n AS DOUBLE), {_TEMP_ALPHA}), 6) AS w_raw
+      FROM src, tot
+    ), rated AS (
+      SELECT lang, n_docs, share,
+             ROUND(w_raw / share, 6) AS rel,
+             CAST(FLOOR(ROUND((w_raw / share) / MAX(w_raw / share) OVER (), 6) * 1000000 + 0.5) AS BIGINT) AS keep_thresh
+      FROM weighted
+    )
+    SELECT r.lang, r.n_docs, r.share, r.rel, r.keep_thresh,
+           CAST(SUM(CASE WHEN {_H_SQL} % 1000000 < r.keep_thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rated r USING (lang)
+    GROUP BY r.lang, r.n_docs, r.share, r.rel, r.keep_thresh
+    ORDER BY r.lang
+    """,
+    tags=("datapipe", "mixture", "sampling", "temperature"),
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n"))
+    share = F.round(F.col("n_docs") / F.col("n").cast("double"), 6)
+    w_raw = F.round(F.pow(F.col("n_docs") / F.col("n").cast("double"), F.lit(_TEMP_ALPHA)), 6)
+    weighted = src.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", share.alias("share"), w_raw.alias("w_raw")
+    )
+    rel_expr = F.col("w_raw") / F.col("share")
+    rated = weighted.select(
+        "lang",
+        "n_docs",
+        "share",
+        F.round(rel_expr, 6).alias("rel"),
+        F.floor(
+            F.round(rel_expr / F.max(rel_expr).over(Window.partitionBy()), 6) * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("keep_thresh"),
+    )
+    return (
+        docs.join(rated, "lang")
+        .groupBy("lang", "n_docs", "share", "rel", "keep_thresh")
+        .agg(
+            F.sum(
+                F.when(_h() % 1000000 < F.col("keep_thresh"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+        .orderBy("lang")
+    )

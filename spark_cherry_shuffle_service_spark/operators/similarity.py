@@ -648,3 +648,65 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(errs, F.lit(0.0), lambda a, b: F.when(b > a, b).otherwise(a)), 6
         ).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph over the corpus embeddings: for EVERY vector, its top-k most
+# similar neighbors among LSH candidates — the building block for
+# graph-based clustering/dedup (kNN + connected components) and coverage
+# sampling. Candidates come from the shared banded sign-LSH tables
+# (lsh_candidates); exact cosine only on candidate pairs, symmetrized, then
+# a per-node top-k window. Never all-pairs: O(candidates) work + one
+# window shuffle on src — the 100 TB shape. Oracle runs the identical
+# algorithm (the LSH planes are md5-derived, engine-independent).
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ),
+    {lsh_cands_sql('vec_a', 'vec_b')},
+    sym AS (
+      SELECT vec_a AS src, vec_b AS dst FROM cands
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM cands
+    ), scored AS (
+      SELECT src, dst,
+             {_SQL_DOT_AB.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cos
+      FROM sym JOIN n a ON a.vec_id = src JOIN n b ON b.vec_id = dst
+    ), ranked AS (
+      SELECT src, dst, cos,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+      FROM scored
+    )
+    SELECT src, dst, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+    tags=("similarity", "knn", "graph", "lsh", "scale"),
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .persist()
+    )
+    cands = lsh_candidates(emb, "vec_a", "vec_b")
+    sym = cands.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(cands.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        sym.join(a, "src")
+        .join(b, "dst")
+        .withColumn("cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .select("src", "dst", "cos", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("src", "dst", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+    )

@@ -592,3 +592,114 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return df_tbl.join(sample, "term").select("term", "df", "postings")
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (perplexity proxy): fit a unigram LM on the corpus
+# itself, score each document by mean -log2 p(token) bits/token, roll up
+# per source. The standard cheap "how surprising is this text" quality
+# signal between raw scrape and an actual LM scorer.
+#
+# Scale shape: one token-level shuffle builds the frequency table (map-side
+# combined; vocab-sized output, sublinear in corpus), one scalar total, one
+# join of the exploded tokens against the vocab table (AQE broadcasts it at
+# any realistic vocab size — unhinted per the broadcast policy since vocab
+# does grow with corpus), one per-doc agg, one per-source rollup. All
+# JVM-side; linear in total tokens.
+#
+# Determinism: log2 is per-row IEEE and both engines see the identical
+# double quotient; per-doc and per-source sums go through the
+# ROUND→DECIMAL(18,6) convention so aggregation order never matters.
+# ---------------------------------------------------------------------------
+@query(
+    "text_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS tf FROM tok GROUP BY term
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    ), per_doc AS (
+      SELECT t.doc_id, t.source,
+             {davg_sql('log2(CAST(n AS DOUBLE) / tf)', 'bits_per_tok')}
+      FROM tok t JOIN freq USING (term) CROSS JOIN tot
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {davg_sql('bits_per_tok', 'avg_bits')},
+           ROUND(MIN(bits_per_tok), 6) AS min_bits,
+           ROUND(MAX(bits_per_tok), 6) AS max_bits
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "quality", "surprisal", "lm", "pipeline"),
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar: SF-invariant, hint allowed
+        .groupBy("doc_id", "source")
+        .agg(davg(F.log2(F.col("n").cast("double") / F.col("tf")), "bits_per_tok"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("bits_per_tok"), "avg_bits"),
+        F.round(F.min("bits_per_tok"), 6).alias("min_bits"),
+        F.round(F.max("bits_per_tok"), 6).alias("max_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size overlapping token windows (size 32, stride
+# 24 → 8-token overlap) — the RAG/embedding-prep op between cleaned docs
+# and the encoder. Chunk count and membership derive from the token array
+# arithmetically (sequence + slice); chunk text leaves as an md5
+# fingerprint to keep result width bounded. Embarrassingly parallel scan,
+# fan-out ≈ n_tokens/stride per doc, no shuffle at all — the plan is a
+# single projection+generate stage at any corpus size.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(len(t[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}]) AS BIGINT) AS n_toks,
+           md5(array_to_string(t[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_hash
+    FROM (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               CASE WHEN len(t) <= {_CHUNK} THEN 0
+                    ELSE CAST(ceil((len(t) - {_CHUNK}) / {_STRIDE}.0) AS INT) END)) AS k
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+    )
+    """,
+    tags=("text", "chunking", "rag", "pipeline"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    last = F.when(n <= _CHUNK, F.lit(0)).otherwise(
+        F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))).cast("int")
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("k") * _STRIDE + 1, F.lit(_CHUNK)
+    )
+    return (
+        docs.select("doc_id", t.alias("t"), F.explode(F.sequence(F.lit(0), last)).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_toks"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
