@@ -106,6 +106,10 @@ HEADLINE = [
     "corpus_temperature_sample",
     "text_chunk",
     "similarity_knn_graph",
+    "events_value_histogram",
+    "events_streaks",
+    "orders_market_basket",
+    "dedup_boilerplate_prefix",
 ]
 
 

@@ -544,3 +544,44 @@ def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eb), "doc_b")
         .select("doc_a", "doc_b", "jaccard", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-prefix dedup: documents sharing their first 16 tokens
+# verbatim (the scraped-template/header signature — cheaper and stricter
+# than MinHash, catches the "same page chrome, different tail" class).
+# Group key is md5 of the joined prefix, so the shuffle key is a fixed
+# 32-char string regardless of prefix length; single map-side-combined
+# aggregation, collision groups are tiny. Canonical = min doc_id,
+# consistent with dedup_exact.
+# ---------------------------------------------------------------------------
+_PREFIX_TOKS = 16
+
+
+@query(
+    "dedup_boilerplate_prefix",
+    oracle=f"""
+    SELECT md5(array_to_string((string_split_regex(trim(text), ' +'))[1:{_PREFIX_TOKS}], ' ')) AS prefix_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "prefix", "boilerplate", "pipeline"),
+)
+def dedup_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    prefix_hash = F.md5(
+        F.array_join(F.slice(tokens(F.col("text")), 1, _PREFIX_TOKS), " ")
+    )
+    return (
+        docs.groupBy(prefix_hash.alias("prefix_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

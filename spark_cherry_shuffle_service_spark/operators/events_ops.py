@@ -544,3 +544,78 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("interval_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin value histogram per event type: bin = LEAST(FLOOR(value/50), 9)
+# over [0, 500). The binning is the identical double expression on both
+# engines (no width_bucket dialect drift), so bin ids agree exactly.
+# Scale: one map-side-combined shuffle on (type, bin) — histogram state is
+# nbins·ntypes rows at any event volume; the standard profiling pass
+# before outlier filtering.
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           {dsum_sql('value', 'bin_value')}
+    FROM events
+    GROUP BY event_type, LEAST(FLOOR(value / 50.0), 9)
+    """,
+    tags=("events", "histogram", "profile"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "bin_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-active-day streaks via the
+# classic date-minus-row_number island key. Two shuffles total: distinct
+# (user, day), then everything else stays inside one user-partitioned
+# window + per-user agg — the same plan at any user count.
+# ---------------------------------------------------------------------------
+@query(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("events", "window", "islands"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

@@ -892,3 +892,36 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.add_months(_d("o_orderdate"), 3)).alias("earliest_plus_3mo"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs co-occurring in the same order, top 25
+# by support. The pair generation is a SELF-JOIN WITHIN ORDER BLOCKS
+# (l_orderkey equi-join, part_a < part_b) — fan-out is bounded by
+# lines-per-order (~7 in TPC-H at every SF), so candidate volume is
+# ~C(7,2)·n_orders: linear in data, never all-pairs over parts. One
+# shuffle on orderkey + one map-side-combined count on the pair.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_market_basket",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+    tags=("join", "self", "basket", "affinity"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a["ok"] == b["ok"]) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(25)
+    )
