@@ -110,6 +110,8 @@ HEADLINE = [
     "events_streaks",
     "orders_market_basket",
     "dedup_boilerplate_prefix",
+    "sql_text_lateral",
+    "sql_text_recursive",
 ]
 
 

@@ -337,3 +337,55 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linesta
 def sql_text_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_GROUPING_SETS)
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery (top-N per group as the parser writes it):
+# each nation row drives a correlated ordered-LIMIT probe. Spark decorrelates
+# this into a ranked window under the hood — the plan is the same row_number
+# top-k, but the LATERAL *syntax* is its own analyzer surface (Spark 3.2+,
+# DuckDB-shared). LIMIT inside carries the unique o_orderkey tiebreak.
+# ---------------------------------------------------------------------------
+_Q_LATERAL = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey % 25 = n.n_nationkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@query("sql_text_lateral", oracle=_Q_LATERAL, tags=("sql", "lateral", "topk-per-group", "api"))
+def sql_text_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_LATERAL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4.0+ WITH RECURSIVE, DuckDB-shared): generate the
+# January-2024 date spine by recursion and gap-fill daily event counts
+# against it. Dialect pins: DATE + INTERVAL re-CAST to DATE (DuckDB
+# promotes to TIMESTAMP), date_trunc CAST to DATE (Spark returns
+# TIMESTAMP). The spine is bounded (31 rows) — recursion depth is fixed,
+# independent of data volume; the events side is one map-side-combined
+# day rollup.
+# ---------------------------------------------------------------------------
+_Q_RECURSIVE = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine WHERE d < DATE '2024-01-31'
+), daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+)
+SELECT spine.d AS day, COALESCE(daily.n, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
+@query("sql_text_recursive", oracle=_Q_RECURSIVE, tags=("sql", "recursive-cte", "gapfill", "api"))
+def sql_text_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_RECURSIVE)
