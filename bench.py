@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_boilerplate_prefix",
     "sql_text_lateral",
     "sql_text_recursive",
+    "agg_correlation",
 ]
 
 

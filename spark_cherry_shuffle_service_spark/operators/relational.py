@@ -925,3 +925,70 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance / OLS slope per group — computed from the five
+# decimal-routed component sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than the
+# engines' native corr()/covar_samp(): the native accumulators sum doubles
+# in partition order (non-deterministic across engines and parallelism),
+# while component sums go through ROUND→DECIMAL→SUM and widen to
+# DECIMAL(28,6)/(38,6) — exact, order-free, then one identical per-row
+# double formula on both engines. Same single map-side-combined shuffle as
+# any GROUP BY; the sufficient-statistics pattern every distributed ML
+# preprocessing pass uses.
+# ---------------------------------------------------------------------------
+def _corr_sql_body() -> str:
+    comp = {
+        "sx": dsum_sql("l_quantity"),
+        "sy": dsum_sql("l_extendedprice"),
+        "sxy": dsum_sql("l_quantity * l_extendedprice"),
+        "sxx": dsum_sql("l_quantity * l_quantity"),
+        "syy": dsum_sql("l_extendedprice * l_extendedprice"),
+    }
+    cols = ",\n             ".join(f"{v} AS {k}" for k, v in comp.items())
+    return f"""
+    WITH comp AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {cols}
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_samp_qty_price,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n, 6) AS intercept
+    FROM comp
+    """
+
+
+@query(
+    "agg_correlation",
+    oracle=_corr_sql_body(),
+    tags=("agg", "corr", "sufficient-stats"),
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_num = n * sxy - sx * sy
+    slope = cov_num / (n * sxx - sx * sx)
+    return comp.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("corr_qty_price"),
+        F.round(cov_num / (n * (n - 1)), 6).alias("covar_samp_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("intercept"),
+    )
