@@ -113,6 +113,7 @@ HEADLINE = [
     "sql_text_lateral",
     "sql_text_recursive",
     "agg_correlation",
+    "multimodal_audio_energy",
 ]
 
 

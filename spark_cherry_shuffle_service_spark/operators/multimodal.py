@@ -300,3 +300,78 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python batches across cores instead of one scan partition.
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio-shaped analysis: treat the payload as 8-bit PCM, slice into
+# non-overlapping 64-sample windows, and compute per-window energy
+# Σ(x-128)² — then per-blob window count, total/max energy, and a quiet-
+# window count (energy < 64·1900 ⇔ RMS below the corpus median). This is the VAD/silence-
+# trim front of an audio pipeline in stub form. Deliberately ALL-INTEGER
+# math: a float RMS would hash-flake on numpy-pairwise vs sequential
+# summation order; integer sums are exact on every engine. Arrow-batched
+# mapInPandas, numpy reshape+sum per batch — at scale the window energies
+# feed a real VAD model over the same plumbing.
+# ---------------------------------------------------------------------------
+_AUDIO_WIN = 64
+_AUDIO_QUIET = _AUDIO_WIN * 1900  # avg square < 1900 ⇔ RMS < ~43.6
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("max_energy", LongType()),
+        StructField("n_quiet", LongType()),
+    ]
+)
+
+
+def audio_energy_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        out = {"doc_id": [], "n_windows": [], "total_energy": [], "max_energy": [], "n_quiet": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+            n_win = len(arr) // _AUDIO_WIN
+            if n_win == 0:
+                continue
+            windows = (arr[: n_win * _AUDIO_WIN] - 128).reshape(n_win, _AUDIO_WIN)
+            energy = (windows * windows).sum(axis=1)
+            out["doc_id"].append(int(doc_id))
+            out["n_windows"].append(n_win)
+            out["total_energy"].append(int(energy.sum()))
+            out["max_energy"].append(int(energy.max()))
+            out["n_quiet"].append(int((energy < _AUDIO_QUIET).sum()))
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_BYTES} AS bl FROM documents
+    ), w AS (
+      SELECT doc_id, bl,
+             unnest(generate_series(0, CAST(floor(len(bl) / {_AUDIO_WIN}) AS INT) - 1)) AS k
+      FROM b WHERE len(bl) >= {_AUDIO_WIN}
+    ), e AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(bl[k * {_AUDIO_WIN} + 1 : k * {_AUDIO_WIN} + {_AUDIO_WIN}],
+                                          x -> (x - 128) * (x - 128))) AS BIGINT) AS energy
+      FROM w
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(MAX(energy) AS BIGINT) AS max_energy,
+           CAST(SUM(CASE WHEN energy < {_AUDIO_QUIET} THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet
+    FROM e GROUP BY doc_id
+    """,
+    tags=("multimodal", "mapInPandas", "audio", "stub"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(table(spark, sf_dir, "documents")).select("doc_id", "payload")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(audio_energy_batches, AUDIO_SCHEMA)
