@@ -114,6 +114,7 @@ HEADLINE = [
     "sql_text_recursive",
     "agg_correlation",
     "multimodal_audio_energy",
+    "events_anomaly_mad",
 ]
 
 

@@ -619,3 +619,58 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: per-type median + MAD (median absolute
+# deviation), flag values beyond 6·MAD — the outlier filter that survives
+# heavy-tailed value distributions where mean/stddev break. Exact medians
+# here pin the semantics (interpolation parity with DuckDB quantile_cont is
+# verified by agg_percentiles); at 100 TB both medians become
+# approx_percentile sketches over the same two-pass shape: tiny per-type
+# stats tables (ntypes rows, AQE-broadcast) joined back to the stream.
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(MIN(d.med), 6) AS med,
+           ROUND(MIN(a.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN abs(d.value - d.med) > 6 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("events", "anomaly", "robust-stats"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(med, "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -289,7 +289,14 @@ def test_daily_gapfill_broadcasts_spine(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["similarity_pairs", "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_crossmodal"],
+    [
+        "similarity_pairs",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "dedup_crossmodal",
+        "similarity_knn_graph",
+        "orders_market_basket",
+    ],
 )
 def test_pair_generators_have_no_allpairs_product(spark, name):
     """Round-1 shipped these as O(N²) theta joins; candidates must now come
