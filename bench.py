@@ -115,6 +115,7 @@ HEADLINE = [
     "agg_correlation",
     "multimodal_audio_energy",
     "events_anomaly_mad",
+    "dedup_containment",
 ]
 
 

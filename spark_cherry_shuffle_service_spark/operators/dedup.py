@@ -585,3 +585,70 @@ def dedup_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional containment dedup: C(A→B) = |A∩B| / |A| over 3-shingle sets
+# — catches the quote/subset class (one document embedded in another) that
+# symmetric Jaccard misses, for a probe set of every-10th document against
+# the whole corpus. Candidates: A-side PPJoin prefix (length
+# |A| − ceil(τ·|A|) + 1 in the md5 global order — pigeonhole-complete for
+# overlap ≥ ceil(τ·|A|)) equi-joined against an inverted index of ALL
+# corpus shingles; exact intersect only on candidates. The oracle keeps
+# the declarative all-pairs form over the probe subset — the prefix plan
+# must return the identical answer, which is the recall-completeness
+# proof at fixture scale (and test_prefix_filter_candidates_are_recall_
+# complete pins the lemma itself). At 100 TB the B-side index caps
+# ultra-common shingles by df with a residual verify pass.
+# ---------------------------------------------------------------------------
+_CONT_TAU = 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 4) AS containment
+    FROM s a JOIN s b ON a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= {_CONT_TAU}
+    """,
+    tags=("dedup", "containment", "prefix-filter", "scale"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", shingles3(F.col("text")).alias("sh"))
+        .persist()  # feeds probe prefix, corpus index, and both verify sides
+    )
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    pref = probe.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(prefix_tokens(F.col("sh"), _CONT_TAU)).alias("ptok"),
+    )
+    index = docs.select(
+        F.col("doc_id").alias("doc_b"), F.explode(F.col("sh")).alias("ptok")
+    )
+    cands = (
+        pref.join(index, "ptok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cont = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.col("sh_a"))
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c", cont)
+        .filter(F.col("c") >= _CONT_TAU)
+        .select("doc_a", "doc_b", F.round(F.col("c"), 4).alias("containment"))
+    )
