@@ -700,3 +700,60 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).alias("n_parts"), dsum(F.col("part_rev"), "class_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-customer Recency/Frequency/Monetary scored into
+# quintiles (NTILE(5) with the o_custkey tiebreak for cross-engine
+# determinism), rolled up to segment counts + revenue. The per-customer
+# aggregate shuffles once on custkey; the three global NTILE windows run
+# over the |customer| grain, never the fact table. At 100 TB the exact
+# global sort would be replaced by approx-quantile boundaries broadcast
+# back (one scalar aggregate + a map-side bucket lookup) — the fixture
+# keeps exact NTILE so the DuckDB oracle is bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_rfm",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-08-02') AS recency_days,
+             COUNT(*) AS frequency,
+             {dsum_sql('o_totalprice', 'monetary')}
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT monetary,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           {dsum_sql('monetary', 'segment_revenue')}
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("olap", "rfm", "window", "ntile", "analytics"),
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("1998-08-02").cast("date"), F.max(F.to_date("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice"), "monetary"),
+        )
+    )
+    scored = per_cust.select(
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"), dsum(F.col("monetary"), "segment_revenue")
+    )
