@@ -1,0 +1,167 @@
+"""Data-quality and change-data-capture operators.
+
+A 100 TB ingest pipeline audits referential integrity and diffs snapshot
+generations before publishing. The reference exercises the underlying
+join/agg machinery (outer joins, anti joins — SURVEY.md §2.3); these
+operators package them as the DQ surface a warehouse user expects.
+
+Scale notes: each integrity relation is ONE left join shuffled on the key
+with a map-side-combined count — never a collect. The CDC diff is a single
+full-outer self-join on the primary key; both snapshot sides derive from
+the same scan via deterministic md5 buckets, so the diff is
+reproducible at any parallelism (no RNG, CLAUDE.md md5 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every FK edge of the star
+# schema, plus reverse coverage (parent rows never referenced). Each
+# relation is one LEFT join on the key — sum(CASE WHEN parent IS NULL)
+# combines map-side; the bounded output (6 rows) unions cheaply.
+# ---------------------------------------------------------------------------
+def _fk_audit(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, name: str) -> DataFrame:
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return (
+        child.join(p, child[child_key] == p["__pk"], "left")
+        .agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+    )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                 ON o_custkey = c_custkey WHERE c_custkey IS NULL) AS BIGINT) AS n_unmatched
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                 ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+                 ON l_partkey = p_partkey WHERE p_partkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           CAST((SELECT COUNT(*) FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+                 ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'customer<-orders coverage',
+           (SELECT COUNT(*) FROM customer),
+           CAST((SELECT COUNT(*) FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                 ON c_custkey = o_custkey WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'part<-lineitem coverage',
+           (SELECT COUNT(*) FROM part),
+           CAST((SELECT COUNT(*) FROM part LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+                 ON p_partkey = l_partkey WHERE l_partkey IS NULL) AS BIGINT)
+    """,
+    tags=("dq", "integrity", "anti_join", "analytics"),
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    audits = [
+        _fk_audit(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        _fk_audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        _fk_audit(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        _fk_audit(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        _fk_audit(cust, "c_custkey", orders, "o_custkey", "customer<-orders coverage"),
+        _fk_audit(part, "p_partkey", li, "l_partkey", "part<-lineitem coverage"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: two order-table generations derived deterministically
+# from md5(o_orderkey) buckets — snapshot A drops bucket 0, snapshot B
+# drops bucket 1 and reprices bucket 2 — then a full-outer join on the
+# primary key classifies every key as insert / delete / update / unchanged.
+# The classification rolls up to a bounded 4-row summary with the repriced
+# revenue per class. At 100 TB both snapshots would be separate parquet
+# roots diffed by the same single full-outer join on the PK.
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 20 AS INT)"
+
+
+def _bucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+        % 20
+    ).cast("int")
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, {_BUCKET_SQL} AS b FROM orders
+    ), snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM base WHERE b <> 0
+    ), snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN b = 2 THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE b <> 1
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN bb.o_orderkey IS NULL THEN 'delete'
+                WHEN a.o_totalprice <> bb.o_totalprice THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_keys,
+           {dsum_sql('COALESCE(bb.o_totalprice, a.o_totalprice)', 'affected_value')}
+    FROM snap_a a FULL OUTER JOIN snap_b bb ON a.o_orderkey = bb.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("dq", "cdc", "full_outer", "analytics"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", _bucket().alias("b")
+    )
+    snap_a = base.filter(F.col("b") != 0).select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
+    )
+    snap_b = base.filter(F.col("b") != 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.when(F.col("b") == 2, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_price"),
+    )
+    change = (
+        F.when(F.col("a_key").isNull(), "insert")
+        .when(F.col("b_key").isNull(), "delete")
+        .when(F.col("a_price") != F.col("b_price"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        snap_a.join(snap_b, snap_a.a_key == snap_b.b_key, "full_outer")
+        .groupBy(change.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            dsum(F.coalesce(F.col("b_price"), F.col("a_price")), "affected_value"),
+        )
+    )

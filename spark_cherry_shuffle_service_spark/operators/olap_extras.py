@@ -757,3 +757,61 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"), dsum(F.col("monetary"), "segment_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: order priority × order status
+# contingency table, expected counts from row/col marginals, per-cell
+# (obs-exp)²/exp contributions and the global statistic. One shuffle
+# builds the contingency (bounded 5×3 grain); the marginals are windows
+# over that bounded grain, so the "global" windows never touch the fact
+# table — the safe pattern for grand-total math at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_chi2",
+    oracle="""
+    WITH cont AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, COUNT(*) AS obs
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, st, obs,
+             SUM(obs) OVER (PARTITION BY pri) AS row_tot,
+             SUM(obs) OVER (PARTITION BY st) AS col_tot,
+             SUM(obs) OVER () AS grand
+      FROM cont
+    )
+    SELECT pri, st, CAST(obs AS BIGINT) AS obs,
+           ROUND(row_tot * col_tot / CAST(grand AS DOUBLE), 4) AS expected,
+           ROUND(POWER(obs - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+                 / (row_tot * col_tot / CAST(grand AS DOUBLE)), 6) AS chi2_term
+    FROM m
+    """,
+    tags=("olap", "stats", "chi2", "analytics"),
+)
+def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cont = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w_row = Window.partitionBy("pri")
+    w_col = Window.partitionBy("st")
+    w_all = Window.partitionBy()
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    return (
+        cont.select(
+            "pri",
+            "st",
+            "obs",
+            F.sum("obs").over(w_row).alias("row_tot"),
+            F.sum("obs").over(w_col).alias("col_tot"),
+            F.sum("obs").over(w_all).alias("grand"),
+        )
+        .select(
+            "pri",
+            "st",
+            "obs",
+            F.round(exp, 4).alias("expected"),
+            F.round(F.pow(F.col("obs") - exp, 2) / exp, 6).alias("chi2_term"),
+        )
+    )

@@ -703,3 +703,96 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the token distribution per language — the corpus
+# diversity metric a training-data card reports. Two aggregation grains:
+# (lang, token) counts shuffle once on the compound key with map-side
+# combine; the per-lang entropy sum runs over the bounded vocabulary
+# grain. -Σ p·ln p routes through the decimal-sum convention so the
+# float reduction is order-independent cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "text_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w
+    ), tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS vocab FROM counts GROUP BY lang
+    )
+    SELECT counts.lang, n_tok, vocab,
+           {dsum_sql('-(c / CAST(n_tok AS DOUBLE)) * ln(c / CAST(n_tok AS DOUBLE))', 'entropy_nats')}
+    FROM counts JOIN tot ON counts.lang = tot.lang
+    GROUP BY counts.lang, n_tok, vocab
+    """,
+    tags=("text", "entropy", "analytics", "pipeline"),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy(F.col("lang").alias("t_lang")).agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = F.col("c") / F.col("n_tok").cast("double")
+    return (
+        counts.join(tot, counts.lang == tot.t_lang)
+        .groupBy("lang", "n_tok", "vocab")
+        .agg(dsum(-p * F.log(p), "entropy_nats"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy lookup: nearest part name per canonical probe string by Levenshtein
+# edit distance. The probe set is FIXED (SF-invariant → broadcast per the
+# repo policy), so the scan is O(N·k); the per-probe argmin is
+# min(struct(dist, key, name)) — lexicographic struct-min partial-
+# aggregates map-side, so no single-partition window over the corpus
+# (the scalable top-1 shape; the oracle uses ROW_NUMBER, which is fine
+# for SQL-on-fixture). Unique p_partkey tiebreak keeps cross-engine ties
+# deterministic.
+# ---------------------------------------------------------------------------
+_PROBES = ("goldenrod lavender spring", "midnight linen almond", "antique sky peru")
+
+
+@query(
+    "text_fuzzy_lookup",
+    oracle=f"""
+    WITH probes(probe) AS (VALUES {', '.join("('" + p + "')" for p in _PROBES)}),
+    d AS (
+      SELECT probe, p_partkey, p_name, levenshtein(p_name, probe) AS edit_dist
+      FROM part CROSS JOIN probes
+    ), r AS (
+      SELECT probe, p_partkey, p_name, edit_dist,
+             ROW_NUMBER() OVER (PARTITION BY probe ORDER BY edit_dist, p_partkey) AS rn
+      FROM d
+    )
+    SELECT probe, edit_dist, p_partkey, p_name FROM r WHERE rn = 1
+    """,
+    tags=("text", "fuzzy", "levenshtein", "pipeline"),
+)
+def text_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = spark.createDataFrame([(p,) for p in _PROBES], ["probe"])
+    part = table(spark, sf_dir, "part")
+    scored = part.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        F.struct(
+            F.levenshtein("p_name", "probe").alias("edit_dist"),
+            F.col("p_partkey"),
+            F.col("p_name"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("probe").agg(F.min("cand").alias("best"))
+    return best.select(
+        "probe",
+        F.col("best.edit_dist").alias("edit_dist"),
+        F.col("best.p_partkey").alias("p_partkey"),
+        F.col("best.p_name").alias("p_name"),
+    )
