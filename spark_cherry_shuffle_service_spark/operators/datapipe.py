@@ -505,3 +505,64 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) sampling: include doc i with
+# probability min(1, k * w_i / W_source) where w = n_chars and W is the
+# per-source weight total — the Poisson-sampling design whose expected
+# sample size is k per source, with heavy docs preferentially kept (how a
+# token-weighted pretraining subsample is drawn). The inclusion test
+# u < p uses the md5-uniform u = (h+1)/2^32 — an exact rational on both
+# engines — and one double divide; no transcendental functions (cross-
+# engine libm drift in ln/pow is the hash-flake class this avoids; see
+# the A-ES exp-key variant this replaces). Two passes over the scan: a
+# 10-row weight-total aggregate (AQE-broadcast back), then the filtered
+# per-source rollup. Decisions are pure per-row functions — identical on
+# one executor or a thousand.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w_total,
+             COUNT(*) AS n_docs
+      FROM documents
+    GROUP BY source
+    ), marked AS (
+      SELECT d.source, d.n_chars, w.w_total, w.n_docs,
+             CASE WHEN ({_H_SQL} + 1) / 4294967296.0
+                  < 200.0 * d.n_chars / w.w_total THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN w USING (source)
+    )
+    SELECT source,
+           MIN(n_docs) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+           MIN(w_total) AS total_chars
+    FROM marked
+    GROUP BY source
+    """,
+    tags=("sampling", "weighted", "datapipe"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("w_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    u = (_h() + 1) / F.lit(4294967296.0)
+    keep = F.when(u < 200.0 * F.col("n_chars") / F.col("w_total"), 1).otherwise(0)
+    return (
+        docs.join(w, "source")
+        .withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("sampled_chars"),
+            F.min("w_total").alias("total_chars"),
+        )
+    )

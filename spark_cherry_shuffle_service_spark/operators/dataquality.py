@@ -17,8 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
-from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -164,4 +164,80 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_keys"),
             dsum(F.coalesce(F.col("b_price"), F.col("a_price")), "affected_value"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build: collapse each user's event stream into
+# validity-interval versions (a new version starts whenever event_type
+# changes — the gaps-and-islands LAG/running-SUM pattern), close each
+# version with LEAD of the next version's start, then roll up per type.
+# This is how a warehouse derives a slowly-changing dimension from a CDC
+# event log. All three windows share ONE partitioning (user_id) — a single
+# shuffle feeds lag, island-sum and lead; durations go through davg in
+# integer milliseconds (unix_millis / epoch_ms truncate identically).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver
+      FROM flagged
+    ), versions AS (
+      SELECT user_id, event_type, ver, MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, event_type, ver
+    ), closed AS (
+      SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to
+      FROM versions
+    )
+    SELECT event_type,
+           COUNT(*) AS n_versions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           {davg} 
+    FROM closed
+    GROUP BY event_type
+    """.format(
+        davg=davg_sql(
+            "CASE WHEN valid_to IS NOT NULL THEN (epoch_ms(valid_to) - epoch_ms(valid_from)) / 1000.0 END",
+            "avg_version_sec",
+        )
+    ),
+    tags=("dq", "scd2", "window", "gaps_islands"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = islands.groupBy("user_id", "event_type", "ver").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    closed = versions.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(Window.partitionBy("user_id").orderBy("ver")),
+    )
+    dur = F.when(
+        F.col("valid_to").isNotNull(),
+        (F.unix_millis("valid_to") - F.unix_millis("valid_from")) / 1000.0,
+    )
+    return closed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).cast("long").alias("n_current"),
+        davg(dur, "avg_version_sec"),
     )

@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
-from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -673,4 +673,44 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles: per (event_type, hour) bar with open/close picked by min_by/
+# max_by on the unique event_id (deterministic at any parallelism — ts alone
+# can collide), high/low from plain MIN/MAX, and an order-independent VWAP-
+# style mean. One shuffle on (event_type, hour); output is bounded by
+# types x hours (the fixture's 30-day window), independent of SF — the
+# classic time-series downsample that runs map-side-combined at 100 TB.
+# Reference parity: exercises arg-min/arg-max aggregate semantics the
+# reference reaches through first/last over sorted shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_hour,
+           arg_min(value, event_id) AS open,
+           arg_max(value, event_id) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           COUNT(*) AS volume,
+           {davg}
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """.format(davg=davg_sql("value", "mean_value")),
+    tags=("events", "timeseries", "min_by", "analytics"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    ).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max_by("value", "event_id").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("volume"),
+        davg(F.col("value"), "mean_value"),
     )

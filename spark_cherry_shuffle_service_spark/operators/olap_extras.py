@@ -815,3 +815,116 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.col("obs") - exp, 2) / exp, 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline: per brand, the parts not dominated on (retailprice min,
+# size max). The declarative definition is a quadratic NOT EXISTS self-join
+# (the oracle keeps that form); the Spark plan is the O(n log n) sweep —
+# sort by price within brand, and a part is dominated iff a strictly
+# cheaper part has size >= its size (running MAX over a RANGE frame on
+# integer cents) or an equal-priced part has strictly larger size. One
+# window shuffle on brand vs the oracle's O(n^2) join — the survives-100x
+# rewrite of a multi-criteria "best offers" query.
+# ---------------------------------------------------------------------------
+@query(
+    "part_skyline",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("skyline", "window", "analytics"),
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_c")
+    dominated = (
+        F.coalesce(F.max("p_size").over(w_cheaper) >= F.col("p_size"), F.lit(False))
+        | (F.max("p_size").over(w_same) > F.col("p_size"))
+    )
+    return (
+        p.withColumn("__dom", dominated)
+        .filter(~F.col("__dom"))
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend per nation. Spend is rescaled to
+# millions and rounded BEFORE the rank-weighted sums (identical per-row
+# doubles on both engines; keeps i*x inside DECIMAL(18,6) range at any SF —
+# raw dollars would overflow the exact accumulator). Rank ties break on the
+# unique custkey, so the i*x_i sum is parallelism-invariant. Two shuffles:
+# customer-key agg, then one window + agg per nation. Customers with no
+# orders count as zero spend — that is what makes it a concentration audit.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             ROUND(COALESCE({psum}, 0) / 1000000, 6) AS x
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), ranked AS (
+      SELECT c_nationkey, x,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY x, c_custkey) AS i
+      FROM spend
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           ROUND(2 * {six} / (COUNT(*) * {sx}) - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    """.format(
+        psum=dsum_sql("o.o_totalprice"),
+        six=dsum_sql("r.i * r.x"),
+        sx=dsum_sql("r.x"),
+    ),
+    tags=("gini", "window", "analytics"),
+)
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.round(
+                F.coalesce(F.sum(money(F.col("o_totalprice"))).cast("double"), F.lit(0.0))
+                / 1000000,
+                6,
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                2 * F.sum(money(F.col("i") * F.col("x"))).cast("double")
+                / (F.count(F.lit(1)) * F.sum(money(F.col("x"))).cast("double"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+    )

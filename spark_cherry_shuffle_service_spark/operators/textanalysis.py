@@ -796,3 +796,86 @@ def text_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.p_partkey").alias("p_partkey"),
         F.col("best.p_name").alias("p_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction. The fixture corpus is synthetic word-soup, so
+# the PII is INJECTED deterministically first (an md5-derived email on
+# doc_id % 7 == 0, a 555- phone on doc_id % 11 == 0 — pure functions of
+# doc_id, reproducible at any parallelism), then detected back with the
+# regex tier of a real scrubber and redacted with regexp_replace. Patterns
+# stay in the RE2 ∩ Java-regex dialect (character classes + quantifiers,
+# no lookarounds) so Spark and DuckDB agree byte-for-byte. Everything is
+# JVM-side string expressions — the shape that runs inside whole-stage
+# codegen over 100 TB of scraped text, no Python in the loop.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT source,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-' || lpad(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+      FROM documents
+    ), scanned AS (
+      SELECT source, t,
+             len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM injected
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(n_email + n_phone) AS BIGINT) AS n_pii_spans,
+           CAST(SUM(len(t) - len(redacted)) AS BIGINT) AS chars_removed
+    FROM scanned
+    GROUP BY source
+    """,
+    tags=("text", "pii", "regex", "datapipe"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    key = F.md5(F.col("doc_id").cast("string"))
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact "), F.substring(key, 1, 6), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad(
+                (F.conv(F.substring(key, 9, 4), 16, 10).cast("long") % 10000).cast("string"),
+                4,
+                "0",
+            ),
+        ),
+    ).otherwise("")
+    t = F.concat(F.col("text"), email, phone)
+    scanned = docs.select(
+        "source",
+        t.alias("t"),
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))).alias("n_phone"),
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0)).cast("long").alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0)).cast("long").alias("docs_with_phone"),
+        F.sum(F.col("n_email") + F.col("n_phone")).cast("long").alias("n_pii_spans"),
+        F.sum(F.length("t") - F.length("redacted")).cast("long").alias("chars_removed"),
+    )
