@@ -37,18 +37,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table as a DataFrame."""
+    """Read one fixture table as a DataFrame.
+
+    Schema-on-read (TPCDSQueryBenchmark.scala:71 pattern): no physical-type
+    assumptions. The events fixture has shipped `ts` as both TIMESTAMP(NANOS)
+    and timestamp[us]; branch on the dtype Spark actually infers so either
+    file works, always normalizing to session-TZ TimestampType.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's vectorized reader
-        # rejects; read nanos as long (runtime-settable legacy conf) and
-        # convert — lossless, the fixture carries no sub-µs precision.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
+        # Legacy conf makes a TIMESTAMP(NANOS) file readable (as long);
+        # harmless no-op for µs files.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos-as-long → µs timestamp; lossless, fixture has no sub-µs.
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(ts_type, TimestampType):
+            # TIMESTAMP_NTZ (µs, no tz) → session-TZ timestamp (UTC session
+            # ⇒ identical instants to the nanos path).
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -57,10 +71,29 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register every table as a temp view (TPCDSQueryBenchmark.scala:71 pattern)."""
-    dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    """Register every table as a temp view (TPCDSQueryBenchmark.scala:71
+    pattern). Per-table isolation: one unreadable/drifted table must not
+    take down the other nine views — queries touching only healthy tables
+    keep working, and the failure names the exact table."""
+    dfs: dict[str, DataFrame] = {}
+    errors: dict[str, Exception] = {}
+    for name in TABLES:
+        try:
+            df = table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+        except Exception as exc:  # noqa: BLE001 — collect, re-raise summarized
+            errors[name] = exc
+    if errors:
+        detail = "; ".join(f"{t}: {type(e).__name__}: {e}" for t, e in errors.items())
+        import warnings
+
+        warnings.warn(
+            f"register_views: {len(errors)} table(s) failed to register "
+            f"({', '.join(errors)}) — remaining {len(dfs)} views are live. {detail}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return dfs
 
 

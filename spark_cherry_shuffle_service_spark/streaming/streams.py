@@ -27,12 +27,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# The fixture stores ts as TIMESTAMP(NANOS) → read as long (legacy conf,
-# see sources/catalog.py) and convert to a µs timestamp after read.
+#: Logical (post-normalization) events schema: what every downstream
+#: operator sees after `normalize_ts`, regardless of the file's physical
+#: `ts` encoding (TIMESTAMP(NANOS)-as-long or timestamp[us] NTZ).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -40,20 +41,42 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-_ = TimestampType  # re-exported for stream authors writing real ts sources
+
+def events_file_schema(spark: SparkSession, path: str) -> StructType:
+    """Physical schema of an events parquet file/dir, probed via a batch
+    read of the footer (streaming reads require an explicit schema, and it
+    must match the file — schema-on-read, never hardcoded: the fixture's
+    `ts` physical type has drifted across driver regenerations)."""
+    # Legacy conf makes a TIMESTAMP(NANOS) file readable (as long); no-op
+    # for µs files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize any physical `ts` encoding to session-TZ TimestampType:
+    nanos-as-long → timestamp_micros(ts div 1000); TIMESTAMP_NTZ → cast."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema must be explicit
-    for streaming reads)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for streaming reads; probed from the footer, then ts-normalized)."""
+    schema = events_file_schema(spark, f"{sf_dir}/events.parquet")
     # File streams need a directory source; glob down to the events table.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

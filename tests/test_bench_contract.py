@@ -1,0 +1,46 @@
+"""Driver-contract pre-flight (VERDICT r2 item #2).
+
+Round 2 shipped a bench that crashed at query 12/75 because nothing built
+the HEADLINE queries at test time. These tests BUILD (not execute) every
+HEADLINE DataFrame plus every registered query, so a plan-level crash in
+any driver-facing contract fails pytest at commit time instead of the
+grading run.
+"""
+
+from __future__ import annotations
+
+from bench import HEADLINE
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def test_every_headline_query_builds(spark):
+    """Every bench.py HEADLINE entry must resolve in the registry and build
+    to a DataFrame with a non-empty schema (analysis runs; no execution)."""
+    specs = all_specs()
+    missing = [n for n in HEADLINE if n not in specs]
+    assert not missing, f"HEADLINE names absent from registry: {missing}"
+    failed: dict[str, str] = {}
+    for name in HEADLINE:
+        try:
+            df = specs[name].builder(spark, SF_SMOKE)
+            assert len(df.schema.fields) > 0
+        except Exception as exc:  # noqa: BLE001 — report all, not first
+            failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+    assert not failed, f"{len(failed)} HEADLINE queries fail to build: {failed}"
+
+
+def test_headline_has_no_duplicates():
+    assert len(HEADLINE) == len(set(HEADLINE))
+
+
+def test_entry_module_contract(spark):
+    """__spark_entry__ must expose entry/queries/oracle_sql with matching
+    keys, and entry() must build against the smoke fixture."""
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle_sql keys must be a subset of queries"
+    df = mod.entry(spark)
+    assert len(df.schema.fields) > 0

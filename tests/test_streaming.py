@@ -56,21 +56,20 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     equal the batch-side totals."""
     from pyspark.sql import functions as F  # noqa: F811
     from spark_cherry_shuffle_service_spark.streaming.streams import (
-        EVENTS_SCHEMA,
+        events_file_schema,
+        normalize_ts,
         running_user_totals_stream,
         run_to_memory,
     )
 
     src = str(tmp_path / "events_split")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw = table(spark, SF_SMOKE, "events")
     raw.repartition(3).write.mode("overwrite").parquet(src)
 
-    stream_raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream_raw = normalize_ts(
+        spark.readStream.schema(events_file_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     out = run_to_memory(running_user_totals_stream(stream_raw), "user_totals", mode="update")
     # update mode appends one row per (user, batch); the final state per
@@ -97,20 +96,19 @@ def test_foreach_batch_incremental_aggregate(spark, tmp_path):
     parquet hourly table must equal the one-shot batch aggregate."""
     from pyspark.sql import functions as F  # noqa: F811
     from spark_cherry_shuffle_service_spark.streaming.streams import (
-        EVENTS_SCHEMA,
+        events_file_schema,
+        normalize_ts,
         run_incremental_aggregate,
     )
 
     src = str(tmp_path / "events_split")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(3).write.mode(
+    table(spark, SF_SMOKE, "events").repartition(3).write.mode(
         "overwrite"
     ).parquet(src)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = normalize_ts(
+        spark.readStream.schema(events_file_schema(spark, src))
         .option("maxFilesPerTrigger", 1)  # 3 separate merge batches
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     target = str(tmp_path / "hourly_agg")
     run_incremental_aggregate(stream, target, str(tmp_path / "ckpt"))
@@ -155,18 +153,10 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     joined to clicks by the same user within 1 hour before the purchase.
     Must equal the identical batch join."""
     from pyspark.sql import functions as F  # noqa: F811
-    from spark_cherry_shuffle_service_spark.streaming.streams import EVENTS_SCHEMA
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from spark_cherry_shuffle_service_spark.streaming.streams import read_events_stream
 
     def src(kind):
-        return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(SF_SMOKE)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == kind)
-        )
+        return read_events_stream(spark, SF_SMOKE).filter(F.col("event_type") == kind)
 
     clicks = src("click").select(
         F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -214,23 +204,20 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 def test_streaming_dedup_drops_duplicate_event_ids(spark, tmp_path):
     """dropDuplicatesWithinWatermark: feed every event twice (two files),
     expect each event_id exactly once downstream."""
-    from pyspark.sql import functions as F  # noqa: F811
     from spark_cherry_shuffle_service_spark.streaming.streams import (
-        EVENTS_SCHEMA,
         dedup_stream,
+        events_file_schema,
+        normalize_ts,
         run_to_memory,
     )
 
     src = str(tmp_path / "events_dup")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(500)
+    raw = table(spark, SF_SMOKE, "events").limit(500)
     raw.write.mode("overwrite").parquet(src)
     raw.write.mode("append").parquet(src)  # every event twice
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts(
+        spark.readStream.schema(events_file_schema(spark, src)).parquet(src)
     )
     out = run_to_memory(dedup_stream(stream), "dedup_events", mode="append")
     got = out.groupBy("event_id").count().collect()
