@@ -16,3 +16,4 @@ import spark_cherry_shuffle_service_spark.operators.tpch_suite  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.datapipe  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.decimal_native  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.dataquality  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.layout  # noqa: F401
