@@ -116,6 +116,11 @@ HEADLINE = [
     "multimodal_audio_energy",
     "events_anomaly_mad",
     "dedup_containment",
+    # Round-3 additions: Z-order layout math, cogrouped-Arrow as-of,
+    # deterministic mode.
+    "zorder_block_stats",
+    "udf_cogrouped_asof",
+    "agg_mode",
 ]
 
 

@@ -928,3 +928,125 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped Arrow UDF — the one pandas-UDF surface not yet exercised
+# (SURVEY.md §2.11): DataFrame.groupBy().cogroup().applyInPandas. The
+# canonical use is a per-key as-of merge (pandas merge_asof), here the
+# purchases⇐clicks attribution join, differentially verified against
+# DuckDB's native ASOF JOIN — and against the pure-JVM union+window
+# formulation (events_asof_join), giving the same operator three
+# independent implementations. Scale: cogroup shuffles BOTH sides once on
+# user_id; per-user groups are bounded (events per user), so Arrow batches
+# stay small and the merge is linear per group. Python is sanctioned here:
+# the point IS the cogrouped-Arrow surface; the JVM twin exists for the
+# hot path.
+# ---------------------------------------------------------------------------
+@query(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("udf", "cogroup", "applyInPandas", "asof"),
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+
+    def asof_merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                {"purchase_id": [], "user_id": [], "click_id": [], "gap_us": []}
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")[["ts", "click_id"]].rename(
+            columns={"ts": "click_ts"}
+        )
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,  # inclusive as-of: p.ts >= c.ts
+        )
+        delta = merged["ts"] - merged["click_ts"]
+        return pd.DataFrame(
+            {
+                "purchase_id": merged["purchase_id"],
+                "user_id": merged["user_id"],
+                "click_id": merged["click_id"].astype("Int64"),
+                "gap_us": (delta // pd.Timedelta(microseconds=1)).astype("Int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            "purchase_id long, user_id long, click_id long, gap_us long",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE — Spark's and DuckDB's builtin mode() both break
+# frequency ties arbitrarily, which is useless for a hash-verified result;
+# the canonical deterministic form is count + row_number ordered by
+# (count DESC, value ASC). One shuffle on (flag, qty), one on flag for the
+# bounded window (|flags| partitions of |distinct qty| rows — tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_mode",
+    oracle="""
+    WITH freq AS (
+      SELECT l_returnflag, l_quantity AS qty, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC
+             ) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, n AS mode_count
+    FROM freq WHERE rn = 1
+    """,
+    tags=("agg", "mode", "deterministic"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_quantity").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("qty").asc())
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").cast("double").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -59,3 +59,13 @@ def test_entry_contract(spark):
     qs, os = e.queries(), e.oracle_sql()
     assert set(os) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_cogrouped_asof_matches_jvm_asof(spark):
+    """Same operator, three implementations: the cogrouped-pandas as-of
+    (udf_cogrouped_asof) must row-for-row equal the pure-JVM union+window
+    as-of (events_asof_join) — both already DuckDB-verified separately."""
+    cols = ["purchase_id", "user_id", "click_id", "gap_us"]
+    jvm = SPECS["events_asof_join"].builder(spark, SF_CORRECT).select(*cols)
+    py = SPECS["udf_cogrouped_asof"].builder(spark, SF_CORRECT).select(*cols)
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, py.collect()))
