@@ -121,6 +121,9 @@ HEADLINE = [
     "zorder_block_stats",
     "udf_cogrouped_asof",
     "agg_mode",
+    "cdc_merge_apply",
+    "events_user_sequences",
+    "search_hybrid_rrf",
 ]
 
 

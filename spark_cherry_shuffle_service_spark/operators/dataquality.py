@@ -241,3 +241,72 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).cast("long").alias("n_current"),
         davg(dur, "avg_version_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) semantics on plain parquet — the table-format-free
+# form of Delta/Iceberg MERGE: base snapshot ⟗ changeset on the primary
+# key, one full-outer shuffle join; matched+update rewrites the row,
+# matched+delete drops it, unmatched+insert adds it, delete-of-missing is
+# a no-op. Changeset derives deterministically from md5 buckets (CLAUDE.md
+# md5 rule): bucket 0 = inserts, 2 = updates (+10%), 3 = deletes.
+# Scale: identical dataflow to Delta's MERGE join stage; at 100 TB the
+# join prunes to affected partitions via partition filters on the change
+# keys, and the bounded per-status rollup keeps the result verifiable.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_merge_apply",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, {_BUCKET_SQL} AS b FROM orders
+    ), base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM tagged WHERE b <> 0
+    ), changes AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN b = 0 THEN 'I' WHEN b = 2 THEN 'U' ELSE 'D' END AS op,
+             CASE WHEN b = 2 THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS price
+      FROM tagged WHERE b IN (0, 2, 3)
+    ), merged AS (
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             COALESCE(b.o_orderstatus, c.o_orderstatus) AS o_orderstatus,
+             CASE WHEN c.op IN ('I', 'U') THEN c.price ELSE b.o_totalprice END AS price
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('price', 'total_value')}
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("dq", "cdc", "merge", "upsert", "full_outer"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", _bucket().alias("b")
+    )
+    base = tagged.filter(F.col("b") != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    changes = tagged.filter(F.col("b").isin(0, 2, 3)).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.when(F.col("b") == 0, "I").when(F.col("b") == 2, "U").otherwise("D").alias("op"),
+        F.when(F.col("b") == 2, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("c_price"),
+    )
+    merged = (
+        base.join(changes, base.b_key == changes.c_key, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("b_status"), F.col("c_status")).alias("o_orderstatus"),
+            F.when(F.col("op").isin("I", "U"), F.col("c_price"))
+            .otherwise(F.col("b_price"))
+            .alias("price"),
+        )
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("price"), "total_value"),
+    )

@@ -714,3 +714,40 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("volume"),
         davg(F.col("value"), "mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavior sequences — the training-data featurization that turns
+# an event log into fixed-length model inputs (think "user2vec" / session
+# transformers): each user's event types ordered by time, truncated to the
+# first 16, emitted as one delimited string. Deterministic at any
+# parallelism: collect_list order is pinned by array_sort over
+# (ts, event_id) structs (event_id is the unique tiebreak), never by
+# arrival. One shuffle on user_id; per-user state is that user's events
+# (at 100 TB you'd pre-filter to a time window first — the sequence cap
+# only bounds the OUTPUT, the sort state is bounded by events-per-user).
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_sequences",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           array_to_string(
+             list_slice(list(event_type ORDER BY ts, event_id), 1, 16), '>'
+           ) AS seq16
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "sequence", "featurization", "collect_list"),
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.slice(F.transform(ordered, lambda x: x["event_type"]), 1, 16), ">"
+        ).alias("seq16"),
+    )

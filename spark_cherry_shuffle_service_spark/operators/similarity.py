@@ -710,3 +710,116 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select("src", "dst", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion — the standard RAG serving
+# pattern (lexical ranker + dense ranker, ranks fused as
+# Σ 1/(k + rank), k=60). Query set: the first _HY_NQ documents (doc_id ↔
+# vec_id is the fixture's 1:1 crossmodal key, as in dedup_crossmodal).
+# Lexical score = token-set Jaccard(query doc, corpus doc); dense score =
+# embedding cosine. RRF needs only the RANKS, which integer-tiebreak
+# deterministically (score DESC, doc_id) — so the fusion is exactly
+# hash-verifiable even though it fuses two float rankers.
+# Scale: ONE scan builds (tokens ⨝ embedding) per doc; the SF-invariant
+# query set broadcasts; both ranks + the fused rank share a single
+# query_id shuffle (three window passes, one exchange). At 100 TB the
+# brute-force per-query scoring swaps for the LSH/IVF candidate paths
+# above feeding the same fusion — the RRF stage is unchanged.
+# ---------------------------------------------------------------------------
+_HY_NQ, _HY_K, _HY_C = 8, 10, 60
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS tok
+      FROM documents
+    ), n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), corpus AS (
+      SELECT t.doc_id, t.tok, n.embedding, n.nrm FROM t JOIN n ON n.vec_id = t.doc_id
+    ), q AS (
+      SELECT doc_id AS query_id, tok AS qtok, embedding AS qe, nrm AS qn
+      FROM corpus WHERE doc_id < {_HY_NQ}
+    ), scored AS (
+      SELECT q.query_id, c.doc_id,
+             len(list_intersect(q.qtok, c.tok))::DOUBLE
+               / GREATEST(len(q.qtok) + len(c.tok) - len(list_intersect(q.qtok, c.tok)), 1) AS lex,
+             {_SQL_DOT_AB.format(a='q.qe', b='c.embedding')} / (q.qn * c.nrm) AS cos
+      FROM q JOIN corpus c ON c.doc_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS lex_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS dense_rank
+      FROM scored
+    ), fused AS (
+      SELECT query_id, doc_id, lex_rank, dense_rank,
+             1.0/({_HY_C} + lex_rank) + 1.0/({_HY_C} + dense_rank) AS rrf,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY 1.0/({_HY_C} + lex_rank) + 1.0/({_HY_C} + dense_rank) DESC, doc_id
+             ) AS rrf_rank
+      FROM ranked
+    )
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           ROUND(rrf, 6) AS rrf,
+           CAST(rrf_rank AS BIGINT) AS rrf_rank
+    FROM fused WHERE rrf_rank <= {_HY_K}
+    """,
+    tags=("similarity", "hybrid", "rrf", "rag", "retrieval"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.text import tokens
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok"))
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "tok", "embedding", "nrm"
+    )
+    q = corpus.filter(F.col("doc_id") < _HY_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tok").alias("qtok"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    inter = F.size(F.array_intersect(F.col("qtok"), F.col("tok")))
+    uni = F.size(F.col("qtok")) + F.size(F.col("tok")) - inter
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (inter.cast("double") / F.greatest(uni, F.lit(1))).alias("lex"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.col("lex").desc(), "doc_id")
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+        F.row_number().over(w_cos).cast("long").alias("dense_rank"),
+    )
+    rrf = 1.0 / (_HY_C + F.col("lex_rank")) + 1.0 / (_HY_C + F.col("dense_rank"))
+    w_rrf = Window.partitionBy("query_id").orderBy(rrf.desc(), "doc_id")
+    return (
+        ranked.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("long"))
+        .filter(F.col("rrf_rank") <= _HY_K)
+        .select(
+            "query_id", "doc_id", "lex_rank", "dense_rank",
+            F.round(rrf, 6).alias("rrf"), "rrf_rank",
+        )
+    )
