@@ -124,6 +124,8 @@ HEADLINE = [
     "cdc_merge_apply",
     "events_user_sequences",
     "search_hybrid_rrf",
+    "udtf_bigrams",
+    "udf_maparrow_tokencount",
 ]
 
 

@@ -1050,3 +1050,94 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4's user-defined TABLE function — one input row,
+# many output rows) via LATERAL: word bigrams with positions. This is the
+# remaining Python-integration surface after scalar/grouped-agg/grouped-
+# map/cogrouped UDFs (§2.11); the tokenization replicates the engine-wide
+# `' +'`-split exactly so the DuckDB shifted-zip oracle verifies every
+# row. Python-per-row is the POINT of the surface here (sanctioned via
+# the udtf tag, excluded from the no-python-hot-path sweep); the
+# set-oriented twin of this exact computation is the JVM zip_with path in
+# text_hof/text_chunk.
+# ---------------------------------------------------------------------------
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+      FROM documents WHERE doc_id < 25
+    )
+    SELECT doc_id, CAST(z[3] - 1 AS INT) AS pos, z[1] || ' ' || z[2] AS bigram
+    FROM (
+      SELECT doc_id,
+             unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)],
+                             generate_series(1, len(tk)-1))) AS z
+      FROM t
+    )
+    """,
+    tags=("udtf", "lateral", "text", "python-sanctioned"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    class Bigrams:
+        def eval(self, doc_id, text):
+            import re
+
+            toks = re.split(" +", (text or "").strip())
+            for i, (a, b) in enumerate(zip(toks, toks[1:])):
+                yield doc_id, i, f"{a} {b}"
+
+    spark.udtf.register(
+        "bigrams_udtf", udtf(Bigrams, returnType="doc_id bigint, pos int, bigram string")
+    )
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM __udtf_docs d, LATERAL bigrams_udtf(d.doc_id, d.text) b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the zero-pandas Arrow batch surface (RecordBatch in,
+# RecordBatch out; no pandas conversion cost): per-doc token counts
+# computed with vectorized pyarrow.compute kernels (C++ executed, Python
+# only orchestrates batches). Where mapInPandas pays Arrow→pandas→Arrow,
+# this stays in Arrow end-to-end — the right shape for binary/tensor
+# columns at 100 TB. Repartition first: single-file fixtures otherwise
+# scan as ONE batch stream (CLAUDE.md gotcha).
+# ---------------------------------------------------------------------------
+@query(
+    "udf_maparrow_tokencount",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("udf", "mapInArrow", "arrow", "python-sanctioned"),
+)
+def udf_maparrow_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def count_tokens(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            # trim SPACES only — matches Spark F.trim / DuckDB trim(), not
+            # all-whitespace utf8_trim_whitespace
+            text = pc.utf8_trim(batch.column("text"), characters=" ")
+            toks = pc.split_pattern_regex(text, " +")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.list_value_length(toks).cast(pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+    )
+    return docs.mapInArrow(count_tokens, "doc_id long, n_tokens long")

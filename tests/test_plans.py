@@ -64,12 +64,15 @@ def test_single_pass_conditional_agg(spark):
     assert count_ops(df, "Exchange") == 1  # one shuffle for 4 conditional sums
 
 
-# mapInPandas-based operators are the *sanctioned* Python path (Arrow-
-# batched, SURVEY.md §2.11); everything else must stay JVM-side.
-_ARROW_OK = sorted(n for n, s in SPECS.items() if "mapInPandas" in s.tags)
+# Sanctioned Python paths (SURVEY.md §2.11): Arrow-batched mapInPandas /
+# mapInArrow operators, plus the UDTF surface (Python-per-row is the point
+# of a table function — its set-oriented JVM twin is text_hof/text_chunk).
+# Everything else must stay JVM-side.
+_ARROW_OK = sorted(n for n, s in SPECS.items() if {"mapInPandas", "mapInArrow"} & set(s.tags))
+_PY_SANCTIONED = sorted(n for n, s in SPECS.items() if "python-sanctioned" in s.tags or n in _ARROW_OK)
 
 
-@pytest.mark.parametrize("name", sorted(n for n in SPECS if n not in _ARROW_OK))
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if n not in _PY_SANCTIONED))
 def test_no_python_in_hot_path(spark, name):
     df = SPECS[name].builder(spark, SF_SMOKE)
     assert not uses_python_eval(df), f"{name} row-trips through Python"
@@ -78,8 +81,19 @@ def test_no_python_in_hot_path(spark, name):
 @pytest.mark.parametrize("name", _ARROW_OK)
 def test_multimodal_python_is_arrow_batched(spark, name):
     plan = formatted_plan(SPECS[name].builder(spark, SF_SMOKE))
-    arrow_ops = ("MapInPandas", "AggregateInPandas", "FlatMapGroupsInPandas", "ArrowAggregatePython")
+    arrow_ops = (
+        "MapInPandas",
+        "AggregateInPandas",
+        "FlatMapGroupsInPandas",
+        "ArrowAggregatePython",
+        "MapInArrow",
+    )
     assert any(op in plan for op in arrow_ops), plan[:1500]
+
+
+def test_udtf_runs_as_python_table_function(spark):
+    plan = formatted_plan(SPECS["udtf_bigrams"].builder(spark, SF_SMOKE))
+    assert "PythonUDTF" in plan, plan[:1500]
 
 
 def test_ivf_assignment_broadcasts_centroids(spark):
