@@ -126,6 +126,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "udtf_bigrams",
     "udf_maparrow_tokencount",
+    "corpus_curriculum",
 ]
 
 

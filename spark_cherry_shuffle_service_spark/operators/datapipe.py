@@ -566,3 +566,59 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("w_total").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — easy-first training-data scheduling: static
+# length bands (fixed thresholds, NOT a global ntile — a whole-table
+# ntile is a single-partition window and dies at scale), deterministic
+# md5 shuffle WITHIN band, and per-(band, shard) batch numbers. The shard
+# models distributed data-loader workers: each of the 8 shards draws its
+# own batch sequence, so the row_number window partitions by
+# (band, shard) — bounded partitions at any SF, no global sort anywhere.
+# Every assignment is a pure function of doc_id (md5 rule) — reruns and
+# backfills produce identical curricula.
+# ---------------------------------------------------------------------------
+_CURR_BATCH = 16
+
+
+@query(
+    "corpus_curriculum",
+    oracle=f"""
+    WITH banded AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 300 THEN 0 WHEN n_chars < 600 THEN 1
+                  WHEN n_chars < 1200 THEN 2 ELSE 3 END AS band,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, band, shard,
+           CAST((ROW_NUMBER() OVER (PARTITION BY band, shard ORDER BY h, doc_id) - 1)
+                // {_CURR_BATCH} AS BIGINT) AS batch_in_shard
+    FROM banded
+    """,
+    tags=("datapipe", "curriculum", "ordering"),
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8
+    )
+    band = (
+        F.when(F.col("n_chars") < 300, 0)
+        .when(F.col("n_chars") < 600, 1)
+        .when(F.col("n_chars") < 1200, 2)
+        .otherwise(3)
+    )
+    banded = docs.select(
+        "doc_id", band.alias("band"), shard.alias("shard"), h.alias("h")
+    )
+    w = Window.partitionBy("band", "shard").orderBy("h", "doc_id")
+    return banded.select(
+        "doc_id",
+        "band",
+        "shard",
+        F.expr(f"CAST((row_number() OVER (PARTITION BY band, shard ORDER BY h, doc_id) - 1) div {_CURR_BATCH} AS BIGINT)").alias("batch_in_shard"),
+    )

@@ -362,3 +362,44 @@ def test_repetition_agg_is_partial(spark):
     combine: partial_count before the exchange."""
     plan = formatted_plan(SPECS["text_repetition"].builder(spark, SF_SMOKE))
     assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Engine capability: Spark's runtime row-level filtering (AQE bloom
+    filter) injects a BloomFilterMightContain on the probe side of a
+    shuffle join when the build side carries a selective filter — at
+    100 TB this skips most of the fact scan's shuffle write for
+    dim-filtered joins that are too big to broadcast. Thresholds are
+    lowered here because the fixtures are tiny; the rewrite itself is
+    what's asserted."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        # force a shuffle join: runtime filters exist precisely for the
+        # joins that can't broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        from spark_cherry_shuffle_service_spark.sources.catalog import table as _t
+
+        li = _t(spark, SF_SMOKE, "lineitem")
+        pt = _t(spark, SF_SMOKE, "part").filter(F.col("p_size") == 1)
+        df = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
