@@ -127,6 +127,7 @@ HEADLINE = [
     "udtf_bigrams",
     "udf_maparrow_tokencount",
     "corpus_curriculum",
+    "embedding_pq",
 ]
 
 

@@ -823,3 +823,95 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rrf, 6).alias("rrf"), "rrf_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB ANN memory story beyond SQ8
+# (embedding_quantize): split each vector into M subvectors, assign each
+# to its nearest of K per-subspace centroids, store M small codes
+# (here 4×2 bits) instead of 64 floats — a 64× compression with bounded
+# reconstruction error; IVF+PQ is the standard billion-scale ANN layout.
+# Codebooks derive deterministically from md5 (same convention as the LSH
+# plane literals above) and are inlined as literals on BOTH engines, so
+# assignments verify bit-for-bit. Distances are computed ONCE in a
+# projection stage and codes argmin over the materialized columns — no
+# re-evaluation inside interpreted HOF lambdas (CLAUDE.md gotcha).
+# Per-row projection only: no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16
+
+
+def _pq_centroid(m: int, k: int, j: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"pq_{m}_{k}_{j}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _pq_dist_spark(m: int, k: int) -> str:
+    arr = "array(" + ",".join(
+        f"{_pq_centroid(m, k, j)!r}D" for j in range(_PQ_SUB)
+    ) + ")"
+    sub = f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+    return (
+        f"aggregate(zip_with({sub}, {arr},"
+        " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " 0.0D, (a, v) -> a + v)"
+    )
+
+
+def _pq_dist_sql(m: int, k: int) -> str:
+    arr = "[" + ",".join(repr(_pq_centroid(m, k, j)) for j in range(_PQ_SUB)) + "]"
+    sub = f"embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub}, {arr}),"
+        " z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _pq_argmin(d: list[str]) -> str:
+    """Lowest-k tiebreak argmin over 4 distance column names (shared SQL
+    dialect: CASE WHEN + <=)."""
+    return (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+    )
+
+
+@query(
+    "embedding_pq",
+    oracle=f"""
+    WITH dists AS (
+      SELECT vec_id,
+             {', '.join(f'{_pq_dist_sql(m, k)} AS d{m}_{k}' for m in range(_PQ_M) for k in range(_PQ_K))}
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {', '.join(f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}" for m in range(_PQ_M))},
+           ROUND(sqrt({' + '.join(f'LEAST(d{m}_0, d{m}_1, d{m}_2, d{m}_3)' for m in range(_PQ_M))}), 6) AS recon_err
+    FROM dists
+    """,
+    tags=("similarity", "pq", "quantization", "ann"),
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dists = emb.selectExpr(
+        "vec_id",
+        *[
+            f"{_pq_dist_spark(m, k)} AS d{m}_{k}"
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+    )
+    return dists.selectExpr(
+        "vec_id",
+        *[
+            f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}"
+            for m in range(_PQ_M)
+        ],
+        "ROUND(sqrt("
+        + " + ".join(f"LEAST(d{m}_0, d{m}_1, d{m}_2, d{m}_3)" for m in range(_PQ_M))
+        + "), 6) AS recon_err",
+    )
