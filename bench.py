@@ -128,6 +128,7 @@ HEADLINE = [
     "udf_maparrow_tokencount",
     "corpus_curriculum",
     "embedding_pq",
+    "similarity_pq_adc",
 ]
 
 

@@ -915,3 +915,121 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " + ".join(f"LEAST(d{m}_0, d{m}_1, d{m}_2, d{m}_3)" for m in range(_PQ_M))
         + "), 6) AS recon_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric distance computation (ADC) — the search half of PQ: the
+# query stays a full-precision vector, the corpus is only its PQ codes,
+# and distance ≈ Σ_m d(query_sub_m, centroid[code_m]). Per query that is
+# a 16-entry lookup table (M×K subspace distances) computed once, then
+# each corpus row costs M table lookups — how a billion-vector index
+# scans compressed codes without touching raw vectors. Here the lookup
+# is a CASE over the code column; the query-side table computes in the
+# broadcast projection. Top-k per query by ADC distance (asc), unique
+# neighbor tiebreak. Scale: corpus side is codes only (M bytes/vector);
+# one broadcast of Q×M×K doubles; one query_id window for top-k.
+# ---------------------------------------------------------------------------
+_ADC_NQ, _ADC_K = 8, 5
+
+
+def _adc_qdist_spark(m: int, k: int) -> str:
+    """Query-side subspace-m distance to centroid k (full precision)."""
+    arr = "array(" + ",".join(
+        f"{_pq_centroid(m, k, j)!r}D" for j in range(_PQ_SUB)
+    ) + ")"
+    sub = f"slice(embedding, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+    return (
+        f"aggregate(zip_with({sub}, {arr},"
+        " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+        " 0.0D, (a, v) -> a + v)"
+    )
+
+
+def _adc_qdist_sql(m: int, k: int) -> str:
+    arr = "[" + ",".join(repr(_pq_centroid(m, k, j)) for j in range(_PQ_SUB)) + "]"
+    sub = f"embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({sub}, {arr}),"
+        " z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _adc_lookup(m: int) -> str:
+    """Σ-term m: pick the query's precomputed subspace-m distance by the
+    corpus row's code (shared SQL dialect CASE)."""
+    return (
+        f"CASE code{m} WHEN 0 THEN q{m}_0 WHEN 1 THEN q{m}_1 "
+        f"WHEN 2 THEN q{m}_2 ELSE q{m}_3 END"
+    )
+
+
+@query(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH dists AS (
+      SELECT vec_id,
+             {', '.join(f'{_pq_dist_sql(m, k)} AS d{m}_{k}' for m in range(_PQ_M) for k in range(_PQ_K))}
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id,
+             {', '.join(f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}" for m in range(_PQ_M))}
+      FROM dists
+    ), q AS (
+      SELECT vec_id AS query_id,
+             {', '.join(f'{_adc_qdist_sql(m, k)} AS q{m}_{k}' for m in range(_PQ_M) for k in range(_PQ_K))}
+      FROM embeddings WHERE vec_id < {_ADC_NQ}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {' + '.join(f'({_adc_lookup(m)})' for m in range(_PQ_M))} AS adc
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_ADC_K}
+    """,
+    tags=("similarity", "pq", "adc", "ann", "topk"),
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dists = emb.selectExpr(
+        "vec_id",
+        *[
+            f"{_pq_dist_spark(m, k)} AS d{m}_{k}"
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+    )
+    codes = dists.selectExpr(
+        "vec_id",
+        *[
+            f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}"
+            for m in range(_PQ_M)
+        ],
+    )
+    q = emb.filter(F.col("vec_id") < _ADC_NQ).selectExpr(
+        "vec_id AS query_id",
+        *[
+            f"{_adc_qdist_spark(m, k)} AS q{m}_{k}"
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            " + ".join(f"({_adc_lookup(m)})" for m in range(_PQ_M)) + " AS adc",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _ADC_K)
+        .select("query_id", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rnk")
+    )
