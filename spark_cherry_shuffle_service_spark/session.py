@@ -58,9 +58,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Arrow for the few pandas-UDF operators (multimodal, streaming state).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as long and convert in the catalog (lossless here —
-        # fixture has no sub-µs components).
+        # events.ts has shipped as TIMESTAMP(NANOS) (round-1 fixtures) and
+        # timestamp[us] (round-2 regeneration); this conf makes the NANOS
+        # form readable and is a no-op for µs files. The catalog branches
+        # on the actual dtype (sources/catalog.py::table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Straggler mitigation: the Cherry paper's motivation is reduce-task
         # stalls on slow shuffle reads; on a real cluster speculative
