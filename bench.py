@@ -129,6 +129,7 @@ HEADLINE = [
     "corpus_curriculum",
     "embedding_pq",
     "similarity_pq_adc",
+    "similarity_ivfpq",
 ]
 
 

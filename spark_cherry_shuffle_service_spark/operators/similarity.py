@@ -1033,3 +1033,130 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _ADC_K)
         .select("query_id", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ — the production billion-scale ANN layout, composed from the two
+# stages proven above: a coarse IVF assignment prunes the corpus to the
+# query's cell (similarity_ivf), then ADC scans only that cell's PQ codes
+# (similarity_pq_adc) — so the scan cost is |cell| code lookups instead
+# of |corpus| float vectors. nprobe=1 here; more probes = OR-ing more
+# cells into the candidate join, same plan shape. Scale: centroids and
+# the query lookup tables broadcast (both SF-invariant); the corpus side
+# carries only (cell, codes) — M bytes/vector; the candidate join is a
+# hash join on cell; one query_id window ranks.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_ivfpq",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (
+        SELECT n.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_SQL_DOT_AB.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+                 c.cent_id) AS rn
+        FROM n CROSS JOIN c
+      ) WHERE rn = 1
+    ), dists AS (
+      SELECT vec_id,
+             {', '.join(f'{_pq_dist_sql(m, k)} AS d{m}_{k}' for m in range(_PQ_M) for k in range(_PQ_K))}
+      FROM embeddings
+    ), corpus AS (
+      SELECT a.vec_id, a.cell,
+             {', '.join(f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}" for m in range(_PQ_M))}
+      FROM assigned a JOIN dists USING (vec_id)
+    ), q AS (
+      SELECT e.vec_id AS query_id, a.cell AS qcell,
+             {', '.join(f'{_adc_qdist_sql(m, k)} AS q{m}_{k}' for m in range(_PQ_M) for k in range(_PQ_K))}
+      FROM embeddings e JOIN assigned a USING (vec_id)
+      WHERE e.vec_id >= {_IVF_NQ_LO} AND e.vec_id < {_IVF_NQ_HI}
+    ), scored AS (
+      SELECT q.query_id, q.qcell AS cell, c2.vec_id AS neighbor_id,
+             {' + '.join(f'({_adc_lookup(m)})' for m in range(_PQ_M))} AS adc
+      FROM q JOIN corpus c2 ON c2.cell = q.qcell AND c2.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, cell, neighbor_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cell, neighbor_id, ROUND(adc, 6) AS adc_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "ivf", "pq", "adc", "ann", "scale"),
+)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .persist()  # feeds cell assignment, PQ codes, and the query table
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos_to_cent = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cos_c", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding")
+    )
+    # distances materialize in their own projection so the argmin CASE
+    # references columns, not re-evaluated HOF folds (CLAUDE.md gotcha)
+    corpus = assigned.selectExpr(
+        "vec_id",
+        "cell",
+        *[
+            f"{_pq_dist_spark(m, k)} AS d{m}_{k}"
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+    ).selectExpr(
+        "vec_id",
+        "cell",
+        *[
+            f"CAST({_pq_argmin([f'd{m}_0', f'd{m}_1', f'd{m}_2', f'd{m}_3'])} AS INT) AS code{m}"
+            for m in range(_PQ_M)
+        ],
+    )
+    q = (
+        assigned.filter(
+            (F.col("vec_id") >= _IVF_NQ_LO) & (F.col("vec_id") < _IVF_NQ_HI)
+        )
+        .selectExpr(
+            "vec_id AS query_id",
+            "cell AS qcell",
+            *[
+                f"{_adc_qdist_spark(m, k)} AS q{m}_{k}"
+                for m in range(_PQ_M)
+                for k in range(_PQ_K)
+            ],
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .selectExpr(
+            "query_id",
+            "cell",
+            "vec_id AS neighbor_id",
+            " + ".join(f"({_adc_lookup(m)})" for m in range(_PQ_M)) + " AS adc",
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "cell", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rnk")
+    )

@@ -90,3 +90,30 @@ def test_salted_group_count_equivalence(spark, keys, salt):
     plain = {r["key"]: r["n"] for r in group_count(pairs).collect()}
     salted = {r["key"]: r["n"] for r in salted_group_count(pairs, salt=salt).collect()}
     assert salted == plain
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=32,
+    )
+)
+@_slow
+def test_zorder_interleave_roundtrips(spark, pts):
+    """Morton key property: deinterleaving the engine's z-value recovers
+    exactly the input bucket pair for arbitrary 8-bit coordinates."""
+    from spark_cherry_shuffle_service_spark.operators.layout import zorder_value
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    df = spark.createDataFrame(pts, "xb long, yb long").withColumn(
+        "z", zorder_value(F.col("xb"), F.col("yb"))
+    )
+    for r in df.collect():
+        assert deinterleave(r["z"]) == (r["xb"], r["yb"])

@@ -118,3 +118,39 @@ def test_limited_queries_are_parallelism_invariant(spark):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_round3_ops_are_parallelism_invariant(spark):
+    """The round-3 operators must produce identical result sets at 1 and
+    32 shuffle partitions — the md5/tiebreak/deterministic-fold discipline
+    every registered query follows (plans/registry.py docstring). The
+    bucketed cogroup (udf_cogrouped_asof) and window-rank ops are the
+    interesting cases: per-group pandas merges and rank tiebreaks must
+    not depend on partitioning."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    names = [
+        "udf_cogrouped_asof",
+        "corpus_curriculum",
+        "embedding_pq",
+        "similarity_pq_adc",
+        "search_hybrid_rrf",
+        "zorder_block_stats",
+        "cdc_merge_apply",
+        "events_user_sequences",
+        "agg_mode",
+    ]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("1", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = specs[n].builder(spark, SF_SMOKE)
+                rows = sorted(map(repr, df.collect()))
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs between 1 and 32 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
