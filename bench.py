@@ -130,6 +130,7 @@ HEADLINE = [
     "embedding_pq",
     "similarity_pq_adc",
     "similarity_ivfpq",
+    "events_transition_matrix",
 ]
 
 

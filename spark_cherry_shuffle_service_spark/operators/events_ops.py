@@ -751,3 +751,75 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.transform(ordered, lambda x: x["event_type"]), 1, 16), ">"
         ).alias("seq16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov counts over each
+# user's event sequence (lead window pinned by (ts, event_id)), rolled up
+# to global (src → dst) counts and within-src probabilities. The
+# sequence-mining summary behind next-event prediction features. One
+# user_id shuffle for the lead window, one bounded (types×types) rollup;
+# the probability is a ratio of exact integer counts — deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY src), 6) AS p
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    tags=("events", "markov", "sequence", "analytics"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_src), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness audit — per-type data staleness vs the newest event in the
+# feed: the first SLO a streaming ingest dashboard shows. Global max is a
+# 1-row scalar aggregate (broadcast per policy); staleness in exact
+# integer microseconds (unix_micros / epoch_us agree).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_freshness",
+    oracle="""
+    SELECT event_type,
+           MAX(ts) AS latest_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us((SELECT MAX(ts) FROM events)) - epoch_us(MAX(ts)) AS BIGINT)
+             AS staleness_us
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "dq", "freshness"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    return per_type.join(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        (F.unix_micros("global_max") - F.unix_micros("latest_ts")).alias("staleness_us"),
+    )
