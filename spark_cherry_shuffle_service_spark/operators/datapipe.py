@@ -620,5 +620,7 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "band",
         "shard",
-        F.expr(f"CAST((row_number() OVER (PARTITION BY band, shard ORDER BY h, doc_id) - 1) div {_CURR_BATCH} AS BIGINT)").alias("batch_in_shard"),
+        F.floor((F.row_number().over(w) - F.lit(1)) / _CURR_BATCH)
+        .cast("bigint")
+        .alias("batch_in_shard"),
     )

@@ -1099,7 +1099,9 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id, text):
             import re
 
-            toks = re.split(" +", (text or "").strip())
+            # strip(' ') not strip(): match trim()/F.trim (space-only) so the
+            # oracle stays in sync if a fixture ever has edge tabs/newlines.
+            toks = re.split(" +", (text or "").strip(" "))
             for i, (a, b) in enumerate(zip(toks, toks[1:])):
                 yield doc_id, i, f"{a} {b}"
 

@@ -59,8 +59,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos-as-long → µs timestamp; lossless, fixture has no sub-µs.
             return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if not isinstance(ts_type, TimestampType):
-            # TIMESTAMP_NTZ (µs, no tz) → session-TZ timestamp (UTC session
-            # ⇒ identical instants to the nanos path).
+            # TIMESTAMP_NTZ (µs, no tz) → session-TZ timestamp. The cast
+            # interprets NTZ wall-clock in the session TZ, so pin it to UTC
+            # (naive-as-UTC, matching DuckDB's epoch_us and the nanos path's
+            # instant semantics) — otherwise instant math (unix_micros,
+            # watermarks) would depend on the host TZ of a vanilla session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -62,6 +62,10 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     if isinstance(ts_type, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(ts_type, TimestampNTZType):
+        # NTZ cast interprets wall-clock in the session TZ; pin UTC so the
+        # instants match the nanos path and DuckDB's naive-as-UTC epoch_us
+        # regardless of the host TZ of a vanilla session.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
