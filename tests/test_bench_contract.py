@@ -44,3 +44,27 @@ def test_entry_module_contract(spark):
     assert set(oracles) <= set(qs), "oracle_sql keys must be a subset of queries"
     df = mod.entry(spark)
     assert len(df.schema.fields) > 0
+
+
+def test_median_helper():
+    from bench import _median
+
+    assert _median([3.0]) == 3.0
+    assert _median([5.0, 1.0, 2.0]) == 2.0
+    assert _median([4.0, 1.0]) == 2.5
+
+
+def test_baseline_queries_file_matches_headline():
+    """BASELINE_QUERIES.json (the canonical per-query table bench.py uses
+    for its in-run stall re-time) must cover exactly the HEADLINE set with
+    positive timings."""
+    import json
+
+    with open("/root/repo/BASELINE_QUERIES.json") as fh:
+        base = json.load(fh)["queries"]
+    assert set(base) == set(HEADLINE), (
+        f"baseline/HEADLINE drift: only-baseline={set(base) - set(HEADLINE)}, "
+        f"only-headline={set(HEADLINE) - set(base)} — re-run `python bench.py` "
+        "and refresh BASELINE_QUERIES.json after changing HEADLINE"
+    )
+    assert all(v > 0 for v in base.values())
