@@ -147,13 +147,26 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube", "grouping"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Partial-agg-under-Expand: Expand multiplies its INPUT by the number of
+    # grouping sets (4 here), so cube the finest-grain pre-aggregate, not the
+    # fact table — fan-out drops from |lineitem|x4 rows to |rf x ls|x4
+    # (~8 groups at any SF). Decimal partial sums re-sum exactly, so results
+    # are bit-identical to cubing the raw rows at any parallelism; GROUPING()
+    # markers are unchanged because the cube dims are the pre-agg keys.
+    base = (
         table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(money(F.col("l_quantity"))).alias("_qty_dec"),
+        )
+    )
+    return (
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("agg_level"),
-            F.count(F.lit(1)).alias("n"),
-            dsum(F.col("l_quantity"), "sum_qty"),
+            F.sum("_n").alias("n"),
+            F.sum("_qty_dec").cast("double").alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "agg_level", "n", "sum_qty")
     )
@@ -174,12 +187,25 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "grouping_sets"),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # Same partial-agg-under-Expand rewrite as agg_cube: every requested
+    # grain is a rollup of (rf, ls), so Expand fans out the ~8-row pre-agg
+    # instead of the fact table. Exact: decimal partials re-sum losslessly.
+    base = (
         table(spark, sf_dir, "lineitem")
-        .groupingSets(
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(money(F.col("l_extendedprice"))).alias("_price_dec"),
+        )
+    )
+    return (
+        base.groupingSets(
             [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
         )
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice"), "sum_price"))
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_price_dec").cast("double").alias("sum_price"),
+        )
         .select("l_returnflag", "l_linestatus", "n", "sum_price")
     )
 

@@ -105,13 +105,22 @@ def test_ivf_assignment_broadcasts_centroids(spark):
 
 
 def test_cube_and_grouping_sets_expand_before_shuffle(spark):
-    """CUBE/GROUPING SETS run as a single Expand + one aggregation pass —
-    not one job per grouping set."""
+    """CUBE/GROUPING SETS run as a single Expand pass — not one job per
+    grouping set — and the Expand's input is the finest-grain PRE-AGGREGATE
+    (partial-agg-under-Expand): fan-out is |groups|x(sets), not
+    |lineitem|x(sets). Two exchanges total: pre-agg shuffle + cube shuffle;
+    at 100 TB the first reduces the fact table to group cardinality before
+    any row multiplication happens."""
     for name in ("agg_cube", "agg_grouping_sets"):
         df = SPECS[name].builder(spark, SF_SMOKE)
         plan = formatted_plan(df)
         assert "Expand" in plan, name
-        assert count_ops(df, "Exchange") == 1, name
+        assert count_ops(df, "Exchange") == 2, name
+        # Expand must consume the aggregated frame, not the scan: in the
+        # formatted tree (leaves last), the first HashAggregate pair's
+        # output feeds Expand, so Expand appears ABOVE at least two
+        # HashAggregates (the pre-agg partial+final).
+        assert plan.count("HashAggregate") >= 4, name
 
 
 def test_salted_groupcount_is_two_phase(spark):
