@@ -131,6 +131,11 @@ HEADLINE = [
     "similarity_pq_adc",
     "similarity_ivfpq",
     "events_transition_matrix",
+    # Round-4 additions: the verbatim-SQL-text twins of the two hairiest
+    # TPC-H parser shapes (Q2 correlated MIN, Q21 EXISTS+NOT EXISTS chain) —
+    # the reference's actual spark.sql(queryString) execution path.
+    "sql_text_q2",
+    "sql_text_q21",
 ]
 
 
