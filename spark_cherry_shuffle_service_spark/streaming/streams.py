@@ -16,6 +16,8 @@ same code runs against kafka/file sources on a cluster unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -196,12 +198,22 @@ def run_incremental_aggregate(
             .groupBy("hour", "event_type")
             .agg(F.sum("n_events").cast("long").alias("n_events"))
         )
-        # rewrite-in-place: collect to driver-side temp then overwrite, so
-        # the read and the write of the same path don't race
-        out = merged.collect()
-        spark.createDataFrame(out, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(target_path)
+        # Write-temp-then-swap: the merged frame lazily READS target_path,
+        # so overwriting it in place would race the scan. Materialize the
+        # merge with a distributed write to a batch-versioned temp dir
+        # (never through the driver — the rollup is small today but this
+        # path must survive a 100 TB-wide aggregate), then swap directories
+        # atomically. On a cluster the swap is a transactional table
+        # format's commit; the merge dataflow is identical.
+        import shutil
+
+        tmp = f"{target_path}__tmp_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{target_path}__old_b{batch_id}"
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(merge)
