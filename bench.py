@@ -136,6 +136,12 @@ HEADLINE = [
     # the reference's actual spark.sql(queryString) execution path.
     "sql_text_q2",
     "sql_text_q21",
+    # Round-4 pipeline additions: incremental dedup, zero-shuffle stratified
+    # sampling, deterministic contrastive negatives, JL random projection.
+    "dedup_incremental",
+    "corpus_stratified_sample",
+    "similarity_contrastive_negatives",
+    "embedding_random_projection",
 ]
 
 

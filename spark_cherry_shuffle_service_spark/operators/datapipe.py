@@ -624,3 +624,50 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("batch_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling with inverse-propensity weights — language rebalancing
+# for a training mix. Unlike sample_weighted (per-source char budget), the
+# strata here are the (bounded) language vocabulary with fixed per-stratum
+# keep rates, so the entire operator is a SCAN-LOCAL filter: keep iff
+# md5-uniform(doc_id) < rate(lang). Zero shuffles, zero windows — at 100 TB
+# this is a full-speed scan with a per-row predicate, and the emitted
+# weight = 1/rate makes any downstream aggregate unbiased. Determinism: the
+# keep decision is a pure function of doc_id, so re-runs, retries, and
+# streaming/batch twins all sample the identical set.
+# ---------------------------------------------------------------------------
+_STRAT_RATES = (("en", 0.25), ("zh", 0.6), ("es", 0.6), ("de", 0.75), ("fr", 0.75))
+_STRAT_DEFAULT = 1.0
+
+
+def _strat_rate_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{l}' THEN {r}" for l, r in _STRAT_RATES)
+    return f"CASE {whens} ELSE {_STRAT_DEFAULT} END"
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           ROUND(1.0 / ({_strat_rate_sql()}), 6) AS ipw_weight
+    FROM documents
+    WHERE ({_H_SQL} + 1) / 4294967296.0 < ({_strat_rate_sql()})
+    """,
+    tags=("sampling", "stratified", "datapipe", "scale"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = F.lit(_STRAT_DEFAULT)
+    for lang, r in reversed(_STRAT_RATES):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    u = (_h() + 1) / F.lit(4294967296.0)
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(u < rate)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(F.lit(1.0) / rate, 6).alias("ipw_weight"),
+        )
+    )

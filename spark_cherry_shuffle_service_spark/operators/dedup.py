@@ -652,3 +652,104 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= _CONT_TAU)
         .select("doc_a", "doc_b", F.round(F.col("c"), 4).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: the production shape — a small INCOMING batch probed
+# against the EXISTING corpus (not corpus x corpus). Same banded-MinHash
+# candidates + exact-Jaccard verify as dedup_minhash_lsh, but directional:
+# only (existing, incoming) band collisions are generated, so at 100 TB the
+# existing side's band keys are a precomputed bucketed index (written once,
+# reused per batch — sources/catalog.py::write_bucketed) and the incoming
+# side's bands are small enough to broadcast; per-batch cost scales with
+# the batch, not the corpus. Incoming = doc_id % 7 == 0 (a deterministic
+# stand-in for "today's crawl").
+# ---------------------------------------------------------------------------
+def _incremental_oracle() -> str:
+    # Reuses the minhash CTE spine; the dups stage becomes directional
+    # (existing -> incoming) with no a<b constraint.
+    cte = _minhash_pairs_cte()
+    cte = cte[: cte.rindex(", dups AS")]  # keep toks/sig/banded/cands prefix
+    return (
+        cte
+        + f""", dcands AS (
+      SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS doc_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+    )
+    SELECT dcands.doc_id AS doc_id, dcands.dup_of AS dup_of,
+           ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                 / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 4) AS jaccard
+    FROM dcands
+    JOIN toks ta ON ta.doc_id = dcands.dup_of
+    JOIN toks tb ON tb.doc_id = dcands.doc_id
+    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= {_MH_TAU}
+    """
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "minhash", "lsh", "incremental", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", shingles3(F.col("text")).alias("sh"))
+        .persist()  # feeds signature build + both verify sides
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(_MH_N)
+        ],
+    )
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"h{s}") for s in range(_MH_N)])
+        .select("doc_id", F.array(*[F.col(f"h{s}") for s in range(_MH_N)]).alias("sig"))
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("sig"), band * _MH_ROWS + 1, _MH_ROWS), "")
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    existing = banded.filter(F.col("doc_id") % 7 != 0)
+    incoming = banded.filter(F.col("doc_id") % 7 == 0)
+    cands = (
+        existing.alias("a")
+        .join(
+            incoming.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.doc_id").alias("dup_of"), F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jacc = inter.cast("double") / union
+    return (
+        cands.join(ta, "dup_of")
+        .join(tb, "doc_id")
+        .withColumn("j", jacc)
+        .filter(F.col("j") >= _MH_TAU)
+        .select("doc_id", "dup_of", F.round(F.col("j"), 4).alias("jaccard"))
+    )

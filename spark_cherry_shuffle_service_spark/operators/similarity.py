@@ -1160,3 +1160,124 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVF_TOPK)
         .select("query_id", "cell", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling — mining hard-ish negatives for embedding /
+# retrieval training: for each query in a fixed set, pick K deterministic
+# pseudo-random corpus negatives (excluding the query itself and its label
+# mates). The candidate pool is HASH-PRE-FILTERED before any ranking:
+# md5(query||vec) must start with hex 0-3 (a deterministic quarter of the
+# corpus per query), which is the scale mechanism — the per-query window
+# sorts |corpus|/4 rows here and a tightened prefix (e.g. 3 hex chars =
+# 1/4096) at 100 TB, instead of a full-corpus sort. The prefilter is part
+# of the operator's SPEC (oracle applies the same rule), so results stay
+# exact-deterministic, unlike rand()-based sampling which differs per run
+# and per partitioning.
+# ---------------------------------------------------------------------------
+_NEG_K = 4
+_NEG_NQ = 8  # query vectors: vec_id < 8 — fixed, SF-invariant set
+
+
+@query(
+    "similarity_contrastive_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label FROM embeddings WHERE vec_id < {_NEG_NQ}
+    ), pool AS (
+      SELECT q.query_id,
+             e.vec_id AS neg_id,
+             md5(q.query_id::VARCHAR || '|' || e.vec_id::VARCHAR) AS h
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id AND e.label <> q.q_label
+      WHERE md5(q.query_id::VARCHAR || '|' || e.vec_id::VARCHAR) < '4'
+    ), ranked AS (
+      SELECT query_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY h, neg_id) AS rnk
+      FROM pool
+    )
+    SELECT query_id, neg_id, rnk FROM ranked WHERE rnk <= {_NEG_K}
+    """,
+    tags=("similarity", "sampling", "contrastive", "datapipe", "scale"),
+)
+def similarity_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = emb.filter(F.col("vec_id") < _NEG_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    h = F.md5(
+        F.concat(F.col("query_id").cast("string"), F.lit("|"), F.col("vec_id").cast("string"))
+    )
+    pool = (
+        F.broadcast(q)  # fixed query set — SF-invariant (broadcast policy)
+        .join(
+            emb,
+            (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("q_label")),
+        )
+        .select("query_id", F.col("vec_id").alias("neg_id"), h.alias("h"))
+        .filter(F.col("h") < "4")
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        pool.select("query_id", "neg_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _NEG_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — 64-dim embeddings down to 8
+# components with a deterministic Rademacher (+-1) matrix derived from
+# md5(component|dim), so Spark and the oracle inline the IDENTICAL sign
+# literals and every engine/run/partitioning projects identically. Per row
+# this is 8 sequential zip_with/aggregate folds over the array — pure JVM
+# expression work, scan-local, ZERO shuffles (the 100 TB cost is one pass
+# over the corpus, exactly how a production dim-reduction sweep runs).
+# Sequential left-to-right folds on doubles are bit-identical between
+# Spark's aggregate() and DuckDB's list_reduce, so the oracle needs no
+# tolerance. Downstream, the 8-dim sketch feeds the same LSH/IVF machinery
+# at an 8x smaller memory/IO footprint.
+# ---------------------------------------------------------------------------
+_RP_DIM, _RP_K = 64, 8
+
+
+def _rp_signs(k: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{k}|{i}".encode()).hexdigest()[0] < "8" else -1.0
+        for i in range(_RP_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    comps = []
+    for k in range(_RP_K):
+        lits = "[" + ", ".join(str(s) for s in _rp_signs(k)) + "]"
+        comps.append(
+            f"ROUND({_SQL_DOT_AB.format(a='embedding', b=lits)}, 6) AS p{k}"
+        )
+    cols = ",\n           ".join(comps)
+    return f"""
+    SELECT vec_id, label,
+           {cols}
+    FROM embeddings
+    """
+
+
+@query(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "projection", "jl", "scale"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    proj = [
+        F.round(
+            dot(F.col("embedding"), F.array(*[F.lit(s) for s in _rp_signs(k)])),
+            6,
+        ).alias(f"p{k}")
+        for k in range(_RP_K)
+    ]
+    return emb.select("vec_id", "label", *proj)

@@ -319,6 +319,7 @@ def test_daily_gapfill_broadcasts_spine(spark):
         "dedup_crossmodal",
         "similarity_knn_graph",
         "orders_market_basket",
+        "dedup_incremental",
     ],
 )
 def test_pair_generators_have_no_allpairs_product(spark, name):
@@ -412,3 +413,38 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """corpus_stratified_sample is a pure per-row predicate over a bounded
+    lang vocabulary: no joins, no aggregates, no exchanges — at 100 TB it
+    runs at scan speed."""
+    df = SPECS["corpus_stratified_sample"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert count_ops(df, "Exchange") == 0, ops
+    assert not any("Join" in op for op in ops), ops
+
+
+def test_random_projection_is_one_pass(spark):
+    """embedding_random_projection: per-row fold expressions only — no
+    joins, no aggregation exchanges (the single repartition compensates the
+    one-file fixture scan; a cluster scan is already multi-partition)."""
+    df = SPECS["embedding_random_projection"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert count_ops(df, "Exchange") <= 1, ops
+    assert not any("Join" in op for op in ops), ops
+    assert not any("HashAggregate" in op for op in ops), ops
+
+
+def test_contrastive_negatives_prefilter_precedes_window(spark):
+    """The md5-prefix pool filter must land BEFORE the ranking window (it
+    is the scale mechanism — the window sorts |corpus|/4, not |corpus|)."""
+    from spark_cherry_shuffle_service_spark.plans.explain import formatted_plan
+
+    df = SPECS["similarity_contrastive_negatives"].builder(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # In formatted output children print after parents: the pool filter
+    # (h < 4) must appear below/after the Window operator header.
+    win_pos = plan.index("Window")
+    assert "< 4" in plan[win_pos:] or "&lt; 4" in plan[win_pos:], plan
