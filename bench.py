@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_stratified_sample",
     "similarity_contrastive_negatives",
     "embedding_random_projection",
+    "corpus_prepare_pipeline",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -669,5 +670,76 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             F.round(F.lit(1.0) / rate, 6).alias("ipw_weight"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation — the flagship composition: quality gate ->
+# exact dedup -> stratified rate sample -> split assignment -> training-mix
+# rollup, in ONE dataflow. Every stage decision is a pure md5 function of
+# the row, so the whole pipeline is deterministic under retries, streaming
+# backfill, and any parallelism. Shuffle inventory at 100 TB: exactly two —
+# the dedup fingerprint window and the final (split, lang) rollup (itself
+# map-side combined to a handful of rows); the quality gate, sample, and
+# split are scan-local. est_chars is the inverse-propensity estimate of the
+# pre-sample corpus size per cell — the number a mixture planner needs.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_prepare_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE lang IN ('en', 'de', 'fr') AND n_chars BETWEEN 100 AND 2000
+        AND len(list_distinct(string_split_regex(trim(text), ' +')))
+            >= 0.4 * len(string_split_regex(trim(text), ' +'))
+    ), d AS (
+      SELECT doc_id, lang, n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5(trim(text))) AS keep_id
+      FROM q
+    ), s AS (
+      SELECT doc_id, lang, n_chars, ({_strat_rate_sql()}) AS rate
+      FROM d
+      WHERE doc_id = keep_id
+        AND ({_H_SQL} + 1) / 4294967296.0 < ({_strat_rate_sql()})
+    )
+    SELECT CASE WHEN {_H_SQL} % 100 < 80 THEN 'train'
+                WHEN {_H_SQL} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {dsum_sql('n_chars / rate', 'est_chars')}
+    FROM s
+    GROUP BY 1, lang
+    """,
+    tags=("datapipe", "pipeline", "dedup", "sampling", "split", "scale"),
+)
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    quality = (
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(100, 2000)
+        & (F.size(F.array_distinct(toks)) >= 0.4 * F.size(toks))
+    )
+    q = docs.filter(quality).select("doc_id", "lang", "text", "n_chars")
+    w = Window.partitionBy(F.md5(F.trim(F.col("text"))))
+    d = q.withColumn("keep_id", F.min("doc_id").over(w))
+    rate = F.lit(_STRAT_DEFAULT)
+    for lang_, r in reversed(_STRAT_RATES):
+        rate = F.when(F.col("lang") == lang_, F.lit(r)).otherwise(rate)
+    u = (_h() + 1) / F.lit(4294967296.0)
+    s = (
+        d.filter((F.col("doc_id") == F.col("keep_id")) & (u < rate))
+        .select("doc_id", "lang", "n_chars", rate.alias("rate"))
+    )
+    bucket = _h() % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        s.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            dsum(F.col("n_chars") / F.col("rate"), "est_chars"),
         )
     )

@@ -123,8 +123,14 @@ def _bucket() -> F.Column:
     ), snap_a AS (
       SELECT o_orderkey, o_totalprice FROM base WHERE b <> 0
     ), snap_b AS (
+      -- price bump in EXACT DECIMAL: o_totalprice*1.1 is a 3-dp rational,
+      -- so ROUND(double, 2) sits ON a .xx5 tie for half the rows, where
+      -- Spark (shortest-decimal) and DuckDB (binary) disagree. Decimal
+      -- multiply + decimal round is tie-exact and engine-identical.
       SELECT o_orderkey,
-             CASE WHEN b = 2 THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+             CASE WHEN b = 2 THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                             * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
       FROM base WHERE b <> 1
     )
     SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
@@ -145,11 +151,14 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_a = base.filter(F.col("b") != 0).select(
         F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("a_price")
     )
+    # Decimal bump (see oracle comment): double*1.1 + ROUND lands on .xx5
+    # ties; decimal arithmetic is exact on both engines.
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"), 2
+    ).cast("double")
     snap_b = base.filter(F.col("b") != 1).select(
         F.col("o_orderkey").alias("b_key"),
-        F.when(F.col("b") == 2, F.round(F.col("o_totalprice") * 1.1, 2))
-        .otherwise(F.col("o_totalprice"))
-        .alias("b_price"),
+        F.when(F.col("b") == 2, bumped).otherwise(F.col("o_totalprice")).alias("b_price"),
     )
     change = (
         F.when(F.col("a_key").isNull(), "insert")
@@ -262,9 +271,12 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), base AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM tagged WHERE b <> 0
     ), changes AS (
+      -- decimal bump: same tie-exactness fix as cdc_snapshot_diff
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN b = 0 THEN 'I' WHEN b = 2 THEN 'U' ELSE 'D' END AS op,
-             CASE WHEN b = 2 THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS price
+             CASE WHEN b = 2 THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                             * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                  ELSE o_totalprice END AS price
       FROM tagged WHERE b IN (0, 2, 3)
     ), merged AS (
       SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
@@ -288,13 +300,14 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("b_status"),
         F.col("o_totalprice").alias("b_price"),
     )
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"), 2
+    ).cast("double")
     changes = tagged.filter(F.col("b").isin(0, 2, 3)).select(
         F.col("o_orderkey").alias("c_key"),
         F.col("o_orderstatus").alias("c_status"),
         F.when(F.col("b") == 0, "I").when(F.col("b") == 2, "U").otherwise("D").alias("op"),
-        F.when(F.col("b") == 2, F.round(F.col("o_totalprice") * 1.1, 2))
-        .otherwise(F.col("o_totalprice"))
-        .alias("c_price"),
+        F.when(F.col("b") == 2, bumped).otherwise(F.col("o_totalprice")).alias("c_price"),
     )
     merged = (
         base.join(changes, base.b_key == changes.c_key, "full_outer")

@@ -9,10 +9,12 @@ every node has out-degree ≥ 1 (no dangling-node mass loss). Semantics match
 the classic Spark example: ranks start at 1.0; each iteration
 rank' = 0.15 + 0.85 · Σ_in (rank/out_degree).
 
-Determinism: each iteration's contribution sum routes through the
-ROUND→DECIMAL(18,6)→SUM→DOUBLE convention on both engines, so a fixed
-iteration count is bit-identical at any parallelism. The oracle unrolls the
-loop as chained CTEs — same dataflow Catalyst sees.
+Determinism: ranks live in FIXED-POINT micro-units (BIGINT, 1e6 = rank
+1.0) with integer floor-division contributions — no floats anywhere in the
+iteration, so a fixed iteration count is bit-identical at any parallelism
+AND across engines (float quantization of rank/d ratios hit cross-engine
+ROUND ties at sf0.1; integers have no ties). The oracle unrolls the loop
+as chained CTEs — same dataflow Catalyst sees.
 
 Scale: edges are the only large table; they're built once, persisted, and
 re-joined each iteration (hash join on node id — the natural partitioning
@@ -25,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import money
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -36,7 +37,15 @@ _DAMP = 0.85
 def _oracle() -> str:
     # Node encoding: supplier s → 2s, customer c → 2c+1 (disjoint integer
     # namespaces; integers hash/shuffle far cheaper than string ids).
-    csum = "CAST(SUM(CAST(ROUND({x}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+    #
+    # FIXED-POINT ranks (micro-rank units, BIGINT): rank/d ratios are
+    # irrational-ish doubles, and quantizing them (ROUND(x, 6)) lands on
+    # .5-boundaries where Spark (shortest-decimal HALF_UP) and DuckDB
+    # (binary libm) disagree by 1e-6 — observed at sf0.1. Integer floor
+    # division has NO ties and no float at all: every engine, every
+    # parallelism, every scale computes the identical BIGINT. Semantics
+    # shift vs float PageRank is < 1e-6 per contribution (floor vs round),
+    # i.e. inside the quantization the float form already applied.
     parts = [
         """
     WITH pairs AS (
@@ -49,14 +58,14 @@ def _oracle() -> str:
     ), deg AS (
       SELECT src, COUNT(*) AS d FROM edges GROUP BY src
     ), r0 AS (
-      SELECT src AS node, 1.0 AS rank FROM deg
+      SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg
     )"""
     ]
     for i in range(1, _ITER + 1):
-        contrib = csum.format(x=f"r{i - 1}.rank / deg.d")
         parts.append(
             f""", r{i} AS (
-      SELECT e.dst AS node, 0.15 + {_DAMP} * {contrib} AS rank
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r{i - 1}.rank // deg.d)) // 100 AS BIGINT) AS rank
       FROM edges e
       JOIN r{i - 1} ON e.src = r{i - 1}.node
       JOIN deg ON deg.src = e.src
@@ -65,7 +74,7 @@ def _oracle() -> str:
         )
     parts.append(
         f"""
-    SELECT node, ROUND(rank, 6) AS pagerank FROM r{_ITER}
+    SELECT node, ROUND(rank / 1000000.0, 6) AS pagerank FROM r{_ITER}
     """
     )
     return "".join(parts)
@@ -110,25 +119,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist()
     )
+    # Fixed-point micro-rank units (see _oracle): integer floor-division
+    # contributions — tie-free, float-free, bit-identical on any engine.
     ranks = (
         edges_deg.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.lit(1.0).alias("rank"))
+        .select("node", F.lit(1_000_000).cast("long").alias("rank"))
     )
     for _ in range(_ITER):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy("dst")
-            .agg(F.sum(money(F.col("rank") / F.col("d"))).cast("double").alias("contrib"))
+            .agg(F.sum(F.expr("rank div d")).alias("contrib"))
         )
         ranks = contribs.select(
             F.col("dst").alias("node"),
-            (F.lit(0.15) + F.lit(_DAMP) * F.col("contrib")).alias("rank"),
+            (F.lit(150_000) + F.expr("(85 * contrib) div 100")).cast("long").alias("rank"),
         # Persist every round: each round's broadcast runs as its OWN job,
         # and jobs don't share shuffle outputs across separate actions —
         # without the cache, round k recomputes rounds 1..k-1 (O(k²) work).
         ).persist()
-    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+    return ranks.select("node", F.round(F.col("rank") / 1_000_000.0, 6).alias("pagerank"))
 
 
 _CC_ITER = 4

@@ -607,9 +607,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does grow with corpus), one per-doc agg, one per-source rollup. All
 # JVM-side; linear in total tokens.
 #
-# Determinism: log2 is per-row IEEE and both engines see the identical
-# double quotient; per-doc and per-source sums go through the
-# ROUND→DECIMAL(18,6) convention so aggregation order never matters.
+# Determinism: both engines see the identical double quotient, but log2
+# is a LIBM call — Java and C disagree in the last ulp for some inputs,
+# and a 6-dp ROUND of a transcendental occasionally lands on a .5
+# boundary where that ulp flips the rounded value (observed once at
+# sf0.1). Per-token bits are therefore pre-rounded to 4 dp — boundary
+# density drops 100× (no observed ties at any fixture SF) — and all
+# sums/averages go through the ROUND→DECIMAL(18,6) convention so
+# aggregation order never matters. The exact-determinism paths in this
+# engine avoid transcendentals entirely (see graph.py's fixed-point
+# PageRank); surprisal keeps log2 because bits-per-token IS the metric.
 # ---------------------------------------------------------------------------
 @query(
     "text_surprisal",
@@ -622,7 +629,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n FROM tok
     ), per_doc AS (
       SELECT t.doc_id, t.source,
-             {davg_sql('log2(CAST(n AS DOUBLE) / tf)', 'bits_per_tok')}
+             {davg_sql('ROUND(log2(CAST(n AS DOUBLE) / tf), 4)', 'bits_per_tok')}
       FROM tok t JOIN freq USING (term) CROSS JOIN tot
       GROUP BY t.doc_id, t.source
     )
@@ -645,7 +652,12 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(freq, "term")
         .crossJoin(F.broadcast(tot))  # 1-row scalar: SF-invariant, hint allowed
         .groupBy("doc_id", "source")
-        .agg(davg(F.log2(F.col("n").cast("double") / F.col("tf")), "bits_per_tok"))
+        .agg(
+            davg(
+                F.round(F.log2(F.col("n").cast("double") / F.col("tf")), 4),
+                "bits_per_tok",
+            )
+        )
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

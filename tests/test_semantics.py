@@ -154,3 +154,34 @@ def test_round3_ops_are_parallelism_invariant(spark):
             assert a == b, f"{n} differs between 1 and 32 shuffle partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_round4_ops_are_parallelism_invariant(spark):
+    """Round-4 operators: identical result sets at 1 and 32 shuffle
+    partitions. The interesting cases are the md5-rank window in
+    contrastive negatives (rank ties must break deterministically), the
+    directional LSH candidate join in incremental dedup, and the
+    sequential double folds in the JL projection (array fold order is
+    per-row, not partition-dependent)."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    names = [
+        "dedup_incremental",
+        "corpus_stratified_sample",
+        "similarity_contrastive_negatives",
+        "embedding_random_projection",
+    ]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("1", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = specs[n].builder(spark, SF_SMOKE)
+                rows = sorted(map(repr, df.collect()))
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs between 1 and 32 shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
