@@ -308,3 +308,25 @@ def run_corpus_ingest(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint
         .start()
     )
     q.awaitTermination()
+
+
+def stratified_sample_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/datapipe.py::corpus_stratified_sample:
+    per-language keep rates over md5-uniforms with inverse-propensity
+    weights. Stateless (pure per-row function of doc_id), so streaming
+    ingest selects the IDENTICAL sample set as a batch backfill — proven in
+    tests/test_streaming.py — and needs no watermark: at 100 TB/day this
+    runs as a scan-speed filter on the ingest stream."""
+    from spark_cherry_shuffle_service_spark.operators.datapipe import (
+        _STRAT_DEFAULT,
+        _STRAT_RATES,
+    )
+
+    rate = F.lit(_STRAT_DEFAULT)
+    for lang, r in reversed(_STRAT_RATES):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h + 1) / F.lit(4294967296.0)
+    return docs.filter(u < rate).select(
+        "doc_id", "lang", "source", F.round(F.lit(1.0) / rate, 6).alias("ipw_weight")
+    )

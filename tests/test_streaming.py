@@ -262,3 +262,25 @@ def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["split"], r["n_tokens"])  # noqa: E731
     assert sorted(map(key, back.collect())) == sorted(map(key, batch.collect()))
     assert back.count() > 0
+
+
+def test_stratified_sample_stream_matches_batch(spark, tmp_path):
+    """Pure-function sampling ⇒ the streaming sampler must select the
+    byte-identical document set (and weights) as the batch operator."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        read_documents_stream,
+        run_to_memory,
+        stratified_sample_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = run_to_memory(
+        stratified_sample_stream(read_documents_stream(spark, SF_SMOKE)),
+        "strat_sample_stream",
+        mode="append",
+    )
+    batch = all_specs()["corpus_stratified_sample"].builder(spark, SF_SMOKE)
+    got = sorted(map(repr, streamed.collect()))
+    want = sorted(map(repr, batch.collect()))
+    assert got == want and len(got) > 0
