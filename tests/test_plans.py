@@ -448,3 +448,43 @@ def test_contrastive_negatives_prefilter_precedes_window(spark):
     # (h < 4) must appear below/after the Window operator header.
     win_pos = plan.index("Window")
     assert "< 4" in plan[win_pos:] or "&lt; 4" in plan[win_pos:], plan
+
+
+def test_bucketed_edge_table_makes_iteration_join_edge_side_exchange_free(spark):
+    """The graph modules' documented 100 TB path (graph.py scale note,
+    SCALE.md): bucket the edge table by src so each iteration's
+    edges⋈ranks join re-reads the bucketing instead of re-shuffling the
+    (large) edge side. Evidence: with edges bucketed on src, the WHOLE
+    iteration joins with ZERO exchanges — the ranks table derives from the
+    same bucketed table, so its distinct() satisfies its hash-partitioning
+    requirement from the bucketing too."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.sources.catalog import table, write_bucketed
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("src"),
+            (2 * F.col("o_custkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    write_bucketed(pairs, "edges_bkt", ["src"], 8)
+    edges = spark.table("edges_bkt")
+    ranks = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("rank", F.lit(1_000_000))
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast join so the exchange structure is visible
+        # (at real scale ranks outgrows any broadcast threshold anyway).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = edges.join(ranks.hint("merge"), edges.src == ranks.node)
+        n_exchanges = count_ops(joined, "Exchange")
+        assert n_exchanges == 0, (n_exchanges, plan_ops(joined))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS edges_bkt")
