@@ -143,6 +143,7 @@ HEADLINE = [
     "similarity_contrastive_negatives",
     "embedding_random_projection",
     "corpus_prepare_pipeline",
+    "similarity_ann_recall",
 ]
 
 

@@ -1281,3 +1281,120 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_RP_K)
     ]
     return emb.select("vec_id", "label", *proj)
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: recall@k of the IVF path against brute-force ground
+# truth, per query — the quality harness every production ANN deployment
+# runs on a sampled query set before trusting the index. Both pipelines are
+# deterministic (same centroid seeding and tiebreaks as similarity_ivf /
+# similarity_topk), so recall itself is exact and oracle-verifiable — the
+# engine measures its own approximation quality under the differential
+# gate. Scale shape: ground truth is brute-force only over the SAMPLED
+# query set (broadcast) — O(|sample|·N) with one window, the standard
+# recall-audit cost, never all-pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_ann_recall",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM (
+        SELECT n.vec_id, c.cent_id, n.embedding, n.nrm,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_SQL_DOT_AB.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+                 c.cent_id) AS rn
+        FROM n CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, cell, embedding AS qe, nrm AS qn
+      FROM assigned WHERE vec_id >= {_IVF_NQ_LO} AND vec_id < {_IVF_NQ_HI}
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_SQL_DOT_AB.format(a='q.qe', b='a.embedding')} / (q.qn * a.nrm) DESC,
+                 a.vec_id) AS rnk
+        FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+      ) WHERE rnk <= {_IVF_TOPK}
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_SQL_DOT_AB.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) DESC,
+                 n.vec_id) AS rnk
+        FROM q JOIN n ON n.vec_id <> q.query_id
+      ) WHERE rnk <= {_IVF_TOPK}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.neighbor_id) / {_IVF_TOPK}.0, 4) AS recall_at_k
+    FROM truth t LEFT JOIN ivf i
+      ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    tags=("similarity", "ann", "recall", "evaluation", "scale"),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .persist()  # feeds centroid pick, assignment, truth corpus
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    cos_to_cent = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cos_c", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm")
+    )
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_NQ_LO) & (F.col("vec_id") < _IVF_NQ_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    qcos = dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    ivf = (
+        F.broadcast(q)
+        .join(assigned, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), qcos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    truth = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), qcos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor"))
+    )
+    return (
+        truth.join(
+            ivf,
+            (ivf.query_id == truth.t_query) & (ivf.neighbor_id == truth.t_neighbor),
+            "left",
+        )
+        .groupBy(F.col("t_query").alias("query_id"))
+        .agg(
+            F.count("neighbor_id").alias("n_hits"),
+            F.round(F.count("neighbor_id") / float(_IVF_TOPK), 4).alias("recall_at_k"),
+        )
+    )
