@@ -164,6 +164,13 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELI
 RUNS_PER_QUERY = 3
 RETIME_RUNS = 2
 STALL_FACTOR = 2.0
+#: A query is stall-suspect only when it breaches the 2x window by at
+#: least this many ABSOLUTE seconds too: for sub-second queries the 2x
+#: window is narrower than ordinary host jitter (a 0.28 s query reading
+#: 0.58 s in a busy window is noise, not a regression — BASELINE.md's
+#: round-3 adjudications treated exactly this class as noise), while any
+#: real regression on a query that matters clears half a second easily.
+STALL_ABS_SLACK = 0.5
 
 
 def _median(xs: list[float]) -> float:
@@ -212,7 +219,7 @@ def main() -> None:
         t = _median(runs)
         base = baselines.get(name)
         retimed = False
-        if base is not None and t > STALL_FACTOR * base:
+        if base is not None and t > STALL_FACTOR * base and t - base > STALL_ABS_SLACK:
             # Stall suspect: re-time in the same process and keep the best
             # observed run — a genuine plan regression stays slow across
             # all runs; a host stall does not.
