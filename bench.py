@@ -144,6 +144,13 @@ HEADLINE = [
     "embedding_random_projection",
     "corpus_prepare_pipeline",
     "similarity_ann_recall",
+    # Round-4 ML-adjacent pipeline ops (operators/pipeline_ml.py):
+    # fixed-point EWMA window, zero-shuffle hashed linear classifier,
+    # degree-capped common-neighbor link prediction, blocked ER.
+    "events_ewma",
+    "text_hash_classifier",
+    "graph_common_neighbors",
+    "er_blocked_linkage",
 ]
 
 

@@ -17,3 +17,4 @@ import spark_cherry_shuffle_service_spark.operators.datapipe  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.decimal_native  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.dataquality  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.layout  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.pipeline_ml  # noqa: F401

@@ -1,0 +1,302 @@
+"""ML-adjacent pipeline operators: smoothing, scoring, link prediction,
+entity resolution.
+
+Beyond-reference surface (the reference's workload set is TPC-DS SQL + RDD
+shuffle jobs, SURVEY.md §0; a production data platform built on it runs
+exactly these four shapes downstream of the relational spine):
+
+- `events_ewma`           — exponentially-weighted smoothing of a metric
+  stream (monitoring / feature engineering), the batch twin of a stateful
+  streaming smoother.
+- `text_hash_classifier`  — a fastText-style hashed-bag-of-words linear
+  model scored corpus-wide (the standard quality-filter stage of an LLM
+  data pipeline: hash tokens → fixed weight table → per-doc score).
+- `graph_common_neighbors`— common-neighbor link prediction over the
+  supplier↔customer co-purchase graph (same node set as graph.py).
+- `er_blocked_linkage`    — blocked entity resolution / record linkage
+  with edit-distance verification (dedup of entity tables, not documents).
+
+Determinism conventions (CLAUDE.md):
+- No floats in any aggregate: EWMA runs in BIGINT micro-units with
+  bit-shift halving (the graph.py::graph_pagerank fixed-point pattern);
+  classifier weights are small integers; link-prediction and ER outputs
+  are counts. Nothing here can hit a cross-engine ROUND tie.
+- All "randomness" (the classifier's weight table) is md5-derived.
+- LIMIT queries order by a unique tiebreak.
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing, fixed-point. s_i = Σ_{k=0..7} v_{i-k} / 2^(k+1): the
+# 8-term truncated kernel of the classic alpha=0.5 recursive EWMA
+# (term 9+ contributes < 2^-9 of a centi-unit — below the output's 1e-6
+# resolution for this value range). Working representation is BIGINT
+# micro-units; halving is an arithmetic right shift, so every engine at
+# every parallelism computes the identical integer (value is a 2-dp
+# double, so ROUND(value*1e6) is ≥ 1e5 ulps from any .5 boundary).
+#
+# Scale: one hash-partitioned window per user_id — a single shuffle, state
+# bounded by the 8-row frame. At 100 TB this is the textbook sessionized
+# window; no global ordering anywhere. The user_id < 30 filter is a
+# partition-key predicate (pushed to the scan) and does not change any
+# retained user's window.
+# ---------------------------------------------------------------------------
+_EWMA_TERMS = 8
+
+
+def _ewma_sql() -> str:
+    shifts = " + ".join(
+        f"(COALESCE(lag(m, {k}) OVER w, 0) >> {k + 1})" for k in range(_EWMA_TERMS)
+    )
+    return f"""
+    WITH src AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS m
+      FROM events WHERE user_id < 30
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST({shifts} AS BIGINT) AS ewma_micro
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """
+
+
+@query(
+    "events_ewma",
+    oracle=_ewma_sql(),
+    tags=("events", "timeseries", "window", "fixed_point"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(F.col("value") * 1000000).cast("long").alias("m"),
+    )
+    ewma = None
+    for k in range(_EWMA_TERMS):
+        lagged = F.coalesce(F.lag("m", k).over(w), F.lit(0).cast("long"))
+        term = F.shiftright(lagged, k + 1)
+        ewma = term if ewma is None else ewma + term
+    return (
+        src.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            ewma.cast("long").alias("ewma_micro"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-bag-of-words linear classifier (fastText-style quality filter).
+# Feature hashing: token → md5 → bucket ∈ [0, 1024); the weight table is a
+# pure function of the bucket (md5-derived small integer in [-6, 6]), so
+# both engines share the "model" with no side file. Score = Σ weights —
+# integer, exact.
+#
+# Scale: the Spark side is a PURE PROJECTION — split → transform →
+# aggregate higher-order functions, zero explode, zero shuffle, zero
+# Python. Scoring 100 TB costs exactly one scan; this is the shape a real
+# quality-classifier pass must have (per-row map, no wide edges). The
+# oracle uses unnest + GROUP BY (DuckDB has no integer-aggregate HOF) —
+# same semantics, different dataflow.
+# ---------------------------------------------------------------------------
+_N_BUCKETS = 1024
+
+
+@query(
+    "text_hash_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((('0x' || substr(md5(t), 1, 4))::BIGINT % {_N_BUCKETS}) % 13 - 6) AS BIGINT) AS score,
+           CASE WHEN SUM((('0x' || substr(md5(t), 1, 4))::BIGINT % {_N_BUCKETS}) % 13 - 6) > 0
+                THEN 1 ELSE 0 END AS label
+    FROM tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "datapipe", "classifier", "hof"),
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+
+    def weight(t: F.Column) -> F.Column:
+        bucket = F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % _N_BUCKETS
+        return bucket % 13 - 6
+
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            score.alias("score"),
+            F.when(score > 0, 1).otherwise(0).alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction over the supplier↔customer co-purchase
+# graph (the graph.py node set, restricted to a 6-month trade window so
+# the bipartite graph is sparse enough for exact common-neighbor counts).
+# Classic CN score: suppliers sharing many customers are likely "linked".
+#
+# Scale: the self-join on the shared customer is Σ_c deg(c)² — the op
+# degree-caps hub customers (deg > 64 excluded, standard in link
+# prediction: hubs carry no signal and dominate cost). At 100 TB you add
+# the deterministic minwise edge-sampling sketch (keep edges where
+# md5(s) % k = 0) before the self-join — same top-pairs ranking,
+# 1/k² the join. All outputs are integer counts: no float anywhere.
+# ---------------------------------------------------------------------------
+_CN_WINDOW = ("TIMESTAMP '1997-01-01'", "TIMESTAMP '1997-07-01'")
+_CN_DEGCAP = 64
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= {_CN_WINDOW[0]} AND l_shipdate < {_CN_WINDOW[1]}
+    ), cdeg AS (
+      SELECT c, COUNT(*) AS d FROM pairs GROUP BY c
+    ), kept AS (
+      SELECT p.s, p.c FROM pairs p JOIN cdeg ON cdeg.c = p.c WHERE cdeg.d <= {_CN_DEGCAP}
+    ), sdeg AS (
+      SELECT s, COUNT(*) AS d FROM kept GROUP BY s
+    ), cn AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT cn.s1, cn.s2, CAST(cn.common AS BIGINT) AS common,
+           CAST(d1.d AS BIGINT) AS deg1, CAST(d2.d AS BIGINT) AS deg2
+    FROM cn JOIN sdeg d1 ON d1.s = cn.s1 JOIN sdeg d2 ON d2.s = cn.s2
+    ORDER BY common DESC, s1, s2
+    LIMIT 20
+    """,
+    tags=("graph", "link_prediction", "self_join"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    kept = (
+        pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
+        .select("s", "c")
+        .persist()
+    )
+    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = kept.alias("a"), kept.alias("b")
+    cn = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        cn.join(sdeg.withColumnRenamed("s", "s1").withColumnRenamed("d", "deg1"), "s1")
+        .join(sdeg.withColumnRenamed("s", "s2").withColumnRenamed("d", "deg2"), "s2")
+        .select("s1", "s2", "common", "deg1", "deg2")
+        .orderBy(F.desc("common"), "s1", "s2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution over the customer entity table: candidate
+# pairs only within a (nation, name-prefix) block, verified by
+# levenshtein edit distance (a JVM built-in in Spark AND a DuckDB
+# built-in — integer, engine-identical). Reported per-nation so the
+# output is a bounded audit table.
+#
+# Scale: blocking is THE ER scale technique — candidates are
+# Σ_blocks |block|², never n². At 100 TB you lengthen the prefix (or
+# switch the block key to a phonetic/LSH key) to keep blocks bounded;
+# the verify stage stays embarrassingly parallel either way. No float.
+# ---------------------------------------------------------------------------
+_ER_PREFIX = 14
+_ER_MAXDIST = 1
+
+
+@query(
+    "er_blocked_linkage",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey, substr(c_name, 1, {_ER_PREFIX}) AS blk
+      FROM customer
+    ), cand AS (
+      SELECT a.c_nationkey AS nationkey,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM blocked a JOIN blocked b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN dist <= {_ER_MAXDIST} THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(MIN(dist) AS BIGINT) AS min_dist
+    FROM cand
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    tags=("entity_resolution", "dedup", "blocking", "levenshtein"),
+)
+def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.substring("c_name", 1, _ER_PREFIX).alias("blk")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    )
+    return (
+        cand.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("dist") <= _ER_MAXDIST, 1).otherwise(0)).cast("long").alias("n_matches"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
+        .orderBy("nationkey")
+    )
