@@ -246,11 +246,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output is a bounded audit table.
 #
 # Scale: blocking is THE ER scale technique — candidates are
-# Σ_blocks |block|², never n². At 100 TB you lengthen the prefix (or
-# switch the block key to a phonetic/LSH key) to keep blocks bounded;
-# the verify stage stays embarrassingly parallel either way. No float.
+# Σ_blocks |block|², never n². The prefix length must actually
+# discriminate: prefix 14 covers only the first 5 digits of the 9-digit
+# customer ordinal, so every customer under id 10000 lands in ONE block
+# per nation and the verify stage goes quadratic (measured 6.7 s at
+# sf0.1 vs 0.9 s with prefix 16 — the same cliff a real pipeline hits
+# when a block key under-discriminates). Prefix 16 bounds blocks at
+# ~100 ids ÷ 25 nations at every SF; at 100 TB you lengthen it again or
+# switch to a phonetic/LSH key. No float anywhere.
 # ---------------------------------------------------------------------------
-_ER_PREFIX = 14
+_ER_PREFIX = 16
 _ER_MAXDIST = 1
 
 
