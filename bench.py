@@ -151,6 +151,8 @@ HEADLINE = [
     "text_hash_classifier",
     "graph_common_neighbors",
     "er_blocked_linkage",
+    "events_attribution",
+    "events_winsorized_revenue",
 ]
 
 

@@ -15,6 +15,10 @@ exactly these four shapes downstream of the relational spine):
   supplier↔customer co-purchase graph (same node set as graph.py).
 - `er_blocked_linkage`    — blocked entity resolution / record linkage
   with edit-distance verification (dedup of entity tables, not documents).
+- `events_attribution`    — first/last-touch marketing attribution
+  (IGNORE-NULLS window carry-forward of the latest click per user).
+- `events_winsorized_revenue` — robust aggregation: clamp a metric to
+  per-group exact order-statistic cutoffs (p05/p95) before summing.
 
 Determinism conventions (CLAUDE.md):
 - No floats in any aggregate: EWMA runs in BIGINT micro-units with
@@ -304,4 +308,150 @@ def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").cast("long").alias("min_dist"),
         )
         .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch attribution: every purchase is credited to the FIRST
+# and the LATEST preceding click of the same user — the IGNORE-NULLS
+# window carry-forward idiom (the SQL shape marketing attribution,
+# sensor forward-fill, and last-known-location queries all share).
+# Attribution lag is computed in integer epoch microseconds: exact.
+#
+# Scale: one hash-partitioned window per user_id — the same single
+# shuffle as any sessionization; state is O(1) per user (two carried
+# values). The user_id < 50 filter is a partition-key predicate pushed
+# to the scan; retained users keep complete windows.
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS first_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS last_click_id,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS last_click_us
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS purchase_id, value,
+           first_click_id, last_click_id,
+           CAST(epoch_us(ts) - last_click_us AS BIGINT) AS lag_us
+    FROM marked
+    WHERE event_type = 'purchase' AND last_click_id IS NOT NULL
+    ORDER BY user_id, purchase_id
+    """,
+    tags=("events", "attribution", "window", "ignore_nulls"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click_id"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_us, ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    return (
+        marked.filter((F.col("event_type") == "purchase") & F.col("last_click_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "value",
+            "first_click_id",
+            "last_click_id",
+            (F.unix_micros("ts") - F.col("last_click_us")).cast("long").alias("lag_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (robust) aggregation: clamp value to per-event_type
+# [p05, p95] before summing, so a handful of outliers can't dominate the
+# metric. The cutoffs are EXACT ORDER STATISTICS computed manually
+# (row_number vs ceil(p·n), not percentile_cont) — selected elements are
+# actual 2-dp data values, so the clamped dsum can't hit a cross-engine
+# rounding tie, and the same formula runs verbatim on both engines
+# (engines disagree on quantile interpolation, never on element picks).
+#
+# Scale: two shuffles — the ranking window per event_type and the final
+# group-by. The cutoff table is |event_types| rows (SF-invariant,
+# broadcast-eligible by AQE; no hint needed at fixture sizes).
+# ---------------------------------------------------------------------------
+@query(
+    "events_winsorized_revenue",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn >= CEIL(0.05 * n) THEN value END) AS lo,
+             MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN r.value < c.lo OR r.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           c.lo, c.hi,
+           CAST(SUM(ROUND(LEAST(GREATEST(r.value, c.lo), c.hi), 6)::DECIMAL(18,6)) AS DOUBLE) AS winsorized_sum
+    FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+    GROUP BY r.event_type, c.lo, c.hi
+    ORDER BY r.event_type
+    """,
+    tags=("events", "robust_agg", "order_statistics"),
+)
+def events_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+
+    ev = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("value"))).alias("hi"),
+    )
+    clamped = ranked.join(cuts, "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return (
+        clamped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+            dsum(F.col("wv"), "winsorized_sum"),
+        )
+        .select("event_type", "n_events", "n_clamped", "lo", "hi", "winsorized_sum")
+        .orderBy("event_type")
     )

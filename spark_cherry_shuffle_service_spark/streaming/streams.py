@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -157,6 +158,60 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
             update,
             outputStructType=RUNNING_TOTALS_OUTPUT,
             stateStructType=RUNNING_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma_micro", LongType()),
+    ]
+)
+EWMA_STATE = StructType([StructField("hist", ArrayType(LongType()))])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_ewma` operator: per-user
+    truncated alpha=0.5 EWMA in BIGINT micro-units, state = the last 8
+    micro-values (a bounded ring — O(1) per user in the state store).
+
+    The integer kernel (Σ hist[-1-k] >> (k+1)) is bit-identical to the
+    batch window's shifted-lag sum, so live scoring and backfill agree
+    exactly (test_streaming parity). Within a micro-batch rows are sorted
+    by (ts, event_id); across batches the file source must deliver
+    event-time-ordered files (the fixture is one file — for an unordered
+    production source, put a watermark+sort stage in front)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_ids: list[int] = []
+        out_ewma: list[int] = []
+        for value, event_id in zip(rows["value"], rows["event_id"]):
+            hist.append(int(round(float(value) * 1_000_000)))
+            if len(hist) > 8:
+                hist.pop(0)
+            out_ids.append(int(event_id))
+            out_ewma.append(sum(hist[-1 - k] >> (k + 1) for k in range(len(hist))))
+        state.update((hist,))
+        yield pd.DataFrame(
+            {"user_id": key[0], "event_id": out_ids, "ewma_micro": out_ewma}
+        )
+
+    return (
+        events.filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=EWMA_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

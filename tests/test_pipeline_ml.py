@@ -21,6 +21,8 @@ NEW_OPS = [
     "text_hash_classifier",
     "graph_common_neighbors",
     "er_blocked_linkage",
+    "events_attribution",
+    "events_winsorized_revenue",
 ]
 
 

@@ -284,3 +284,28 @@ def test_stratified_sample_stream_matches_batch(spark, tmp_path):
     got = sorted(map(repr, streamed.collect()))
     want = sorted(map(repr, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_ewma_stream_matches_batch(spark):
+    """The stateful streaming EWMA (applyInPandasWithState, ring of 8
+    micro-values) must produce the bit-identical integer smoothing the
+    batch window operator computes — live scoring == backfill."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        ewma_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = run_to_memory(
+        ewma_stream(read_events_stream(spark, SF_SMOKE)),
+        "ewma_stream",
+        mode="update",
+    )
+    batch = all_specs()["events_ewma"].builder(spark, SF_SMOKE).select(
+        "user_id", "event_id", "ewma_micro"
+    )
+    got = sorted(map(repr, streamed.collect()))
+    want = sorted(map(repr, batch.collect()))
+    assert got == want and len(got) > 0
