@@ -153,6 +153,8 @@ HEADLINE = [
     "er_blocked_linkage",
     "events_attribution",
     "events_winsorized_revenue",
+    "dedup_lsh_recall",
+    "events_rolling_dau",
 ]
 
 

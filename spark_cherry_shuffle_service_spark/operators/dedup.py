@@ -753,3 +753,144 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") >= _MH_TAU)
         .select("doc_id", "dup_of", F.round(F.col("j"), 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH self-audit: measured recall/precision of the banded MinHash
+# candidate generator against EXACT Jaccard ground truth on a fixed-size
+# md5-ordered document sample (the same audit pattern as
+# similarity.py::similarity_ann_recall — production dedup pipelines ship
+# this number on every corpus snapshot, because the b×r S-curve is a
+# theoretical candidate probability, not a measured recall).
+#
+# Sample: first 400 docs in md5(doc_id) order — deterministic,
+# corpus-representative, and FIXED-SIZE, so the exact all-pairs ground
+# truth is C(400,2) regardless of SF (at 100 TB the rank window over doc
+# ids is replaced by any fixed-cardinality reservoir; the audit cost
+# never scales with the corpus). The all-pairs join here is deliberate
+# and bounded — the audited LSH path itself never goes all-pairs.
+#
+# Outputs are integer counts + basis-point ratios via integer floor
+# division (no float division can tie across engines).
+# ---------------------------------------------------------------------------
+_AUDIT_N = 400
+
+
+def _lsh_recall_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band,"
+        f" md5(array_to_string(sig[{band * _MH_ROWS + 1}:{band * _MH_ROWS + _MH_ROWS}], '')) AS bkey"
+        " FROM sig"
+        for band in range(_MH_BANDS)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM ranked WHERE rn <= {_AUDIT_N})
+    ), truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_MH_TAU}
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_MH_N - 1}),
+               s -> list_min(list_transform(sh, x -> md5(s::VARCHAR || '|' || x)))) AS sig
+      FROM samp
+    ), banded AS ( {band_rows} ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT (SELECT COUNT(*) FROM samp) AS n_docs,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cands) AS n_cands,
+             (SELECT COUNT(*) FROM truth t JOIN cands c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cands AS BIGINT) AS n_cands,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_truth = 0 THEN 10000 ELSE (10000 * n_hits) // n_truth END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_cands = 0 THEN 10000 ELSE (10000 * n_hits) // n_cands END AS BIGINT) AS precision_bp
+    FROM m
+    """
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    tags=("dedup", "minhash", "lsh", "audit"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.text import minhash_signature
+
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    samp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _AUDIT_N)
+        .select("doc_id", shingles3(F.col("text")).alias("sh"))
+        .persist()  # feeds truth (both sides), sig
+    )
+    a, b = samp.alias("a"), samp.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= _MH_TAU)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .persist()  # feeds the hits join + its own count
+    )
+    sig = samp.select("doc_id", minhash_signature(F.col("sh"), _MH_N).alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("sig"), band * _MH_ROWS + 1, _MH_ROWS), "")
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()  # feeds the hits join + its own count
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"])
+    m = (
+        samp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth")))
+        .crossJoin(cands.agg(F.count(F.lit(1)).cast("long").alias("n_cands")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    )
+    return m.select(
+        "n_docs",
+        "n_truth",
+        "n_cands",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_truth = 0 THEN 10000 ELSE (10000 * n_hits) div n_truth END AS BIGINT)"
+        ).alias("recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_cands = 0 THEN 10000 ELSE (10000 * n_hits) div n_cands END AS BIGINT)"
+        ).alias("precision_bp"),
+    )

@@ -823,3 +823,64 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.unix_micros("global_max") - F.unix_micros("latest_ts")).alias("staleness_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct active users (the DAU/WAU board metric).
+# COUNT(DISTINCT) is not window-able in either engine, so the sliding
+# distinct is computed by the standard bounded fan-out: each (day, user)
+# contributes to the 7 target days it's visible in (explode k=0..6),
+# then one exact distinct count per target day. Fan-out is exactly 7×
+# the DISTINCT (day, user) table — already collapsed far below the raw
+# event count — so at 100 TB this is 7 × |daily actives| rows into a
+# hash aggregate, not 7 × events.
+#
+# The observed-days join keeps only real days (no phantom targets past
+# the range); the day spine is calendar-bounded, never SF-bounded, so
+# broadcasting it is policy-compliant (same precedent: daily_gapfill).
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_dau",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ev
+    ), contrib AS (
+      SELECT e.d + t.k AS day, e.user_id
+      FROM ev e CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k)
+    ), dau7 AS (
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS dau_7d
+      FROM contrib c JOIN days ON days.d = c.day
+      GROUP BY c.day
+    ), dau1 AS (
+      SELECT d AS day, COUNT(DISTINCT user_id) AS dau_1d FROM ev GROUP BY d
+    )
+    SELECT dau1.day,
+           CAST(dau_1d AS BIGINT) AS dau_1d,
+           CAST(dau_7d AS BIGINT) AS dau_7d
+    FROM dau1 JOIN dau7 ON dau1.day = dau7.day
+    ORDER BY dau1.day
+    """,
+    tags=("events", "timeseries", "sliding_distinct"),
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .persist()  # feeds the day spine, the fan-out, and dau1
+    )
+    days = ev.select("d").distinct()
+    contrib = ev.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select(F.date_add("d", F.col("k")).alias("day"), "user_id")
+    dau7 = (
+        contrib.join(F.broadcast(days.withColumnRenamed("d", "day")), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("dau_7d"))
+    )
+    dau1 = ev.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau_1d")
+    )
+    return dau1.join(dau7, "day").select("day", "dau_1d", "dau_7d").orderBy("day")

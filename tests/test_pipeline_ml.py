@@ -23,6 +23,9 @@ NEW_OPS = [
     "er_blocked_linkage",
     "events_attribution",
     "events_winsorized_revenue",
+    # same-round additions living in dedup.py / events_ops.py:
+    "dedup_lsh_recall",
+    "events_rolling_dau",
 ]
 
 
