@@ -155,6 +155,9 @@ HEADLINE = [
     "events_winsorized_revenue",
     "dedup_lsh_recall",
     "events_rolling_dau",
+    "dq_k_anonymity",
+    "text_keywords",
+    "orders_yoy_growth",
 ]
 
 

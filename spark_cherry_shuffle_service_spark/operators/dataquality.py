@@ -323,3 +323,55 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("price"), "total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: group the entity table by its quasi-identifiers
+# (nation, market segment, account-balance band) and report how
+# identifiable the groups are — the privacy gate a dataset runs before
+# publication. All outputs are integers; the balance band is
+# FLOOR(c_acctbal / 1000): same IEEE division + floor on both engines
+# (floor, unlike ROUND, has no .5-boundary tie class for these
+# magnitudes).
+#
+# Scale: one hash aggregation on the QI tuple, one re-aggregation of the
+# bounded group table. Never a collect; the violating-group list is
+# capped by the QI-combination cardinality, not the row count.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows
+    FROM groups
+    """,
+    tags=("dataquality", "privacy", "k_anonymity"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp_n").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+    )

@@ -1182,3 +1182,68 @@ def udf_maparrow_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.mapInArrow(count_tokens, "doc_id long, n_tokens long")
 
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth in integer basis points: monthly revenue in exact
+# BIGINT cents (o_totalprice is a 2-dp double, so ROUND(x*100) is ≥1e5
+# ulps from any .5 boundary), YoY delta via lag(12-months-ago) = a self
+# join on (year-1, month), growth_bp = FLOOR(10000·Δ/prev) — a single
+# IEEE division of identical BIGINT operands on both engines, then FLOOR
+# (no ROUND tie class; integer-valued quotients are exact by
+# construction, see pipeline_ml.py's fixed-point notes).
+#
+# Scale: one aggregation to |months| rows; everything after is
+# bounded-size. The classic period-over-period dashboard query.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mon, cur.rev_cents, cur.n_orders,
+           prev.rev_cents AS prev_rev_cents,
+           CAST(FLOOR(10000.0 * (cur.rev_cents - prev.rev_cents) / prev.rev_cents) AS BIGINT) AS yoy_growth_bp
+    FROM monthly cur JOIN monthly prev
+      ON prev.yr = cur.yr - 1 AND prev.mon = cur.mon
+    ORDER BY cur.yr, cur.mon
+    """,
+    tags=("olap", "timeseries", "period_over_period"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.yr") == F.col("cur.yr") - 1) & (F.col("prev.mon") == F.col("cur.mon")),
+        )
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.mon").alias("mon"),
+            F.col("cur.rev_cents").alias("rev_cents"),
+            F.col("cur.n_orders").alias("n_orders"),
+            F.col("prev.rev_cents").alias("prev_rev_cents"),
+            F.floor(
+                10000.0 * (F.col("cur.rev_cents") - F.col("prev.rev_cents")) / F.col("prev.rev_cents")
+            )
+            .cast("long")
+            .alias("yoy_growth_bp"),
+        )
+        .orderBy("yr", "mon")
+    )

@@ -8,7 +8,7 @@ at 100 TB these are embarrassingly parallel scans with small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
@@ -890,4 +890,55 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0)).cast("long").alias("docs_with_phone"),
         F.sum(F.col("n_email") + F.col("n_phone")).cast("long").alias("n_pii_spans"),
         F.sum(F.length("t") - F.length("redacted")).cast("long").alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction WITHOUT logs: rank each doc's terms by
+# (term frequency DESC, document frequency ASC, term) — "most frequent
+# rare term", the integer-ordering surrogate for TF-IDF that two engines
+# can never disagree on (log-based IDF sits on libm last-ulp ties,
+# the CLAUDE.md surprisal lesson). Top 3 per document.
+#
+# Scale: explode → two hash aggregations (per-doc TF, corpus DF) → one
+# vocab-bounded join → per-doc window. DF is |vocab| rows; vocab grows
+# with the corpus, so no broadcast hint (AQE decides at runtime).
+# ---------------------------------------------------------------------------
+@query(
+    "text_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t FROM documents)
+      WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+    ), ranked AS (
+      SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.t) AS rnk
+      FROM tf JOIN df ON tf.t = df.t
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "keywords", "tfidf_surrogate"),
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tok.groupBy("t").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("t"))
+    return (
+        tf.join(df, "t")
+        .select("doc_id", F.col("t").alias("term"), "tf", "df", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
     )

@@ -23,9 +23,12 @@ NEW_OPS = [
     "er_blocked_linkage",
     "events_attribution",
     "events_winsorized_revenue",
-    # same-round additions living in dedup.py / events_ops.py:
+    # same-round additions living in their natural modules:
     "dedup_lsh_recall",
     "events_rolling_dau",
+    "dq_k_anonymity",
+    "text_keywords",
+    "orders_yoy_growth",
 ]
 
 
