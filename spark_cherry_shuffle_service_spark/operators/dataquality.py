@@ -375,3 +375,60 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).cast("long").alias("rows_at_risk"),
         F.sum("grp_n").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier audit (Tukey fences) per event type.
+#
+# Two-pass: exact p25/p75 per type (percentile ≙ DuckDB quantile_cont —
+# both linearly interpolate at pos = p·(n-1), IEEE-identical given the
+# same sorted input; precedent: agg_percentile), then a join-back count
+# of values outside [p25 − 1.5·IQR, p75 + 1.5·IQR]. The fence arithmetic
+# is plain double +/−/× on identical inputs — bit-identical cross-engine,
+# and deliberately NOT rounded (ROUND on irrational-ish doubles is the
+# unsafe tie class, CLAUDE.md). event_type is a fixed 5-value vocabulary,
+# so broadcasting the 5-row fence table is policy-compliant at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN e.value < p25 - 1.5 * (p75 - p25) THEN 1 END)
+             AS BIGINT) AS n_low,
+           CAST(COUNT(CASE WHEN e.value > p75 + 1.5 * (p75 - p25) THEN 1 END)
+             AS BIGINT) AS n_high,
+           MIN(p25 - 1.5 * (p75 - p25)) AS lo_fence,
+           MIN(p75 + 1.5 * (p75 - p25)) AS hi_fence
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("dataquality", "outlier", "percentile"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    lo = F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")  # fixed 5-type vocab
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") < lo, 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > hi, 1)).alias("n_high"),
+            F.min(lo).alias("lo_fence"),
+            F.min(hi).alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )

@@ -884,3 +884,116 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("dau_1d")
     )
     return dau1.join(dau7, "day").select("day", "dau_1d", "dau_7d").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Before/after pivot analysis (the A/B-less "impact of first purchase").
+#
+# Pivot = each user's FIRST purchase timestamp; metrics split the user's
+# whole event stream at that instant (before: ts < pivot, after:
+# ts >= pivot — the purchase itself counts as "after", deterministic).
+# Two shuffles on user_id (pivot agg + join-back conditional agg); the
+# pivot frame is SF-bound so it is NOT broadcast-hinted (CLAUDE.md
+# policy) — AQE broadcasts it at fixture sizes on its own. Money sums
+# via the exact dsum path.
+# ---------------------------------------------------------------------------
+@query(
+    "events_before_after",
+    oracle=f"""
+    WITH pivots AS (
+      SELECT user_id, MIN(ts) AS pivot
+      FROM events WHERE event_type = 'purchase' AND user_id < 500
+      GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(CASE WHEN e.ts < p.pivot THEN 1 END) AS BIGINT) AS n_before,
+           CAST(COUNT(CASE WHEN e.ts >= p.pivot THEN 1 END) AS BIGINT) AS n_after,
+           {dsum_sql("CASE WHEN e.ts < p.pivot THEN e.value ELSE 0 END", "val_before")},
+           {dsum_sql("CASE WHEN e.ts >= p.pivot THEN e.value ELSE 0 END", "val_after")}
+    FROM events e JOIN pivots p ON e.user_id = p.user_id
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("events", "behavioral", "conditional_agg"),
+)
+def events_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pivots = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 500))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pivot"))
+    )
+    joined = ev.join(pivots, "user_id")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("ts") < F.col("pivot"), 1)).alias("n_before"),
+            F.count(F.when(F.col("ts") >= F.col("pivot"), 1)).alias("n_after"),
+            dsum(F.when(F.col("ts") < F.col("pivot"), F.col("value")).otherwise(0.0), "val_before"),
+            dsum(F.when(F.col("ts") >= F.col("pivot"), F.col("value")).otherwise(0.0), "val_after"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user-day — the market-data aggregate
+# where each observation is weighted by how long it was "in effect"
+# (until the next event). All fixed-point BIGINT: value in micro-units
+# (2-dp money → exact), holding time in whole seconds via floor-divided
+# epoch-micro deltas (identical floor semantics both engines — NOT
+# date_diff, whose boundary-crossing count differs from a true delta).
+# The last event of a day has zero holding time and drops out, matching
+# the standard TWAP convention. One window + one groupBy, both keyed by
+# (user, day) — bounded state, no global sort, scale-linear.
+# ---------------------------------------------------------------------------
+@query(
+    "events_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_micro,
+             (epoch_us(LEAD(ts) OVER (
+                PARTITION BY user_id, CAST(ts AS DATE)
+                ORDER BY ts, event_id) ) - epoch_us(ts)) // 1000000 AS dt_sec
+      FROM events WHERE user_id < 300
+    )
+    SELECT user_id, d,
+           CAST(COUNT(*) AS BIGINT) AS n_holds,
+           CAST(SUM(v_micro * dt_sec) AS BIGINT) AS num_micro_sec,
+           CAST(SUM(dt_sec) AS BIGINT) AS den_sec,
+           CAST(SUM(v_micro * dt_sec) // NULLIF(SUM(dt_sec), 0) AS BIGINT)
+             AS twap_micro
+    FROM seq WHERE dt_sec IS NOT NULL
+    GROUP BY user_id, d
+    ORDER BY user_id, d
+    """,
+    tags=("events", "timeseries", "fixed_point", "window"),
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).select("user_id", "d", "v_micro", F.expr("dt_us div 1000000").alias("dt_sec"))
+    return (
+        seq.filter(F.col("dt_sec").isNotNull())
+        .groupBy("user_id", "d")
+        .agg(
+            F.count("*").alias("n_holds"),
+            F.sum(F.col("v_micro") * F.col("dt_sec")).cast("long").alias("num_micro_sec"),
+            F.sum("dt_sec").cast("long").alias("den_sec"),
+        )
+        .select(
+            "user_id",
+            "d",
+            "n_holds",
+            "num_micro_sec",
+            "den_sec",
+            F.expr("num_micro_sec div nullif(den_sec, 0)").alias("twap_micro"),
+        )
+        .orderBy("user_id", "d")
+    )

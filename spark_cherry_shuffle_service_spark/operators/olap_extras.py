@@ -1247,3 +1247,129 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap analysis, rolled up per nation.
+#
+# Per-customer order gaps via LAG over (custkey; orderdate, orderkey) —
+# the unique orderkey tiebreak makes same-day orders deterministic —
+# then integer-only nation rollup (datediff is exact). The window
+# partitions by customer (bounded orders-per-customer), the rollup by
+# nation: no global sort, two key-partitioned shuffles, scale-linear.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_interpurchase_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             COUNT(gap_days) AS n_gaps,
+             COALESCE(SUM(gap_days), 0) AS sum_gap,
+             MAX(gap_days) AS max_gap
+      FROM gaps GROUP BY o_custkey
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(pc.n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(pc.n_gaps) AS BIGINT) AS n_gaps,
+           CAST(SUM(pc.sum_gap) AS BIGINT) AS sum_gap_days,
+           CAST(MAX(pc.max_gap) AS BIGINT) AS max_gap_days
+    FROM per_cust pc
+    JOIN customer c ON c.c_custkey = pc.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("orders", "window", "behavioral"),
+)
+def orders_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        F.coalesce(F.sum("gap_days"), F.lit(0)).alias("sum_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("n_gaps").cast("long").alias("n_gaps"),
+            F.sum("sum_gap").cast("long").alias("sum_gap_days"),
+            F.max("max_gap").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman market-concentration index per nation.
+#
+# Supplier share of lineitem volume within each nation, in basis points
+# via floor division (integer fixed-point, no rounding ties); HHI = Σ
+# share_bp² — the antitrust statistic, 10000² = fully concentrated. Two
+# keyed shuffles (supplier rollup, nation rollup); the per-nation totals
+# frame is nation-bounded (25 rows at every SF) and broadcast-compliant.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_hhi",
+    oracle="""
+    WITH vol AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk, COUNT(*) AS c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT nk, SUM(c) AS t FROM vol GROUP BY nk
+    ), shares AS (
+      SELECT vol.nk, CAST((10000 * vol.c) // tot.t AS BIGINT) AS share_bp
+      FROM vol JOIN tot ON vol.nk = tot.nk
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi
+    FROM shares JOIN nation n ON n.n_nationkey = shares.nk
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("agg", "fixed_point", "concentration"),
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    vol = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = vol.groupBy("nk").agg(F.sum("c").alias("t"))
+    shares = vol.join(F.broadcast(tot), "nk").select(  # nation-bounded: 25 rows
+        "nk", F.expr("(10000 * c) DIV t").alias("share_bp")
+    )
+    return (
+        shares.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp")).cast("long").alias("hhi"),
+        )
+        .orderBy("n_name")
+    )

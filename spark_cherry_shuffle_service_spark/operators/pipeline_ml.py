@@ -455,3 +455,80 @@ def events_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "n_clamped", "lo", "hi", "winsorized_sum")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard neighborhood similarity — the normalized companion of
+# graph_common_neighbors (same co-purchase graph, same degree-capped
+# candidate generation, so the two stay comparable audit-to-audit).
+# jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in ppm fixed-point:
+# (1e6 · common) DIV (deg1 + deg2 − common) — integers end-to-end.
+# Scale story identical to common_neighbors: candidates come from the
+# shared-neighbor equi-join (never all-pairs), degree cap bounds the
+# per-neighbor fan-out.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_jaccard_ppm",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= {_CN_WINDOW[0]} AND l_shipdate < {_CN_WINDOW[1]}
+    ), cdeg AS (
+      SELECT c, COUNT(*) AS d FROM pairs GROUP BY c
+    ), kept AS (
+      SELECT p.s, p.c FROM pairs p JOIN cdeg ON cdeg.c = p.c WHERE cdeg.d <= {_CN_DEGCAP}
+    ), sdeg AS (
+      SELECT s, COUNT(*) AS d FROM kept GROUP BY s
+    ), cn AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT cn.s1, cn.s2,
+           CAST((1000000 * cn.common) // (d1.d + d2.d - cn.common) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(cn.common AS BIGINT) AS common
+    FROM cn JOIN sdeg d1 ON d1.s = cn.s1 JOIN sdeg d2 ON d2.s = cn.s2
+    ORDER BY jaccard_ppm DESC, s1, s2
+    LIMIT 20
+    """,
+    tags=("graph", "link_prediction", "fixed_point"),
+)
+def graph_jaccard_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    kept = (
+        pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
+        .select("s", "c")
+        .persist()
+    )
+    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = kept.alias("a"), kept.alias("b")
+    cn = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return (
+        cn.join(sdeg.withColumnRenamed("s", "s1").withColumnRenamed("d", "deg1"), "s1")
+        .join(sdeg.withColumnRenamed("s", "s2").withColumnRenamed("d", "deg2"), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.expr("(1000000 * common) DIV (deg1 + deg2 - common)").alias("jaccard_ppm"),
+            "common",
+        )
+        .orderBy(F.desc("jaccard_ppm"), "s1", "s2")
+        .limit(20)
+    )
