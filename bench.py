@@ -158,6 +158,22 @@ HEADLINE = [
     "dq_k_anonymity",
     "text_keywords",
     "orders_yoy_growth",
+    # Round-4 continuation: warehouse round-out (interval sweep, privacy,
+    # equi-depth stats, association lift, IVM partial-merge, compaction
+    # planning) + behavioral analytics (pivot split, TWAP, Tukey fences,
+    # gap analysis, HHI concentration, neighborhood Jaccard).
+    "events_concurrency",
+    "dq_l_diversity",
+    "events_equidepth_histogram",
+    "orders_basket_lift",
+    "ivm_incremental_rollup",
+    "layout_compaction_bins",
+    "events_before_after",
+    "events_twap",
+    "dq_outlier_iqr",
+    "orders_interpurchase_gap",
+    "supplier_hhi",
+    "graph_jaccard_ppm",
 ]
 
 
