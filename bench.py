@@ -272,14 +272,26 @@ def main() -> None:
         # across queries, same methodology as the round-1 baseline.
 
     total = round(sum(timings.values()), 3)
+    # Per-query baseline verdicts, computed in-run so the artifact is
+    # self-adjudicating: a query "violates" only past BOTH the 2x factor
+    # and the absolute slack (the round-3/4 adjudication rule).
+    violations = [
+        {"query": n, "t": t, "baseline": baselines[n]}
+        for n, t in timings.items()
+        if n in baselines
+        and t > STALL_FACTOR * baselines[n]
+        and t - baselines[n] > STALL_ABS_SLACK
+    ]
+    # Key order matters: the driver's BENCH_r{N}.json keeps only the TAIL
+    # of stdout, so the bulky details/queries maps go FIRST and the compact
+    # summary (violations, total, sf) goes LAST on the one JSON line —
+    # BENCH_r03/r04 committed with the headline total truncated away
+    # (VERDICT r4 item 3).
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_wall_clock",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf,
                 "protocol": {
                     "runs_per_query": runs_per_query,
                     "stat": "median",
@@ -287,6 +299,13 @@ def main() -> None:
                     "retime_runs": RETIME_RUNS,
                 },
                 "details": details,
+                "queries": timings,
+                "n_queries": len(timings),
+                "n_baselined": sum(1 for n in timings if n in baselines),
+                "violations": violations,
+                "n_violations": len(violations),
+                "value": total,
+                "sf": sf,
             }
         )
     )

