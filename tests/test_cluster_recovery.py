@@ -1,0 +1,192 @@
+"""Live executor-loss demonstration (VERDICT r4 item #5): the reference's
+headline claim is a job surviving the death of an executor that holds
+shuffle output (/root/reference/README.md:21,
+IndexShuffleBlockResolver.scala:417-483 — blocks stay resolvable from the
+remote Cherry service after the producing executor dies).
+
+Stock Spark expresses the same guarantee through lineage: a reduce task
+whose fetch fails re-triggers the missing map tasks on a surviving
+executor and the job still completes with the identical result. Local mode
+cannot demonstrate it (one JVM, no per-executor process), but
+`local-cluster[2,1,1536]` launches two REAL executor JVMs
+(CoarseGrainedExecutorBackend processes) behind an in-process standalone
+master — so this test SIGKILLs one of them mid-job, between the shuffle
+map stage and the end of a deliberately slowed reduce stage, and asserts
+the job finishes with the exact DuckDB-oracle result.
+
+Runs in a subprocess (the test_recovery.py pattern) so the pytest session's
+shared local-mode JVM is untouched; the child prints one JSON line the
+parent asserts on. The child verifies the kill landed while the job was
+still RUNNING (otherwise it reports `killed_mid_job: false` and the parent
+fails — a kill after completion would demonstrate nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from tests.conftest import SF_SMOKE
+
+# The reduce side carries a 0.4 s/partition Python sleep so the reduce
+# stage spans ~2-6 s of wall clock — wide enough that a kill fired as soon
+# as reduce tasks start is mid-stage with huge margin, narrow enough to
+# keep the test quick. 8 reduce partitions over 2 single-core executors.
+_CHILD = r"""
+import json, os, signal, subprocess, sys, threading, time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sf_dir = sys.argv[1]
+out = {"started": False, "killed_pid": None, "killed_mid_job": False,
+       "relaunched": False, "rows": None, "error": None}
+
+spark = (SparkSession.builder.master("local-cluster[2,1,1536]")
+         .appName("executor-loss-demo")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.executor.memory", "1g")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+sc = spark.sparkContext
+
+# Wait for both executors to register (driver + 2 = 3 block managers).
+deadline = time.time() + 90
+while time.time() < deadline:
+    if sc._jsc.sc().getExecutorMemoryStatus().size() >= 3:
+        break
+    time.sleep(0.5)
+else:
+    print(json.dumps({**out, "error": "executors never registered"})); sys.exit(1)
+
+
+def backend_pids():
+    # pgrep -f would also match THIS python process (the -c script text
+    # mentions the class name) — verify each candidate is a real executor
+    # JVM by its /proc cmdline: argv[0] is a java binary.
+    r = subprocess.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                       capture_output=True, text=True)
+    pids = []
+    for p in r.stdout.split():
+        pid = int(p)
+        if pid == os.getpid():
+            continue
+        try:
+            argv = open(f"/proc/{pid}/cmdline", "rb").read().split(b"\0")
+        except OSError:
+            continue
+        if argv and b"java" in argv[0] and any(b"CoarseGrainedExecutorBackend" in a for a in argv[1:]):
+            pids.append(pid)
+    return pids
+
+
+initial_pids = set(backend_pids())
+out["started"] = len(initial_pids) >= 2
+
+slow = F.udf(lambda k: (time.sleep(0.4), int(k))[1], "long")
+
+li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(8)
+agg = (li.groupBy("l_suppkey")
+         .agg(F.count(F.lit(1)).alias("n_lines"),
+              F.sum("l_linenumber").alias("sum_linenumber")))
+# The sleep-UDF column runs strictly AFTER the shuffle (it consumes the
+# aggregated key), slowing only the reduce stage.
+slowed = agg.withColumn("probe", slow("l_suppkey"))
+
+state = {"result": None, "exc": None, "done": False}
+
+
+def run_job():
+    try:
+        rows = (slowed.groupBy()
+                .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                     F.sum("n_lines").alias("n_lines"),
+                     F.sum("sum_linenumber").alias("sum_linenumber"),
+                     F.sum("probe").alias("sum_supp"))
+                .collect())
+        state["result"] = rows[0].asDict()
+    except Exception as e:  # pragma: no cover - surfaced via JSON
+        state["exc"] = repr(e)
+    finally:
+        state["done"] = True
+
+
+t = threading.Thread(target=run_job, daemon=True)
+t.start()
+
+# Kill one executor as soon as a SECOND stage (the reduce) goes active.
+tracker = sc.statusTracker()
+first_stages = None
+deadline = time.time() + 120
+while time.time() < deadline and not state["done"]:
+    active = set(tracker.getActiveStageIds())
+    if active:
+        if first_stages is None:
+            first_stages = set(active)
+        elif active - first_stages:
+            break
+    time.sleep(0.05)
+
+victim = None
+for pid in backend_pids():
+    if pid in initial_pids:
+        victim = pid
+        break
+if victim is not None and not state["done"]:
+    os.kill(victim, signal.SIGKILL)
+    out["killed_pid"] = victim
+    out["killed_mid_job"] = not state["done"]
+
+t.join(timeout=240)
+if state["exc"]:
+    out["error"] = state["exc"]
+else:
+    out["rows"] = state["result"]
+# Standalone workers relaunch dead executors; record it (informational).
+time.sleep(2)
+out["relaunched"] = any(p not in initial_pids for p in backend_pids())
+spark.stop()
+print(json.dumps(out))
+"""
+
+
+def test_job_survives_executor_sigkill_mid_shuffle(duck_smoke):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, SF_SMOKE],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON from child\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+
+    assert out["started"], out
+    assert out["error"] is None, out
+    assert out["killed_pid"] is not None, f"no executor backend found to kill: {out}"
+    assert out["killed_mid_job"], f"kill landed after job completion — demo void: {out}"
+
+    expected = duck_smoke.execute(
+        """
+        SELECT COUNT(*) AS n_suppliers,
+               SUM(n_lines) AS n_lines,
+               SUM(sum_linenumber) AS sum_linenumber,
+               SUM(l_suppkey) AS sum_supp
+        FROM (SELECT l_suppkey, COUNT(*) AS n_lines, SUM(l_linenumber) AS sum_linenumber
+              FROM lineitem GROUP BY l_suppkey)
+        """
+    ).fetchone()
+    got = out["rows"]
+    assert (got["n_suppliers"], got["n_lines"], got["sum_linenumber"], got["sum_supp"]) == (
+        expected[0],
+        expected[1],
+        expected[2],
+        expected[3],
+    ), f"result drift after executor loss: got={got} expected={expected}"
