@@ -174,6 +174,17 @@ HEADLINE = [
     "orders_interpurchase_gap",
     "supplier_hhi",
     "graph_jaccard_ppm",
+    # Round-5: SPC/observability suite (closed-form CUSUM, Benford audit,
+    # cohort drift in bp, peak detection, hour-of-day seasonality) +
+    # bounded BFS, backlog aging, cross-source n-gram leakage.
+    "events_cusum",
+    "dq_benford",
+    "dq_distribution_drift",
+    "events_local_peaks",
+    "events_hourly_seasonality",
+    "graph_bfs_levels",
+    "orders_backlog_aging",
+    "corpus_cross_source_leakage",
 ]
 
 

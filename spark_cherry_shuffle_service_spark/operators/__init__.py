@@ -19,3 +19,4 @@ import spark_cherry_shuffle_service_spark.operators.dataquality  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.layout  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.pipeline_ml  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.warehouse_extras  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.monitoring  # noqa: F401

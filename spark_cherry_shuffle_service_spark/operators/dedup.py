@@ -894,3 +894,51 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_cands = 0 THEN 10000 ELSE (10000 * n_hits) div n_cands END AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram leakage: for every source pair, how many distinct
+# 3-gram shingles they share — the train/test contamination measurement a
+# decontamination pass starts from (exact texts rarely collide across
+# sources; shared n-grams are the early-warning signal).
+#
+# Scale shape: the corpus collapses to DISTINCT (source, shingle) — bounded
+# by |sources| x |shingle vocab|, far below corpus size — then one
+# equi-join on the shingle string yields at most C(|sources|, 2) rows per
+# shingle (sources are a fixed ingest vocabulary, 20 here). At 100 TB the
+# same plan holds with the shingle key md5-bucketed; nothing is all-pairs
+# over documents.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_cross_source_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, unnest({_SQL_SHINGLES3}) AS sh
+      FROM (SELECT source, {_SQL_TOKS} AS t FROM documents)
+    ), d AS (
+      SELECT DISTINCT source, sh FROM s
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY n_shared_ngrams DESC, source_a, source_b
+    """,
+    tags=("dedup", "decontamination", "ngram", "leakage"),
+)
+def corpus_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")  # shingle compute off the lone scan partition
+        .select("source", shingles3(F.col("text")).alias("sh"))
+    )
+    src_sh = docs.select("source", F.explode("sh").alias("sh")).distinct()
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy(F.col("n_shared_ngrams").desc(), "source_a", "source_b")
+    )

@@ -306,3 +306,105 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.col("n_triangles").desc(), "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS: min-hop distance from a seed set, 3 frontier expansions.
+# The per-round shape is the reference's shuffle pattern (join on node id,
+# distinct, anti-join) — the same dataflow its Cherry service accelerates
+# across executor loss. 100 TB: frontier joins probe the src-partitioned
+# (at scale: bucketed) edge table; each round's frontier is persisted so
+# round k never recomputes rounds 1..k-1 (CLAUDE.md iterative rule).
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ), f0 AS (
+      SELECT DISTINCT 2 * s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+    ), v0 AS (
+      SELECT node FROM f0
+    )"""
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f""", f{k} AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN f{k - 1} ON e.src = f{k - 1}.node
+      EXCEPT
+      SELECT node FROM v{k - 1}
+    ), v{k} AS (
+      SELECT node FROM v{k - 1} UNION SELECT node FROM f{k}
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {k} AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f{k}"
+        for k in range(_BFS_HOPS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n    {unions}\n    ) ORDER BY hop")
+    return "".join(parts)
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes reachable at each min-hop distance (0..3) from the nation-0
+    supplier seed set, over the supplier<->customer trade graph."""
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        .repartition(par, "src")
+        .persist()
+    )
+    sup = table(spark, sf_dir, "supplier")
+    frontier = (
+        sup.filter(F.col("s_nationkey") == 0)
+        .select((2 * F.col("s_suppkey")).alias("node"))
+        .distinct()
+        .persist()
+    )
+    visited = frontier
+    counts = [
+        frontier.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(0).alias("hop"), "n_nodes"
+        )
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, "node", "left_anti").persist()
+        visited = visited.unionByName(frontier)
+        counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+                F.lit(k).alias("hop"), "n_nodes"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select(F.col("hop").cast("int").alias("hop"), F.col("n_nodes").cast("bigint").alias("n_nodes")).orderBy("hop")

@@ -1,0 +1,336 @@
+"""Statistical process-control / observability operators over the events
+feed: CUSUM drift alarms, Benford first-digit audit, cohort distribution
+drift, local peak detection, and hour-of-day seasonality.
+
+The reference exercises the underlying machinery (windows, grouped
+aggregates, scalar subqueries — SURVEY.md §2.4/§2.5); these package it as
+the monitoring surface a production feed owner runs daily at 100 TB.
+
+Determinism notes (CLAUDE.md conventions):
+- CUSUM runs ENTIRELY in DECIMAL(18,6): per-row `money()` rounding, then
+  exact decimal window sums/mins — bit-identical at any parallelism and
+  across engines. The per-type target mean is rounded to decimal ONCE per
+  type (5 values), not per row, so the ratio-ROUND tie risk flagged in
+  CLAUDE.md is bounded by the type vocabulary, not the row count.
+- The max(0, S_{i-1} + dev_i) recurrence is NOT expressed recursively
+  (SQL can't, and a stateful UDF would leave the JVM): the closed form
+  S_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P turns it into two
+  window passes — the 100 TB shape is one shuffle on event_type, no
+  iteration.
+- Benford / drift / seasonality emit INTEGER basis points (n*10000 DIV
+  total) — no float ratio ever reaches the result.
+
+Scale: every window partitions by the 5-value event_type vocabulary with
+(ts, event_id) unique tiebreaks. Per-type partitions are the one skew
+concern: at 100 TB a single event_type's ordered scan is a single-task
+sort, so the CUSUM/peak windows would be range-partitioned by (type, day)
+with per-day carry-in offsets (the same decomposition prefix sums admit:
+S over a day = day-local prefix + carried total). The fixture-scale
+implementation keeps the direct window; the decomposition is plan-
+compatible because everything is prefix-sum algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
+from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+_CUSUM_H = "500.000000"  # alarm threshold, exact decimal literal
+
+
+@query(
+    "events_cusum",
+    oracle=f"""
+    WITH mu AS (
+      SELECT event_type, CAST(ROUND({davg_sql('value')}, 6) AS DECIMAL(18,6)) AS mu
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             CAST(ROUND(e.value, 6) AS DECIMAL(18,6)) - mu.mu AS dev
+      FROM events e JOIN mu ON e.event_type = mu.event_type
+    ), pre AS (
+      SELECT event_type, ts, event_id,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev
+    ), s AS (
+      SELECT event_type,
+             p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       CAST(0 AS DECIMAL(18,6))) AS cusum
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+           CAST(MAX(cusum) * 1000000 AS BIGINT) AS peak_cusum_micros
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "monitoring", "cusum", "window"),
+)
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm per event type, target = per-type mean.
+
+    S_i = max(0, S_{i-1} + (x_i - mu)) via the closed form
+    S_i = P_i - min(0, min_{j<=i} P_j); alarms where S_i > H.
+    """
+    ev = table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.round(davg(F.col("value"), "mu_d"), 6).cast("decimal(18,6)").alias("mu")
+    )
+    # 5-row fixed event-type vocabulary: SF-invariant, broadcast-compliant.
+    dev = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (money(F.col("value")) - F.col("mu")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Two window passes over ONE (event_type, ts, event_id) sort: prefix
+    # sum, then running min of the prefix — Catalyst reuses the sort.
+    pre = dev.select("event_type", "ts", "event_id", F.sum("dev").over(w).alias("p"))
+    s = pre.select(
+        "event_type",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0).cast("decimal(18,6)"))).alias("cusum"),
+    )
+    h = F.lit(_CUSUM_H).cast("decimal(18,6)")
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("cusum") > h, 1).otherwise(0)).alias("n_alarms"),
+            # Micro-unit BIGINT, not CAST(AS DOUBLE): the engines' decimal->
+            # double conversions differ by 1 ulp on wide decimals (observed
+            # 3064.89035); integer fixed-point has no conversion at all.
+            (F.max("cusum") * 1000000).cast("bigint").alias("peak_cusum_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Benford expected shares log10(1+1/d), hardcoded in basis points so both
+# engines compare against identical integer literals (no transcendentals
+# in either plan).
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), total AS (
+      SELECT COUNT(*) AS n FROM digits
+    ), expected(d, expected_bp) AS (
+      VALUES {", ".join(f"({d}, {bp})" for d, bp in _BENFORD_BP.items())}
+    )
+    SELECT e.d AS leading_digit,
+           CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(c.n_obs, 0) * 10000 // t.n AS BIGINT) AS observed_bp,
+           CAST(e.expected_bp AS BIGINT) AS expected_bp,
+           CAST(ABS(COALESCE(c.n_obs, 0) * 10000 // t.n - e.expected_bp) AS BIGINT) AS dev_bp
+    FROM expected e
+    LEFT JOIN (SELECT d, COUNT(*) AS n_obs FROM digits GROUP BY d) c ON c.d = e.d
+    CROSS JOIN total t
+    ORDER BY e.d
+    """,
+    tags=("dq", "benford", "audit"),
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals, deviation in
+    integer basis points vs the hardcoded log10(1+1/d) expectation.
+
+    Money doubles are <=2-dp rationals, so ROUND(x,2)->DECIMAL is exact in
+    both engines (CLAUDE.md safe-round case); decimal->string formatting
+    is canonical in both, so the leading character is engine-identical.
+    """
+    od = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = od.select(
+        F.substring(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = digits.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(d, bp) for d, bp in _BENFORD_BP.items()], "d INT, expected_bp INT"
+    )
+    # counts: <=9 digit rows; total: 1-row scalar — both SF-invariant.
+    # (expected is a 9-row local relation, the preserved side of the left
+    # join — only the right side is broadcastable there.)
+    return (
+        expected.join(F.broadcast(counts), "d", "left")
+        .join(F.broadcast(total))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.expr("CAST(COALESCE(n_obs, 0) * 10000 DIV n AS BIGINT)").alias("observed_bp"),
+            F.col("expected_bp").cast("bigint").alias("expected_bp"),
+            F.expr("CAST(ABS(COALESCE(n_obs, 0) * 10000 DIV n - expected_bp) AS BIGINT)").alias(
+                "dev_bp"
+            ),
+        )
+        .orderBy("leading_digit")
+    )
+
+
+@query(
+    "dq_distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT user_id % 2 AS cohort,
+             CAST(LEAST(GREATEST(FLOOR(value / 50), 0), 9) AS INTEGER) AS bin
+      FROM events
+    ), per AS (
+      SELECT bin,
+             SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM per
+    )
+    SELECT bin,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a * 10000 // ta AS BIGINT) AS share_a_bp,
+           CAST(n_b * 10000 // tb AS BIGINT) AS share_b_bp,
+           CAST(ABS(n_a * 10000 // ta - n_b * 10000 // tb) AS BIGINT) AS drift_bp
+    FROM per CROSS JOIN tot
+    ORDER BY bin
+    """,
+    tags=("dq", "drift", "distribution"),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin distribution drift between two deterministic user cohorts
+    (user_id parity), in integer basis points — the schema-stability check
+    run before promoting a new ingest batch. Total-variation distance is
+    SUM(drift_bp)/2 downstream.
+
+    One map-side-combined groupBy over a 10-bin key, one 1-row totals
+    broadcast: two tiny shuffles regardless of SF.
+    """
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.least(F.greatest(F.floor(F.col("value") / 50), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = per.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("CAST(n_a * 10000 DIV ta AS BIGINT)").alias("share_a_bp"),
+            F.expr("CAST(n_b * 10000 DIV tb AS BIGINT)").alias("share_b_bp"),
+            F.expr("CAST(ABS(n_a * 10000 DIV ta - n_b * 10000 DIV tb) AS BIGINT)").alias(
+                "drift_bp"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "events_local_peaks",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_type, value,
+             LAG(value)  OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+             LEAD(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next
+      FROM events
+    ), peaks AS (
+      SELECT event_type, value FROM lagged
+      WHERE prev IS NOT NULL AND next IS NOT NULL AND value > prev AND value > next
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           {davg_sql('value', 'avg_peak')},
+           MAX(value) AS max_peak
+    FROM peaks GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "monitoring", "peaks", "window"),
+)
+def events_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima in each event-type series (value above both
+    neighbors) — the spike-detection primitive behind alert triage.
+    Exact double comparisons on identical inputs: engine-identical."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("next"),
+    )
+    peaks = lagged.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("value") > F.col("prev"))
+        & (F.col("value") > F.col("next"))
+    )
+    return (
+        peaks.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_peaks"),
+            davg(F.col("value"), "avg_peak"),
+            F.max("value").alias("max_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle=f"""
+    WITH h AS (
+      SELECT EXTRACT(HOUR FROM ts) AS hour_of_day, value FROM events
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM h
+    )
+    SELECT CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 10000 // t.n AS BIGINT) AS share_bp,
+           {dsum_sql('value', 'hour_value')}
+    FROM h CROSS JOIN tot t
+    GROUP BY hour_of_day, t.n ORDER BY hour_of_day
+    """,
+    tags=("events", "seasonality", "rollup"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile: event share in basis points + value mass
+    per hour. ts is UTC-pinned by the catalog reader, so EXTRACT(HOUR)
+    agrees with DuckDB's naive timestamps."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(F.hour("ts").alias("hour_of_day"), "value")
+    tot = h.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        h.join(F.broadcast(tot))
+        .groupBy("hour_of_day", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "hour_value"),
+        )
+        .select(
+            F.col("hour_of_day").cast("bigint").alias("hour_of_day"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(n_events * 10000 DIV n AS BIGINT)").alias("share_bp"),
+            "hour_value",
+        )
+        .orderBy("hour_of_day")
+    )

@@ -395,3 +395,59 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rows_n").cast("long").alias("rows_n"),
         F.expr("cum_prev DIV target").alias("bin"),
     ).orderBy("yr", "mo")
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging: open orders bucketed by age at the latest-order snapshot
+# date — the AR/ops dashboard staple. The snapshot date is a 1-row scalar
+# aggregate (broadcast-compliant); age arithmetic is integer day diffs on
+# DATE, and the money mass uses the dsum decimal path. One scan + one
+# 5-key groupBy: scale-linear, no window, no sort until the 5-row output.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_backlog_aging",
+    oracle=f"""
+    WITH snap AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS snap_d FROM orders
+    ), aged AS (
+      SELECT CASE
+               WHEN snap_d - CAST(o_orderdate AS DATE) < 30 THEN '0-029d'
+               WHEN snap_d - CAST(o_orderdate AS DATE) < 90 THEN '030-089d'
+               WHEN snap_d - CAST(o_orderdate AS DATE) < 180 THEN '090-179d'
+               WHEN snap_d - CAST(o_orderdate AS DATE) < 365 THEN '180-364d'
+               ELSE '365d+'
+             END AS age_bucket,
+             o_totalprice
+      FROM orders CROSS JOIN snap
+      WHERE o_orderstatus IN ('O', 'P')
+    )
+    SELECT age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql("o_totalprice", "backlog_value")}
+    FROM aged GROUP BY age_bucket ORDER BY age_bucket
+    """,
+    tags=("warehouse", "aging", "backlog"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "P"))
+    snap = table(spark, sf_dir, "orders").agg(F.max(F.to_date("o_orderdate")).alias("snap_d"))
+    age = F.datediff(F.col("snap_d"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age < 30, "0-029d")
+        .when(age < 90, "030-089d")
+        .when(age < 180, "090-179d")
+        .when(age < 365, "180-364d")
+        .otherwise("365d+")
+    )
+    from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
+
+    return (
+        od.join(F.broadcast(snap))
+        .select(bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "backlog_value"),
+        )
+        .orderBy("age_bucket")
+    )

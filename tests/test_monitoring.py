@@ -1,0 +1,110 @@
+"""Property tests for the SPC/observability suite (operators/monitoring.py).
+
+The DuckDB differential (test_oracle_parity) already pins cross-engine
+equality; these pin the MATH — notably that the windowed closed form
+S_i = P_i - min(0, min P_j) really is the max(0, S+dev) CUSUM recurrence.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from spark_cherry_shuffle_service_spark.sources.catalog import table
+from tests.conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """Replay the textbook recurrence in exact Decimal on the driver for
+    every event type and demand identical alarm counts and peak."""
+    got = {
+        r["event_type"]: r
+        for r in SPECS["events_cusum"].builder(spark, SF_SMOKE).collect()
+    }
+
+    ev = table(spark, SF_SMOKE, "events")
+    mu_rows = (
+        ev.groupBy("event_type")
+        .agg((F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double") / F.count("value")).alias("mu_d"))
+        .collect()
+    )
+    mus = {r["event_type"]: Decimal(str(round(r["mu_d"], 6))) for r in mu_rows}
+
+    rows = (
+        ev.select("event_type", "ts", "event_id", "value")
+        .orderBy("event_type", "ts", "event_id")
+        .collect()
+    )
+    state: dict[str, Decimal] = {}
+    alarms: dict[str, int] = {}
+    peak: dict[str, Decimal] = {}
+    h = Decimal("500.000000")
+    for r in rows:
+        t = r["event_type"]
+        dev = Decimal(str(round(r["value"], 6))) - mus[t]
+        s = max(Decimal(0), state.get(t, Decimal(0)) + dev)
+        state[t] = s
+        if s > h:
+            alarms[t] = alarms.get(t, 0) + 1
+        peak[t] = max(peak.get(t, Decimal(0)), s)
+
+    for t, row in got.items():
+        assert row["n_alarms"] == alarms.get(t, 0), t
+        assert row["peak_cusum_micros"] == int(peak[t] * 1_000_000), t
+
+
+def test_benford_shares_are_complete_and_bounded(spark):
+    rows = SPECS["dq_benford"].builder(spark, SF_SMOKE).collect()
+    assert [r["leading_digit"] for r in rows] == list(range(1, 10))
+    total_bp = sum(r["observed_bp"] for r in rows)
+    # floor-division shares: sum in (10000-9, 10000]
+    assert 9991 <= total_bp <= 10000
+    assert sum(r["expected_bp"] for r in rows) == 10000
+    for r in rows:
+        assert r["dev_bp"] == abs(r["observed_bp"] - r["expected_bp"])
+
+
+def test_distribution_drift_tv_identity(spark):
+    rows = SPECS["dq_distribution_drift"].builder(spark, SF_SMOKE).collect()
+    for col in ("share_a_bp", "share_b_bp"):
+        s = sum(r[col] for r in rows)
+        assert 10000 - len(rows) < s <= 10000, col
+    for r in rows:
+        assert r["drift_bp"] == abs(r["share_a_bp"] - r["share_b_bp"])
+
+
+def test_bfs_frontiers_are_disjoint_and_seeded(spark, duck_smoke):
+    rows = {r["hop"]: r["n_nodes"] for r in SPECS["graph_bfs_levels"].builder(spark, SF_SMOKE).collect()}
+    n_seeds = duck_smoke.execute(
+        "SELECT COUNT(DISTINCT s_suppkey) FROM supplier WHERE s_nationkey = 0"
+    ).fetchone()[0]
+    assert rows[0] == n_seeds
+    # Levels are counts of NEWLY reached nodes; total reach is bounded by
+    # the bipartite node universe.
+    universe = duck_smoke.execute(
+        "SELECT (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem)"
+        " + (SELECT COUNT(DISTINCT o_custkey) FROM orders)"
+    ).fetchone()[0]
+    assert sum(rows.values()) <= universe + n_seeds
+
+
+def test_backlog_aging_counts_only_open_orders(spark, duck_smoke):
+    rows = SPECS["orders_backlog_aging"].builder(spark, SF_SMOKE).collect()
+    n_open = duck_smoke.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderstatus IN ('O','P')"
+    ).fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n_open
+
+
+def test_cross_source_leakage_is_symmetric_bounded(spark):
+    df = SPECS["corpus_cross_source_leakage"].builder(spark, SF_SMOKE)
+    rows = df.collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared_ngrams"] >= 1
+    # at most one row per unordered source pair
+    assert len({(r["source_a"], r["source_b"]) for r in rows}) == len(rows)
