@@ -185,6 +185,14 @@ HEADLINE = [
     "graph_bfs_levels",
     "orders_backlog_aging",
     "corpus_cross_source_leakage",
+    # Round-5b: time-series statistics (Mann-Kendall trend, changepoint,
+    # persistence backtest) + novelty scoring, PK audit, top paths.
+    "events_trend_mannkendall",
+    "events_changepoint",
+    "events_forecast_backtest",
+    "corpus_novelty",
+    "dq_pk_uniqueness",
+    "events_top_paths",
 ]
 
 

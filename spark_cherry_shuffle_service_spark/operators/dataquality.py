@@ -455,3 +455,66 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit across the whole star schema — the other
+# half of dq_referential (FKs resolve; PKs must be unique). Each relation
+# is one map-side-combined COUNT/COUNT(DISTINCT) pass; the 7-row union is
+# free. lineitem checks its COMPOSITE key (orderkey, linenumber) via a
+# canonical bigint encoding (linenumber < 8, so pk = orderkey*8+line is
+# injective and cheaper to distinct-count than a struct).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_pk_uniqueness",
+    oracle="""
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct_pk,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+    FROM customer
+    UNION ALL
+    SELECT 'documents', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+    UNION ALL
+    SELECT 'supplier', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+    ORDER BY tbl
+    """,
+    tags=("dq", "pk", "audit"),
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(tbl: str, pk) -> DataFrame:
+        t = table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(pk).cast("bigint").alias("n_distinct_pk"),
+            (F.count(F.lit(1)) - F.countDistinct(pk)).cast("bigint").alias("n_dup_rows"),
+        )
+
+    frames = [
+        audit("customer", F.col("c_custkey")),
+        audit("documents", F.col("doc_id")),
+        audit("events", F.col("event_id")),
+        audit("lineitem", F.col("l_orderkey") * 8 + F.col("l_linenumber")),
+        audit("orders", F.col("o_orderkey")),
+        audit("part", F.col("p_partkey")),
+        audit("supplier", F.col("s_suppkey")),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("tbl")

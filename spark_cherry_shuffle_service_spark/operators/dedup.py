@@ -942,3 +942,64 @@ def corpus_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy(F.col("n_shared_ngrams").desc(), "source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty: how much of each source's shingle mass is FIRST SEEN in
+# that source's documents (ownership = min doc_id over the corpus — the
+# ingest-order proxy). The curriculum/mixture planner reads this as "how
+# much genuinely new text does this source contribute" vs re-circulated
+# boilerplate. Same DISTINCT (doc, shingle) collapse as the leakage op;
+# the min-doc ownership is one map-side-combinable MIN per shingle.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_novelty",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, unnest({_SQL_SHINGLES3}) AS sh
+      FROM (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents)
+    ), d AS (
+      SELECT DISTINCT doc_id, source, sh FROM s
+    ), own AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM d GROUP BY sh
+    )
+    SELECT d.source,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_shingles,
+           CAST(SUM(CASE WHEN own.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+           CAST(SUM(CASE WHEN own.first_doc = d.doc_id THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM d JOIN own ON d.sh = own.sh
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("dedup", "novelty", "curriculum", "ngram"),
+)
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "source", F.explode(shingles3(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    own = d.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    joined = d.join(own, "sh")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "novel_shingles"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_shingles").cast("bigint").alias("total_shingles"),
+            F.col("novel_shingles").cast("bigint").alias("novel_shingles"),
+            F.expr("CAST(novel_shingles * 10000 DIV total_shingles AS BIGINT)").alias(
+                "novelty_bp"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -997,3 +997,49 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top behavioral paths: the 15 most-traveled 3-step event-type sequences
+# across user journeys (lead/lead2 over each user's ordered stream, then
+# one count). The per-user window partitions on user_id (bounded rows per
+# key), the path space is |types|^3 = 125 keys — aggregation state is
+# vocabulary-sized at any SF. LIMIT carries the path string itself as the
+# unique tiebreak (CLAUDE.md determinism rule).
+# ---------------------------------------------------------------------------
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM events
+    ), paths AS (
+      SELECT event_type || '>' || t1 || '>' || t2 AS path
+      FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+    FROM paths GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT 15
+    """,
+    tags=("events", "paths", "behavioral", "window"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    paths = seq.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull()).select(
+        F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), "path")
+        .limit(15)
+    )

@@ -334,3 +334,199 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series statistics over CALENDAR-BOUNDED daily rollups: the raw feed
+# collapses to (event_type, day, exact decimal sum) first — a few hundred
+# rows per type at ANY scale factor — so the quadratic Mann-Kendall pair
+# count and the per-day lag comparisons are SF-invariant; only the initial
+# rollup scales with data volume (one map-side-combined shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "events_trend_mannkendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), agg AS (
+      SELECT p.event_type,
+             (SELECT COUNT(*) FROM daily d WHERE d.event_type = p.event_type) AS n_days,
+             SUM(sgn) AS s_stat
+      FROM pairs p GROUP BY p.event_type
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(CASE WHEN s_stat >= 0 THEN 1 ELSE -1 END
+                * ((1000000 * ABS(s_stat)) // ((n_days * (n_days - 1)) // 2))
+                AS BIGINT) AS tau_ppm
+    FROM agg ORDER BY event_type
+    """,
+    tags=("events", "trend", "statistics"),
+)
+def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over exact daily sums:
+    S = sum of sign(x_j - x_i) over day pairs i<j, Kendall tau in ppm
+    fixed point (sign-split floor division — positive operands only, so
+    Spark DIV and DuckDB // agree)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(money(F.col("value"))).alias("s")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d"))
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.s") > F.col("a.s"), 1)
+        .when(F.col("b.s") < F.col("a.s"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    s = pairs.groupBy("event_type").agg(F.sum("sgn").alias("s_stat"))
+    # 5-row per-type frames: the join is trivially broadcast at any SF.
+    return (
+        s.join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            F.expr(
+                "CAST((CASE WHEN s_stat >= 0 THEN 1 ELSE -1 END)"
+                " * ((1000000 * ABS(s_stat)) DIV ((n_days * (n_days - 1)) DIV 2)) AS BIGINT)"
+            ).alias("tau_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i,
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro
+      FROM events
+    ), pre AS (
+      SELECT event_type, i,
+             SUM(micro) OVER (PARTITION BY event_type ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(micro) OVER (PARTITION BY event_type) AS t
+      FROM seq
+    ), dev AS (
+      SELECT event_type, i, n, ABS(n * p - i * t) AS d FROM pre
+    ), ranked AS (
+      SELECT event_type, i, n, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC, i) AS rn
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(i AS BIGINT) AS split_index,
+           CAST(d AS BIGINT) AS max_dev
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("events", "changepoint", "statistics"),
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point locator per event type: the position maximizing
+    |n*P_i - i*P_n| (the integer form of the max-CUSUM-deviation split —
+    zero-mean-shift series score near 0, a level shift scores at the
+    shift). All BIGINT micro-units; n*P_i stays < 2^63 through ~sf1 —
+    beyond that, drop the micro scale to 1e3 (same argmax, coarser tie
+    landscape)."""
+    ev = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    seq = ev.select(
+        "event_type",
+        F.row_number().over(w_ord).alias("i"),
+        (F.round("value", 6).cast("decimal(18,6)") * 1_000_000).cast("long").alias("micro"),
+    )
+    pre = seq.select(
+        "event_type",
+        "i",
+        F.sum("micro").over(Window.partitionBy("event_type").orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("micro").over(w_all).alias("t"),
+    )
+    dev = pre.select(
+        "event_type",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias("d"),
+    )
+    ranked = dev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy(F.col("d").desc(), "i"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("i").cast("bigint").alias("split_index"),
+            F.col("d").cast("bigint").alias("max_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), scored AS (
+      SELECT event_type,
+             CAST(ABS(s - LAG(s) OVER (PARTITION BY event_type ORDER BY d)) * 1000000 AS BIGINT) AS abs_err_micro
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(abs_err_micro) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs_err_micro) AS BIGINT) AS total_abs_err_micros,
+           CAST(SUM(abs_err_micro) // COUNT(abs_err_micro) AS BIGINT) AS mae_micros
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "forecast", "backtest"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence-forecast (naive lag-1) backtest per event type over
+    exact daily sums: MAE in BIGINT micro-units — the cheapest honest
+    baseline any forecasting pipeline must beat before it ships."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(money(F.col("value"))).alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.select(
+        "event_type",
+        (F.abs(F.col("s") - F.lag("s").over(w)) * 1_000_000).cast("long").alias("abs_err_micro"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("abs_err_micro").alias("n_days_scored"),
+            F.sum("abs_err_micro").alias("total_abs_err_micros"),
+        )
+        .select(
+            "event_type",
+            F.col("n_days_scored").cast("bigint").alias("n_days_scored"),
+            F.col("total_abs_err_micros").cast("bigint").alias("total_abs_err_micros"),
+            F.expr("CAST(total_abs_err_micros DIV n_days_scored AS BIGINT)").alias("mae_micros"),
+        )
+        .orderBy("event_type")
+    )

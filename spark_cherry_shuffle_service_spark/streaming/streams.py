@@ -385,3 +385,91 @@ def stratified_sample_stream(docs: DataFrame) -> DataFrame:
     return docs.filter(u < rate).select(
         "doc_id", "lang", "source", F.round(F.lit(1.0) / rate, 6).alias("ipw_weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: the live form of the batch events_cusum drift alarm.
+# Here the sequential recurrence S_i = max(0, S_{i-1} + dev_i) runs
+# NATIVELY — per-type state is just (prefix_micro, minp_micro), two
+# BIGINTs, O(1) per event-type in the state store — while the batch twin
+# computes the identical quantity with the windowed closed form
+# S_i = P_i - min(0, min P_j). Their per-event equality (test_streaming)
+# is the proof that the closed form and the recurrence are the same
+# function, live scoring == backfill.
+#
+# Unlike the batch operator (target = full-corpus mean, unknowable
+# mid-stream), both twins take a FIXED reference target in micro-units —
+# the production shape, where the target comes from a trained baseline.
+# ---------------------------------------------------------------------------
+CUSUM_TARGET_MICRO = 50_000_000  # reference level 50.0 in micro-units
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("cusum_micro", LongType()),
+    ]
+)
+CUSUM_STATE = StructType([StructField("p", LongType()), StructField("minp", LongType())])
+
+
+def cusum_stream(events: DataFrame, target_micro: int = CUSUM_TARGET_MICRO) -> DataFrame:
+    """Per-type streaming CUSUM in BIGINT micro-units via
+    applyInPandasWithState; emits (event_type, event_id, cusum_micro)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        p, minp = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_ids: list[int] = []
+        out_cusum: list[int] = []
+        for value, event_id in zip(rows["value"], rows["event_id"]):
+            p += int(round(float(value) * 1_000_000)) - target_micro
+            minp = min(minp, p)
+            out_ids.append(int(event_id))
+            out_cusum.append(p - min(minp, 0))
+        state.update((p, minp))
+        yield pd.DataFrame(
+            {"event_type": key[0], "event_id": out_ids, "cusum_micro": out_cusum}
+        )
+
+    return (
+        events.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUTPUT,
+            stateStructType=CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_batch_frame(spark: SparkSession, sf_dir: str, target_micro: int = CUSUM_TARGET_MICRO) -> DataFrame:
+    """Batch closed-form twin of cusum_stream over the same fixture:
+    per-row S via prefix sums in BIGINT micro-units (two window passes
+    over one (type, ts, event_id) sort — the events_cusum plan shape)."""
+    from pyspark.sql import Window
+
+    from spark_cherry_shuffle_service_spark.sources.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    micro = (F.round("value", 6).cast("decimal(18,6)") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum(micro - F.lit(target_micro)).over(w).alias("p"),
+    )
+    return pre.select(
+        "event_type",
+        "event_id",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).alias("cusum_micro"),
+    )

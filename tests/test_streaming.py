@@ -309,3 +309,29 @@ def test_ewma_stream_matches_batch(spark):
     got = sorted(map(repr, streamed.collect()))
     want = sorted(map(repr, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_cusum_stream_matches_batch_closed_form(spark):
+    """The stateful streaming CUSUM (native max(0, S+dev) recurrence, two
+    BIGINTs of state per type) must equal the batch windowed closed form
+    S_i = P_i - min(0, min P_j) per event — proving recurrence == closed
+    form and live scoring == backfill."""
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        cusum_batch_frame,
+        cusum_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = run_to_memory(
+        cusum_stream(read_events_stream(spark, SF_SMOKE)),
+        "cusum_stream",
+        mode="update",
+    )
+    batch = cusum_batch_frame(spark, SF_SMOKE).select(
+        "event_type", "event_id", "cusum_micro"
+    )
+    got = sorted(map(repr, streamed.collect()))
+    want = sorted(map(repr, batch.collect()))
+    assert got == want and len(got) > 0
