@@ -1043,3 +1043,51 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_journeys").desc(), "path")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (avg-DAU / MAU per calendar month, in basis points): the
+# product-analytics board metric. The feed collapses to DISTINCT
+# (day, user) first — everything after runs on daily-active grain, one
+# map-side-combined month rollup. Month key is the integer y*100+m (NOT
+# date_trunc: DuckDB returns DATE where Spark returns TIMESTAMP —
+# CLAUDE.md gotcha). All-integer output: no float ratio crosses engines.
+# ---------------------------------------------------------------------------
+@query(
+    "events_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), monthly AS (
+      SELECT EXTRACT(YEAR FROM d) * 100 + EXTRACT(MONTH FROM d) AS ym,
+             COUNT(*) AS sum_dau,
+             COUNT(DISTINCT d) AS n_days,
+             COUNT(DISTINCT user_id) AS mau
+      FROM du GROUP BY 1
+    )
+    SELECT CAST(ym AS BIGINT) AS ym,
+           CAST(sum_dau AS BIGINT) AS sum_dau,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(mau AS BIGINT) AS mau,
+           CAST(sum_dau * 10000 // (n_days * mau) AS BIGINT) AS stickiness_bp
+    FROM monthly ORDER BY ym
+    """,
+    tags=("events", "stickiness", "product-analytics"),
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    monthly = du.groupBy(
+        (F.year("d") * 100 + F.month("d")).alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("sum_dau"),
+        F.countDistinct("d").alias("n_days"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return monthly.select(
+        F.col("ym").cast("bigint").alias("ym"),
+        F.col("sum_dau").cast("bigint").alias("sum_dau"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.expr("CAST(sum_dau * 10000 DIV (n_days * mau) AS BIGINT)").alias("stickiness_bp"),
+    ).orderBy("ym")

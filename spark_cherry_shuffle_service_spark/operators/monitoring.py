@@ -530,3 +530,71 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_rolling_zscore",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(ROUND(value, 3) AS DECIMAL(18,3)) * 1000 AS BIGINT) AS x
+      FROM events
+    ), win AS (
+      SELECT event_type, x,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS q
+      FROM seq
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+    FROM win GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "monitoring", "zscore", "window"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling |z| > 3 alarm over a 21-event window per type, with ZERO
+    float math: z^2 > 9 rewrites to (n*x - S)^2 > 9*(n*Q - S^2) over
+    BIGINT milli-unit sums (S = sum x, Q = sum x^2) — no sqrt, no
+    division, no engine drift. Milli (not micro) units keep n*Q < 2^63
+    with huge margin. One window sort shared by all three frame
+    aggregates; a var==0 frame can never alarm (0 > 0 is false)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round("value", 3).cast("decimal(18,3)") * 1000).cast("long").alias("x"),
+    )
+    win = seq.select(
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    )
+    alarm = (F.col("n") * F.col("x") - F.col("s")) * (
+        F.col("n") * F.col("x") - F.col("s")
+    ) > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        win.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_alarms").cast("bigint").alias("n_alarms"),
+        )
+        .orderBy("event_type")
+    )

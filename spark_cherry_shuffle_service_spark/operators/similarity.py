@@ -1398,3 +1398,116 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("neighbor_id") / float(_IVF_TOPK), 4).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-embedding ranking fidelity (the Matryoshka question): if ANN
+# ran on only the first 16 of 64 dims (4x memory/compute cut), how much
+# of each query's full-precision top-10 survives? Reported as exact
+# integers — top-10 overlap and Spearman footrule displacement — so the
+# answer is engine-exact; both rankings order by raw fold-cosine with the
+# neighbor id tiebreak (similarity_topk precedent). The candidate pass is
+# the brute-force broadcast-query scan; at 100 TB the same measurement
+# runs against any fixed query sample with both scores computed in the
+# ONE scan (slice + two folds per row, no second pass over the corpus).
+# ---------------------------------------------------------------------------
+_TRUNC_DIMS = 16
+_TRUNC_NQ = 8  # query vectors: vec_id < 8
+_TRUNC_TOPN = 10
+
+
+@query(
+    "embedding_truncation_fidelity",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             {_sql_norm('embedding')} AS nrm,
+             {_sql_norm(f'embedding[1:{_TRUNC_DIMS}]')} AS tnrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, tnrm AS qtn
+      FROM n WHERE vec_id < {_TRUNC_NQ}
+    ), scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_SQL_DOT_AB.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) AS cos_full,
+             {_SQL_DOT_AB.format(a=f'q.qe[1:{_TRUNC_DIMS}]', b=f'n.embedding[1:{_TRUNC_DIMS}]')}
+               / (q.qtn * n.tnrm) AS cos_trunc
+      FROM q JOIN n ON n.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id) AS rank_trunc
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rank_full <= {_TRUNC_TOPN} AND rank_trunc <= {_TRUNC_TOPN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10,
+           CAST(SUM(CASE WHEN rank_full <= {_TRUNC_TOPN}
+                         THEN ABS(rank_full - rank_trunc) ELSE 0 END) AS BIGINT) AS footrule_at_10
+    FROM ranked GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "matryoshka", "fidelity"),
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+            norm(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)).alias("tnrm"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _TRUNC_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("tnrm").alias("qtn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos_full"
+            ),
+            (
+                dot(
+                    F.slice(F.col("qe"), 1, _TRUNC_DIMS),
+                    F.slice(F.col("embedding"), 1, _TRUNC_DIMS),
+                )
+                / (F.col("qtn") * F.col("tnrm"))
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
+    wt = Window.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rank_full"),
+        F.row_number().over(wt).alias("rank_trunc"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rank_full") <= _TRUNC_TOPN) & (F.col("rank_trunc") <= _TRUNC_TOPN), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overlap_at_10"),
+            F.sum(
+                F.when(
+                    F.col("rank_full") <= _TRUNC_TOPN,
+                    F.abs(F.col("rank_full") - F.col("rank_trunc")),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("footrule_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -942,3 +942,71 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth at ingest checkpoints (the Heaps-law curve, measured
+# not fitted — no transcendentals, so the output is engine-exact
+# integers). Ownership = MIN(doc_id) per token (one map-side-combinable
+# MIN over the token explode), then each checkpoint counts tokens first
+# seen at-or-before it — a 6-row broadcast join, never a re-scan per
+# checkpoint. Corpus curators read the flattening tail as "new data is
+# mostly repeating the vocabulary we already have".
+# ---------------------------------------------------------------------------
+_VOCAB_CAPS = [50, 100, 200, 400, 1000, 2000]
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents
+    ), own AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+    ), caps(cap) AS (
+      VALUES {", ".join(f"({c})" for c in _VOCAB_CAPS)}
+    )
+    SELECT CAST(c.cap AS BIGINT) AS cap,
+           CAST((SELECT COUNT(*) FROM documents d WHERE d.doc_id <= c.cap) AS BIGINT) AS n_docs,
+           CAST(COUNT(o.token) AS BIGINT) AS vocab_size
+    FROM caps c LEFT JOIN own o ON o.first_doc <= c.cap
+    GROUP BY c.cap ORDER BY c.cap
+    """,
+    tags=("text", "vocabulary", "heaps", "curation"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The checkpoints are compile-time constants, so each count is a
+    # conditional aggregate — one pass over `own`, one over doc ids, no
+    # theta-join (a <=-join here would force a nested-loop build against
+    # the vocabulary table, which at corpus scale is millions of rows).
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    tok = docs.select("doc_id", F.explode(distinct_tokens(F.col("text"))).alias("token"))
+    own = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vocab_wide = own.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") <= c, 1).otherwise(0)).alias(f"v{c}")
+            for c in _VOCAB_CAPS
+        ]
+    )
+    docs_wide = docs.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= c, 1).otherwise(0)).alias(f"d{c}")
+            for c in _VOCAB_CAPS
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({c} AS BIGINT), CAST(d{c} AS BIGINT), CAST(v{c} AS BIGINT)"
+        for c in _VOCAB_CAPS
+    )
+    # stack() unpivots the single wide row into one row per checkpoint in
+    # one projection — the aggregates compute exactly once.
+    return (
+        vocab_wide.join(docs_wide)
+        .select(
+            F.expr(
+                f"stack({len(_VOCAB_CAPS)}, {stack_args}) AS (cap, n_docs, vocab_size)"
+            )
+        )
+        .orderBy("cap")
+    )
