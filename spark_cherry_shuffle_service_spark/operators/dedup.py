@@ -981,8 +981,13 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(shingles3(F.col("text"))).alias("sh"))
         .distinct()
     )
-    own = d.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    joined = d.join(own, "sh")
+    # Ownership via a window-min over sh instead of groupBy+join-back:
+    # one shuffle of the big shingle table, not two (a doc has exactly one
+    # source, so the partition min IS the global first_doc). A/B'd vs the
+    # aggregate-join form.
+    from pyspark.sql import Window
+
+    joined = d.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("sh")))
     return (
         joined.groupBy("source")
         .agg(
