@@ -108,3 +108,59 @@ def test_cross_source_leakage_is_symmetric_bounded(spark):
         assert r["n_shared_ngrams"] >= 1
     # at most one row per unordered source pair
     assert len({(r["source_a"], r["source_b"]) for r in rows}) == len(rows)
+
+
+def test_mannkendall_statistic_is_bounded(spark):
+    rows = SPECS["events_trend_mannkendall"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        pairs = r["n_days"] * (r["n_days"] - 1) // 2
+        assert abs(r["s_stat"]) <= pairs
+        assert abs(r["tau_ppm"]) <= 1_000_000
+        # sign-split floor division: tau sign tracks S sign (0 -> non-negative)
+        if r["s_stat"] > 0:
+            assert r["tau_ppm"] >= 0
+        elif r["s_stat"] < 0:
+            assert r["tau_ppm"] <= 0
+
+
+def test_changepoint_split_in_range(spark):
+    rows = SPECS["events_changepoint"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["split_index"] <= r["n_events"]
+        assert r["max_dev"] >= 0
+
+
+def test_truncation_fidelity_bounds(spark):
+    rows = SPECS["embedding_truncation_fidelity"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap_at_10"] <= 10
+        assert r["footrule_at_10"] >= 0
+
+
+def test_stickiness_is_a_proper_ratio(spark):
+    rows = SPECS["events_stickiness"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # avg DAU can't exceed MAU: stickiness in (0, 10000]
+        assert 0 < r["stickiness_bp"] <= 10000
+        assert r["sum_dau"] <= r["n_days"] * r["mau"]
+
+
+def test_vocab_growth_is_monotone(spark):
+    rows = SPECS["corpus_vocab_growth"].builder(spark, SF_SMOKE).collect()
+    caps = [r["cap"] for r in rows]
+    assert caps == sorted(caps)
+    vocab = [r["vocab_size"] for r in rows]
+    ndocs = [r["n_docs"] for r in rows]
+    assert vocab == sorted(vocab) and ndocs == sorted(ndocs)
+
+
+def test_rolling_zscore_alarm_rate_is_sane(spark):
+    rows = SPECS["events_rolling_zscore"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # |z|>3 on ~uniform data: alarms must be a small minority
+        assert 0 <= r["n_alarms"] < r["n_events"] * 0.2
