@@ -1008,3 +1008,58 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: per source, how many docs and characters exact
+# dedup would remove (canonical = min doc_id per md5(text) group — the
+# dedup_exact convention). The cost-of-duplication dashboard a storage
+# owner reads before green-lighting the dedup pass. One md5 shuffle plus
+# a source rollup; all integer.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_savings_by_source",
+    oracle="""
+    WITH fams AS (
+      SELECT doc_id, source, n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN doc_id <> canonical THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dup,
+           CAST(SUM(CASE WHEN doc_id <> canonical THEN n_chars ELSE 0 END) * 10000
+                // SUM(n_chars) AS BIGINT) AS dup_bp
+    FROM fams GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "savings", "report"),
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("h")
+    )
+    fams = docs.withColumn("canonical", F.min("doc_id").over(Window.partitionBy("h")))
+    dup = F.when(F.col("doc_id") != F.col("canonical"), 1).otherwise(0)
+    dup_chars = F.when(F.col("doc_id") != F.col("canonical"), F.col("n_chars")).otherwise(0)
+    return (
+        fams.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(dup_chars).alias("chars_dup"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_dup_docs").cast("bigint").alias("n_dup_docs"),
+            F.col("chars_total").cast("bigint").alias("chars_total"),
+            F.col("chars_dup").cast("bigint").alias("chars_dup"),
+            F.expr("CAST(chars_dup * 10000 DIV chars_total AS BIGINT)").alias("dup_bp"),
+        )
+        .orderBy("source")
+    )

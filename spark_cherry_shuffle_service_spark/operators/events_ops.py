@@ -1091,3 +1091,52 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mau").cast("bigint").alias("mau"),
         F.expr("CAST(sum_dau * 10000 DIV (n_days * mau) AS BIGINT)").alias("stickiness_bp"),
     ).orderBy("ym")
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: a user's peak events-per-minute, rolled up per event
+# type — the rate-limit/bot screen. The feed collapses to
+# (user, type, minute) counts first (one map-side-combined shuffle);
+# the per-user max is a bounded second rollup. All integer.
+# ---------------------------------------------------------------------------
+@query(
+    "events_burst_users",
+    oracle="""
+    WITH per_min AS (
+      SELECT user_id, event_type,
+             date_trunc('minute', ts) AS m,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), peaks AS (
+      SELECT user_id, event_type, MAX(n) AS peak_per_min
+      FROM per_min GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN peak_per_min >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_users,
+           CAST(MAX(peak_per_min) AS BIGINT) AS max_burst
+    FROM peaks GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "burst", "abuse"),
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    peaks = per_min.groupBy("user_id", "event_type").agg(F.max("n").alias("peak_per_min"))
+    return (
+        peaks.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("peak_per_min") >= 3, 1).otherwise(0)).alias("n_burst_users"),
+            F.max("peak_per_min").alias("max_burst"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_burst_users").cast("bigint").alias("n_burst_users"),
+            F.col("max_burst").cast("bigint").alias("max_burst"),
+        )
+        .orderBy("event_type")
+    )

@@ -451,3 +451,48 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency: ship-minus-order day gaps per order priority, as
+# exact percentiles over INTEGER day diffs (percentile ≙ quantile_cont,
+# the agg_percentile precedent — linear interpolation over integers is
+# bit-identical across engines). One lineitem⋈orders shuffle on the
+# order key, then a 5-key percentile rollup; day diffs are bounded
+# (0..~120), so at 100 TB the exact per-priority sort can be swapped for
+# a count-by-value histogram percentile without changing the answer.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    WITH gaps AS (
+      SELECT o.o_orderpriority,
+             CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS lat_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(lat_days, 0.5) AS p50_days,
+           quantile_cont(lat_days, 0.9) AS p90_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_days
+    FROM gaps GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("warehouse", "latency", "percentile"),
+)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    gaps = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lat_days"),
+    )
+    return (
+        gaps.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("percentile(lat_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(lat_days, 0.9)").alias("p90_days"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
