@@ -1140,3 +1140,47 @@ def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week × hour load heatmap: the 2-D grain of the seasonality
+# profile (168 cells — aggregation state is calendar-sized at any SF).
+# Weekday alignment: Spark weekday() is 0=Monday, DuckDB isodow is
+# 1=Monday — weekday()+1 ≙ isodow, avoiding the dayofweek/DOW
+# Sunday-origin mismatch entirely.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT EXTRACT(ISODOW FROM ts) AS dow, EXTRACT(HOUR FROM ts) AS hod FROM events
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM g
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 10000 // t.n AS BIGINT) AS share_bp
+    FROM g CROSS JOIN tot t
+    GROUP BY dow, hod, t.n ORDER BY dow, hod
+    """,
+    tags=("events", "seasonality", "heatmap"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.select(
+        (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hod")
+    )
+    tot = g.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        g.join(F.broadcast(tot))
+        .groupBy("dow", "hod", "n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hod").cast("bigint").alias("hod"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(n_events * 10000 DIV n AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("dow", "hod")
+    )

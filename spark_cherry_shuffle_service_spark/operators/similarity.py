@@ -1511,3 +1511,85 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity: the external-evaluation companion of kmeans_assign —
+# how well the deterministic centroid assignment recovers the fixture's
+# ground-truth `label` column. All integer (majority count per cluster,
+# purity in basis points); assignment is the identical argmin-with-
+# tiebreak pipeline as kmeans_assign, so the two queries stay consistent
+# by construction. Scale: one broadcast-K scan + two vocabulary-sized
+# rollups (clusters × labels, then clusters).
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_cluster_purity",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS ce,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS cc
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ), v AS (
+      SELECT vec_id, label, embedding,
+             {_SQL_DOT_AB.format(a='embedding', b='embedding')} AS vv
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id, label, centroid_id,
+             vv - 2 * {_SQL_DOT_AB.format(a='embedding', b='ce')} + cc AS d2
+      FROM v CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, label, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rnk
+      FROM scored
+    ), cl AS (
+      SELECT centroid_id AS cluster_id, label, COUNT(*) AS n
+      FROM assigned WHERE rnk = 1 GROUP BY 1, 2
+    )
+    SELECT cluster_id,
+           CAST(SUM(n) AS BIGINT) AS n_members,
+           CAST(MAX(n) AS BIGINT) AS majority_n,
+           CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS purity_bp
+    FROM cl GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("similarity", "clustering", "evaluation"),
+)
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", "label", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv")
+        )
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("vv").alias("cc"),
+        )
+    )
+    scored = emb.crossJoin(cent).select(
+        "vec_id",
+        "label",
+        "centroid_id",
+        (F.col("vv") - 2 * dot(F.col("embedding"), F.col("ce")) + F.col("cc")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    assigned = (
+        scored.select("vec_id", "label", "centroid_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") == 1)
+    )
+    cl = assigned.groupBy(
+        F.col("centroid_id").alias("cluster_id"), "label"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cl.groupBy("cluster_id")
+        .agg(F.sum("n").alias("n_members"), F.max("n").alias("majority_n"))
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("majority_n").cast("bigint").alias("majority_n"),
+            F.expr("CAST(majority_n * 10000 DIV n_members AS BIGINT)").alias("purity_bp"),
+        )
+        .orderBy("cluster_id")
+    )

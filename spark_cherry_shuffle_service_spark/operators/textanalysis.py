@@ -1010,3 +1010,49 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length profile per source: the first curation chart anyone draws.
+# Exact integer percentiles over n_chars (quantile_cont ≙ percentile,
+# agg_percentile precedent), short-doc share in basis points. One
+# map-side-combinable rollup per source; the per-source sort behind the
+# exact percentile is bounded by source cardinality × docs-per-source —
+# at 100 TB swap in a count-by-length histogram percentile (lengths are
+# bounded integers) for the identical answer.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_length_profile",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+             AS short_bp
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("text", "curation", "profile", "percentile"),
+)
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("n_short"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "p50_chars",
+            "p90_chars",
+            "max_chars",
+            F.expr("CAST(n_short * 10000 DIV n_docs AS BIGINT)").alias("short_bp"),
+        )
+        .orderBy("source")
+    )

@@ -496,3 +496,44 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer acquisition curve: new customers per (nation, first-order
+# month). First order via a per-customer MIN (map-side combinable), then
+# a calendar×nation rollup — integer y*100+m month key (date_trunc type
+# gotcha), all counts.
+# ---------------------------------------------------------------------------
+@query(
+    "customers_acquired_monthly",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS fd
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_nationkey,
+           CAST(EXTRACT(YEAR FROM f.fd) * 100 + EXTRACT(MONTH FROM f.fd) AS BIGINT) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_new_customers
+    FROM first_order f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY 1, 2 ORDER BY c_nationkey, ym
+    """,
+    tags=("warehouse", "acquisition", "cohort"),
+)
+def customers_acquired_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    first = od.groupBy("o_custkey").agg(F.min(F.to_date("o_orderdate")).alias("fd"))
+    return (
+        first.join(cust, first.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            (F.year("fd") * 100 + F.month("fd")).cast("bigint").alias("ym"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_new_customers"))
+        .select(
+            "c_nationkey",
+            "ym",
+            F.col("n_new_customers").cast("bigint").alias("n_new_customers"),
+        )
+        .orderBy("c_nationkey", "ym")
+    )
