@@ -1063,3 +1063,51 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sensitivity sweep: qualifying near-dup pair counts at three
+# Jaccard thresholds from ONE candidate generation pass (prefix filter at
+# the lowest τ is recall-complete for every higher τ, so the sweep costs
+# one pipeline, not three). The knob-tuning readout run before fixing a
+# production dedup threshold. Comparisons use the raw double jaccard with
+# identical literals on both engines — same doubles, same verdicts.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents)
+    ), pairs AS (
+      SELECT len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    -- 0.3 gate on RAW j (the recall-complete candidate threshold); the
+    -- higher gates on ROUND(j,4), mirroring the Spark side exactly (the
+    -- verified-pair frame carries the 4-dp jaccard, same as the other
+    -- dedup pair queries).
+    SELECT CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_030,
+           CAST(SUM(CASE WHEN j >= 0.3 AND ROUND(j, 4) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_050,
+           CAST(SUM(CASE WHEN j >= 0.3 AND ROUND(j, 4) >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_070
+    FROM pairs
+    """,
+    tags=("dedup", "jaccard", "sweep", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
+        .persist()
+    )
+    # _jaccard_verified_pairs keeps pairs with j >= _JACC_TAU (0.3) via
+    # the recall-complete prefix filter; the higher thresholds are
+    # conditional counts over that same verified set.
+    pairs = _jaccard_verified_pairs(docs)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_030"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_pairs_050"),
+        F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0)).cast("bigint").alias("n_pairs_070"),
+    )

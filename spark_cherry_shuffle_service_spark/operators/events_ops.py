@@ -1184,3 +1184,73 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week retention: of last week's active users, how many came
+# back this week. Week key = integer (days since 1970-01-05, a Monday)
+# DIV 7 — pure integer arithmetic, no ISO-week year-boundary semantics
+# to reconcile between engines. The feed collapses to DISTINCT
+# (week, user) first; retention is one self-join on (user, week+1) over
+# that collapsed table. Denominator = PREVIOUS week's actives.
+# ---------------------------------------------------------------------------
+@query(
+    "events_wow_retention",
+    oracle="""
+    WITH wu AS (
+      SELECT DISTINCT (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk, user_id
+      FROM events
+    ), weekly AS (
+      SELECT wk, COUNT(*) AS n_active FROM wu GROUP BY wk
+    ), retained AS (
+      SELECT cur.wk, COUNT(*) AS n_retained
+      FROM wu cur JOIN wu prev ON cur.user_id = prev.user_id AND cur.wk = prev.wk + 1
+      GROUP BY cur.wk
+    )
+    SELECT CAST(w.wk AS BIGINT) AS wk,
+           CAST(w.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(CASE WHEN pw.n_active IS NULL THEN NULL
+                     ELSE COALESCE(r.n_retained, 0) * 10000 // pw.n_active END AS BIGINT)
+             AS retention_bp
+    FROM weekly w
+    LEFT JOIN retained r ON r.wk = w.wk
+    LEFT JOIN weekly pw ON pw.wk = w.wk - 1
+    ORDER BY w.wk
+    """,
+    tags=("events", "retention", "product-analytics"),
+)
+def events_wow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') AS BIGINT) DIV 7").alias("wk"),
+        "user_id",
+    ).distinct()
+    weekly = wu.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    cur = wu.alias("cur")
+    prev = wu.alias("prev")
+    retained = (
+        cur.join(
+            prev,
+            (F.col("cur.user_id") == F.col("prev.user_id"))
+            & (F.col("cur.wk") == F.col("prev.wk") + 1),
+        )
+        .groupBy(F.col("cur.wk").alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    pw = weekly.select((F.col("wk") + 1).alias("wk"), F.col("n_active").alias("prev_active"))
+    # weekly/retained/pw are calendar-bounded frames (≤ #weeks rows).
+    return (
+        weekly.join(retained, "wk", "left")
+        .join(pw, "wk", "left")
+        .select(
+            F.col("wk").cast("bigint").alias("wk"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce(F.col("n_retained"), F.lit(0)).cast("bigint").alias("n_retained"),
+            F.expr(
+                "CAST(CASE WHEN prev_active IS NULL THEN NULL"
+                " ELSE COALESCE(n_retained, 0) * 10000 DIV prev_active END AS BIGINT)"
+            ).alias("retention_bp"),
+        )
+        .orderBy("wk")
+    )

@@ -408,3 +408,75 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.select(F.col("hop").cast("int").alias("hop"), F.col("n_nodes").cast("bigint").alias("n_nodes")).orderBy("hop")
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the trade graph in power-of-two buckets — the
+# first skew diagnostic read before choosing a partitioning strategy
+# (does a hot node exist, how heavy is the tail). Bucketing is a pure
+# integer CASE chain (no log2 — transcendental-free), counts only.
+# ---------------------------------------------------------------------------
+_DEG_BOUNDS = [2, 4, 8, 16, 32, 64, 128]
+
+
+def _deg_bucket_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} < {b} THEN {i}" for i, b in enumerate(_DEG_BOUNDS)
+    )
+    return f"CASE {branches} ELSE {len(_DEG_BOUNDS)} END"
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src FROM pairs
+      UNION ALL
+      SELECT c_node AS src FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    )
+    SELECT CAST({_deg_bucket_sql('d')} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("graph", "degree", "skew-diagnostic"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("s_node").alias("src"))
+        .unionByName(pairs.select(F.col("c_node").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = None
+    for i, b in enumerate(_DEG_BOUNDS):
+        cond = F.col("d") < b
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = bucket.otherwise(len(_DEG_BOUNDS))
+    return (
+        deg.groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+        .select("bucket", F.col("n_nodes").cast("bigint").alias("n_nodes"), "min_degree", "max_degree")
+        .orderBy("bucket")
+    )

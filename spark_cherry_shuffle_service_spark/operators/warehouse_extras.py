@@ -537,3 +537,45 @@ def customers_acquired_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "ym")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate per nation: customers with 2+ orders as a share of
+# customers with any order, in integer basis points. Per-customer count,
+# then a nation rollup — two map-side-combinable shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+           CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+             AS repeat_bp
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+    tags=("warehouse", "retention", "repeat"),
+)
+def orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias("n_repeat"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+            F.col("n_repeat").cast("bigint").alias("n_repeat"),
+            F.expr("CAST(n_repeat * 10000 DIV n_buyers AS BIGINT)").alias("repeat_bp"),
+        )
+        .orderBy("c_nationkey")
+    )
