@@ -335,3 +335,26 @@ def test_cusum_stream_matches_batch_closed_form(spark):
     got = sorted(map(repr, streamed.collect()))
     want = sorted(map(repr, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_dedup_incremental_stream_matches_batch(spark):
+    """Streaming incremental dedup (incoming docs probed against the
+    static corpus band index via stream-static joins) must produce the
+    exact pair set of the batch dedup_incremental operator — the
+    live-ingest form of the production dedup shape."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        dedup_incremental_stream,
+        run_to_memory,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = run_to_memory(
+        dedup_incremental_stream(spark, SF_SMOKE),
+        "dedup_inc_stream",
+        mode="append",
+    )
+    batch = all_specs()["dedup_incremental"].builder(spark, SF_SMOKE)
+    got = sorted(map(repr, streamed.collect()))
+    want = sorted(map(repr, batch.collect()))
+    assert got == want and len(got) > 0
