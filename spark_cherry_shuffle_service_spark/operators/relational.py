@@ -992,3 +992,41 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(sy / n - slope * sx / n, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Return-flag x line-status contingency matrix with row shares in basis
+# points — the classic two-way categorical profile (3x2 cells,
+# vocabulary-sized aggregation state at any SF). Integer-only.
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_status_matrix",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), rowtot AS (
+      SELECT l_returnflag, SUM(n) AS n_flag FROM per GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag, p.l_linestatus,
+           CAST(p.n AS BIGINT) AS n_lines,
+           CAST(p.n * 10000 // r.n_flag AS BIGINT) AS row_share_bp
+    FROM per p JOIN rowtot r ON p.l_returnflag = r.l_returnflag
+    ORDER BY p.l_returnflag, p.l_linestatus
+    """,
+    tags=("relational", "contingency", "profile"),
+)
+def returnflag_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    rowtot = per.groupBy("l_returnflag").agg(F.sum("n").alias("n_flag"))
+    return (
+        per.join(rowtot, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.expr("CAST(n * 10000 DIV n_flag AS BIGINT)").alias("row_share_bp"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -579,3 +579,52 @@ def orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority mix shift: order-priority share per year in basis points plus
+# the year-over-year delta — the mix-monitoring readout that catches a
+# changing workload composition before totals move. Integer shares via
+# floor division; the YoY delta subtracts two integers. The year×priority
+# grid is calendar-bounded, so everything after the first rollup is
+# vocabulary-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH per AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT yr, SUM(n) AS n_year FROM per GROUP BY yr
+    ), shares AS (
+      SELECT p.yr, p.prio, p.n, p.n * 10000 // t.n_year AS share_bp
+      FROM per p JOIN tot t ON p.yr = t.yr
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, prio,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(share_bp AS BIGINT) AS share_bp,
+           CAST(share_bp - LAG(share_bp) OVER (PARTITION BY prio ORDER BY yr) AS BIGINT)
+             AS yoy_delta_bp
+    FROM shares ORDER BY yr, prio
+    """,
+    tags=("warehouse", "mix-shift", "monitoring"),
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    per = od.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("prio")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("yr").agg(F.sum("n").alias("n_year"))
+    shares = per.join(tot, "yr").select(
+        "yr", "prio", "n", F.expr("CAST(n * 10000 DIV n_year AS BIGINT)").alias("share_bp")
+    )
+    w = Window.partitionBy("prio").orderBy("yr")
+    return shares.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        "prio",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("share_bp").cast("bigint").alias("share_bp"),
+        (F.col("share_bp") - F.lag("share_bp").over(w)).cast("bigint").alias("yoy_delta_bp"),
+    ).orderBy("yr", "prio")
