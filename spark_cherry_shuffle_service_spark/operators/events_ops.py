@@ -1254,3 +1254,42 @@ def events_wow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Error budget: daily error share vs a fixed SLO threshold — the
+# reliability dashboard's first panel. Integer bp shares (floor
+# division); breach days = share above the 100 bp (1%) budget. One daily
+# rollup; the day grid is calendar-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "events_error_budget",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT d,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(n_errors * 10000 // n_events AS BIGINT) AS error_bp,
+           (n_errors * 10000 // n_events > 100) AS slo_breach
+    FROM daily ORDER BY d
+    """,
+    tags=("events", "slo", "reliability"),
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    return daily.select(
+        "d",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_errors").cast("bigint").alias("n_errors"),
+        F.expr("CAST(n_errors * 10000 DIV n_events AS BIGINT)").alias("error_bp"),
+        F.expr("n_errors * 10000 DIV n_events > 100").alias("slo_breach"),
+    ).orderBy("d")

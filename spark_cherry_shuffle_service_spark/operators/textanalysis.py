@@ -1056,3 +1056,55 @@ def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer compression profile: characters per BPE-ish token per source
+# — the fertility metric that decides whether a tokenizer suits a corpus
+# (high chars/token = efficient; near 1 = byte-fallback thrash). Counts
+# are integers; the ratio goes through the davg decimal path.
+# ---------------------------------------------------------------------------
+@query(
+    "text_tokenizer_compression",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             length(text) AS n_chars_raw,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars_raw) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           {davg_sql('n_chars_raw::DOUBLE / n_bpe', 'avg_chars_per_token')}
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("text", "tokenizer", "fertility"),
+)
+def text_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n_chars_raw"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_raw").alias("total_chars"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            davg(F.col("n_chars_raw").cast("double") / F.col("n_bpe"), "avg_chars_per_token"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.col("total_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            "avg_chars_per_token",
+        )
+        .orderBy("source")
+    )

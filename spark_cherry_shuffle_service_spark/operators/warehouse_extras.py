@@ -628,3 +628,63 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("share_bp").cast("bigint").alias("share_bp"),
         (F.col("share_bp") - F.lag("share_bp").over(w)).cast("bigint").alias("yoy_delta_bp"),
     ).orderBy("yr", "prio")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration curve: customer revenue deciles (Lorenz points)
+# with each decile's share of total revenue in basis points. Revenue per
+# customer goes through exact decimal sums, then BIGINT cents for the
+# share division — no float ratio crosses engines. NTILE over
+# (revenue, custkey) is deterministic via the unique key tiebreak.
+#
+# Scale note: a GLOBAL ntile is a single-partition window (fine at the
+# per-customer grain of these fixtures; Spark warns). At 100 TB swap in
+# the standard distributed ranking decomposition — range-partitioned
+# sort on (cents, custkey), per-partition counts collected once, prefix
+# offsets broadcast, per-partition row_number + offset — which computes
+# the IDENTICAL global rank (unique tiebreak) with no single-reducer
+# stage; decile = (rank-1)*10/n + 1.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_revenue_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile FROM rev
+    ), tot AS (
+      SELECT SUM(cents) AS total_cents FROM tiled
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) * 10000 // t.total_cents AS BIGINT) AS share_bp
+    FROM tiled CROSS JOIN tot t
+    GROUP BY decile, t.total_cents ORDER BY decile
+    """,
+    tags=("warehouse", "concentration", "lorenz"),
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    tiled = rev.select("cents", F.ntile(10).over(w).alias("decile"))
+    tot = tiled.agg(F.sum("cents").alias("total_cents"))
+    return (
+        tiled.join(F.broadcast(tot))
+        .groupBy("decile", "total_cents")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("cents").alias("revenue_cents"))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.expr("CAST(revenue_cents * 10000 DIV total_cents AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("decile")
+    )
