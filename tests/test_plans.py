@@ -488,3 +488,44 @@ def test_bucketed_edge_table_makes_iteration_join_edge_side_exchange_free(spark)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS edges_bkt")
+
+
+def test_cusum_windows_share_one_sort(spark):
+    """events_cusum runs TWO window passes (prefix sum, then running min
+    of the prefix) over the same (event_type, ts, event_id) ordering —
+    the physical plan must contain exactly 2 Sorts: the ONE shared window
+    sort plus the 5-row output sort. A third Sort would mean the second
+    window re-sorted the partition (the claim in monitoring.py would be
+    false)."""
+    df = SPECS["events_cusum"].builder(spark, SF_SMOKE)
+    assert count_ops(df, "Sort") == 2, formatted_plan(df)[:2000]
+
+
+def test_rolling_zscore_single_window_sort(spark):
+    """events_rolling_zscore computes count/sum/sum-of-squares over ONE
+    frame: one window sort + the output sort, two exchanges total (window
+    partition + final rollup)."""
+    df = SPECS["events_rolling_zscore"].builder(spark, SF_SMOKE)
+    assert count_ops(df, "Sort") == 2, formatted_plan(df)[:2000]
+    assert count_ops(df, "Exchange") == 2, formatted_plan(df)[:2000]
+
+
+def test_round5_ops_have_no_cartesian_products(spark):
+    """None of the round-5 additions may degenerate into an all-pairs
+    product — including the pair-generating ones (leakage, threshold
+    sweep, trend pairs are day-bounded)."""
+    for name in (
+        "events_cusum",
+        "events_rolling_zscore",
+        "events_changepoint",
+        "events_trend_mannkendall",
+        "corpus_novelty",
+        "corpus_cross_source_leakage",
+        "dedup_threshold_sweep",
+        "graph_bfs_levels",
+        "graph_degree_histogram",
+        "dedup_savings_by_source",
+        "similarity_cluster_purity",
+    ):
+        df = SPECS[name].builder(spark, SF_SMOKE)
+        assert count_ops(df, "CartesianProduct") == 0, name
