@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.aggregates import dsum, money
+from spark_cherry_shuffle_service_spark.functions.ranking import ntile_expr, with_global_rank
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -677,10 +678,19 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ABC / Pareto classification: parts ranked by revenue, classified by
-# cumulative revenue share (A ≤ 70%, B ≤ 90%, C rest). The global-order
-# cumulative window runs over the PER-PART AGGREGATE (|part| rows), never
-# the fact table — the safe pattern for "global" windows at 100 TB: reduce
-# to the bounded grain first, then window over the small result.
+# cumulative revenue share (A ≤ 70%, B ≤ 90%, C rest). The per-part grain
+# scales linearly with SF, so the global cumulative sum goes through the
+# distributed decomposition (functions/ranking.py): boundary-bucketed
+# per-bucket running sums + broadcast prefix offsets — no partition-less
+# WindowExec anywhere in the plan (asserted in test_plans.py).
+#
+# The cumulative math runs in exact DECIMAL(28,6) (part_rev is a dsum
+# output, ≤1 ulp from its 6-dp rational, so ROUND(...,6) recovers it
+# exactly — CLAUDE.md rounding rule) and the 70/90% thresholds compare
+# as cum*10 <= tot*7 / cum*10 <= tot*9 — integer-scaled decimal products
+# both engines compute exactly (DECIMAL(28,6)*INT → DECIMAL(38,6) in
+# both), so no float ratio crosses engines and no BIGINT micro-unit
+# overflow at large SF (DECIMAL(38,6) holds ~1e32).
 # ---------------------------------------------------------------------------
 @query(
     "abc_classification",
@@ -688,15 +698,19 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pr AS (
       SELECT l_partkey, {dsum_sql(_REV_EXPR, 'part_rev')}
       FROM lineitem GROUP BY l_partkey
-    ), ranked AS (
+    ), r AS (
       SELECT l_partkey, part_rev,
-             SUM(part_rev) OVER (ORDER BY part_rev DESC, l_partkey
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
-             SUM(part_rev) OVER () AS total_rev
+             CAST(ROUND(part_rev, 6) AS DECIMAL(28,6)) AS rev_d
       FROM pr
+    ), ranked AS (
+      SELECT part_rev,
+             CAST(SUM(rev_d) OVER (ORDER BY part_rev DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS cum_d,
+             CAST(SUM(rev_d) OVER () AS DECIMAL(28,6)) AS tot_d
+      FROM r
     )
-    SELECT CASE WHEN cum_rev <= 0.7 * total_rev THEN 'A'
-                WHEN cum_rev <= 0.9 * total_rev THEN 'B'
+    SELECT CASE WHEN cum_d * 10 <= tot_d * 7 THEN 'A'
+                WHEN cum_d * 10 <= tot_d * 9 THEN 'B'
                 ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
            {dsum_sql('part_rev', 'class_revenue')}
@@ -709,22 +723,23 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pr = li.groupBy("l_partkey").agg(dsum(rev, "part_rev"))
-    w_cum = Window.orderBy(F.col("part_rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = pr.select(
-        "part_rev",
-        F.sum("part_rev").over(w_cum).alias("cum_rev"),
-        F.sum("part_rev").over(w_all).alias("total_rev"),
-    )
+    prd = pr.withColumn("rev_d", F.round("part_rev", 6).cast("decimal(28,6)"))
+    tot = prd.agg(F.sum("rev_d").cast("decimal(28,6)").alias("tot_d"))
+    ranked = with_global_rank(
+        prd,
+        [("part_rev", "desc"), ("l_partkey", "asc")],
+        rank_name=None,
+        running=(("rev_d", "cum_raw"),),
+    ).withColumn("cum_d", F.col("cum_raw").cast("decimal(28,6)"))
     cls = (
-        F.when(F.col("cum_rev") <= 0.7 * F.col("total_rev"), "A")
-        .when(F.col("cum_rev") <= 0.9 * F.col("total_rev"), "B")
+        F.when(F.col("cum_d") * F.lit(10) <= F.col("tot_d") * F.lit(7), "A")
+        .when(F.col("cum_d") * F.lit(10) <= F.col("tot_d") * F.lit(9), "B")
         .otherwise("C")
     )
-    return ranked.groupBy(cls.alias("abc_class")).agg(
-        F.count(F.lit(1)).alias("n_parts"), dsum(F.col("part_rev"), "class_revenue")
+    return (
+        ranked.join(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"))
+        .agg(F.count(F.lit(1)).alias("n_parts"), dsum(F.col("part_rev"), "class_revenue"))
     )
 
 
@@ -732,11 +747,12 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segmentation: per-customer Recency/Frequency/Monetary scored into
 # quintiles (NTILE(5) with the o_custkey tiebreak for cross-engine
 # determinism), rolled up to segment counts + revenue. The per-customer
-# aggregate shuffles once on custkey; the three global NTILE windows run
-# over the |customer| grain, never the fact table. At 100 TB the exact
-# global sort would be replaced by approx-quantile boundaries broadcast
-# back (one scalar aggregate + a map-side bucket lookup) — the fixture
-# keeps exact NTILE so the DuckDB oracle is bit-identical.
+# aggregate shuffles once on custkey; the three quintile scores then go
+# through the distributed ranking decomposition (functions/ranking.py) —
+# three range-partitioned passes over the |customer| grain, each adding
+# a global rank with NO single-reducer window (ntile_expr derives the
+# exact NTILE bucket from rank + total count arithmetically, so the
+# DuckDB NTILE oracle stays bit-identical).
 # ---------------------------------------------------------------------------
 @query(
     "orders_rfm",
@@ -774,11 +790,23 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "monetary"),
         )
     )
-    scored = per_cust.select(
+    ranked = with_global_rank(
+        per_cust,
+        [("recency_days", "asc"), ("o_custkey", "asc")],
+        rank_name="_r_rk",
+        n_name="_n",
+    )
+    ranked = with_global_rank(
+        ranked, [("frequency", "desc"), ("o_custkey", "asc")], rank_name="_f_rk"
+    )
+    ranked = with_global_rank(
+        ranked, [("monetary", "desc"), ("o_custkey", "asc")], rank_name="_m_rk"
+    )
+    scored = ranked.select(
         "monetary",
-        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+        ntile_expr("_r_rk", "_n", 5).alias("r_score"),
+        ntile_expr("_f_rk", "_n", 5).alias("f_score"),
+        ntile_expr("_m_rk", "_n", 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"), dsum(F.col("monetary"), "segment_revenue")

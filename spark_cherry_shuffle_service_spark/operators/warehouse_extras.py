@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.aggregates import money
+from spark_cherry_shuffle_service_spark.functions.ranking import ntile_expr, with_global_rank
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -637,13 +638,11 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share division — no float ratio crosses engines. NTILE over
 # (revenue, custkey) is deterministic via the unique key tiebreak.
 #
-# Scale note: a GLOBAL ntile is a single-partition window (fine at the
-# per-customer grain of these fixtures; Spark warns). At 100 TB swap in
-# the standard distributed ranking decomposition — range-partitioned
-# sort on (cents, custkey), per-partition counts collected once, prefix
-# offsets broadcast, per-partition row_number + offset — which computes
-# the IDENTICAL global rank (unique tiebreak) with no single-reducer
-# stage; decile = (rank-1)*10/n + 1.
+# The decile comes from the distributed ranking decomposition
+# (functions/ranking.py): range-partition on (cents, custkey),
+# per-range row_number + broadcast prefix offsets = the IDENTICAL
+# global rank (unique tiebreak), ntile_expr derives the NTILE bucket
+# arithmetically — no single-reducer window at any SF.
 # ---------------------------------------------------------------------------
 @query(
     "customer_revenue_deciles",
@@ -673,9 +672,13 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    tiled = rev.select("cents", F.ntile(10).over(w).alias("decile"))
-    tot = tiled.agg(F.sum("cents").alias("total_cents"))
+    tiled = with_global_rank(
+        rev,
+        [("cents", "asc"), ("o_custkey", "asc")],
+        rank_name="_rk",
+        n_name="_n",
+    ).select("cents", ntile_expr("_rk", "_n", 10).alias("decile"))
+    tot = rev.agg(F.sum("cents").alias("total_cents"))
     return (
         tiled.join(F.broadcast(tot))
         .groupBy("decile", "total_cents")

@@ -43,6 +43,19 @@ def count_ops(df: DataFrame, op: str) -> int:
     return sum(1 for o in plan_ops(df) if o == op)
 
 
+def partitionless_windows(df: DataFrame) -> int:
+    """Count Window nodes with an EMPTY partition spec — the plan shape
+    Spark itself warns about (`WindowExec: No Partition Defined ...
+    serious performance degradation`): the whole frame funnels through
+    one task. In the formatted details section a Window's Arguments are
+    `[exprs], [partitionSpec], [orderSpec]`; the optimizer drops an
+    empty (or constant — it folds foldable partition keys) spec, leaving
+    only two top-level bracket groups, i.e. a single `], [` separator."""
+    plan = formatted_plan(df)
+    wins = re.findall(r"^\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)$", plan, re.MULTILINE)
+    return sum(1 for w in wins if w.count("], [") < 2)
+
+
 def uses_python_eval(df: DataFrame) -> bool:
     """True if the plan row-trips through Python (BatchEvalPython) or Arrow
     UDF eval — forbidden in every operator except the multimodal decode

@@ -529,3 +529,58 @@ def test_round5_ops_have_no_cartesian_products(spark):
     ):
         df = SPECS[name].builder(spark, SF_SMOKE)
         assert count_ops(df, "CartesianProduct") == 0, name
+
+
+def test_global_rank_queries_have_no_partitionless_window(spark):
+    """The three former global-sort-window queries (VERDICT r5 "what's
+    wrong" #1) now route through functions/ranking.py — their physical
+    plans must contain ZERO partition-less Window nodes (the shape Spark
+    warns about with `WindowExec: No Partition Defined`). Every Window
+    left is partitioned by the boundary bucket id."""
+    from spark_cherry_shuffle_service_spark.plans.explain import partitionless_windows
+
+    for name in ("orders_rfm", "customer_revenue_deciles", "abc_classification"):
+        df = SPECS[name].builder(spark, SF_SMOKE)
+        assert partitionless_windows(df) == 0, name
+        assert count_ops(df, "Window") >= 1, name  # decomposed, not windowless
+
+
+def test_global_rank_helper_matches_single_reducer_window(spark):
+    """with_global_rank == ROW_NUMBER() OVER (ORDER BY ...) bit-for-bit,
+    including desc ordering, running sums and the arithmetic NTILE —
+    chained twice to cover the multi-rank (orders_rfm) shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    df = spark.range(5003).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).substr(1, 3).alias("v"),
+        ((F.col("id") * 37) % 500).cast("long").alias("x"),
+    )
+    got = with_global_rank(
+        df, [("v", "asc"), ("id", "asc")], rank_name="rk", running=(("x", "cx"),), n_name="n"
+    )
+    got = with_global_rank(got, [("x", "desc"), ("id", "asc")], rank_name="rk2")
+    exp = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rk_e"),
+        F.sum("x")
+        .over(Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cx_e"),
+        F.row_number().over(Window.orderBy(F.col("x").desc(), "id")).alias("rk2_e"),
+        F.ntile(7).over(Window.orderBy("v", "id")).alias("t7_e"),
+    )
+    j = got.withColumn("t7", ntile_expr("rk", "n", 7)).join(exp, "id")
+    bad = j.filter(
+        (F.col("rk") != F.col("rk_e"))
+        | (F.col("cx") != F.col("cx_e"))
+        | (F.col("rk2") != F.col("rk2_e"))
+        | (F.col("t7") != F.col("t7_e"))
+    ).count()
+    assert bad == 0
+    assert j.count() == 5003
