@@ -115,9 +115,13 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer, exact.
 #
 # Scale: the Spark side is a PURE PROJECTION — split → transform →
-# aggregate higher-order functions, zero explode, zero shuffle, zero
-# Python. Scoring 100 TB costs exactly one scan; this is the shape a real
-# quality-classifier pass must have (per-row map, no wide edges). The
+# aggregate higher-order functions, zero explode, zero Python. Scoring
+# 100 TB costs one scan plus a narrow-input spread; this is the shape a
+# real quality-classifier pass must have (per-row map, no wide edges).
+# The single-file fixture scans as ONE partition, so the per-token md5
+# HOF work is repartitioned across cores first (repo convention,
+# dedup.py::_minhash_pair_frame; BASELINE.md's 206 s → 5.5 s precedent —
+# this query's cold run stalled round 5's bench exactly this way). The
 # oracle uses unnest + GROUP BY (DuckDB has no integer-aggregate HOF) —
 # same semantics, different dataflow.
 # ---------------------------------------------------------------------------
@@ -144,7 +148,8 @@ _N_BUCKETS = 1024
     tags=("text", "datapipe", "classifier", "hof"),
 )
 def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
 
     def weight(t: F.Column) -> F.Column:
