@@ -660,9 +660,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates + exact-Jaccard verify as dedup_minhash_lsh, but directional:
 # only (existing, incoming) band collisions are generated, so at 100 TB the
 # existing side's band keys are a precomputed bucketed index (written once,
-# reused per batch — sources/catalog.py::write_bucketed) and the incoming
-# side's bands are small enough to broadcast; per-batch cost scales with
-# the batch, not the corpus. Incoming = doc_id % 7 == 0 (a deterministic
+# reused per batch — sources/catalog.py::write_bucketed; plan-PROVEN in
+# tests/test_plans.py::test_bucketed_band_index_..., which asserts the
+# probe join plans its one Exchange on the batch side only) and the
+# incoming side's bands are small enough to broadcast; per-batch cost
+# scales with the batch, not the corpus. Incoming = doc_id % 7 == 0 (a deterministic
 # stand-in for "today's crawl").
 # ---------------------------------------------------------------------------
 def _incremental_oracle() -> str:

@@ -584,3 +584,49 @@ def test_global_rank_helper_matches_single_reducer_window(spark):
     ).count()
     assert bad == 0
     assert j.count() == 5003
+
+
+def test_bucketed_band_index_makes_incremental_probe_corpus_side_exchange_free(spark):
+    """dedup_incremental's documented 100 TB path (dedup.py scale note):
+    the corpus band keys are a PRECOMPUTED bucketed table, so each
+    incoming batch probes it without re-shuffling the (large) corpus
+    side. Evidence: with the band index bucketed on (band, bkey), the
+    probe join plans exactly ONE Exchange — the small batch side — and
+    zero on the corpus side (same proof shape as the graph edge-table
+    test above)."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.text import minhash_signature, shingles3
+    from spark_cherry_shuffle_service_spark.sources.catalog import table, write_bucketed
+
+    sig = (
+        table(spark, SF_SMOKE, "documents")
+        .select("doc_id", minhash_signature(shingles3(F.col("text")), 16).alias("sig"))
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.md5(F.array_join(F.slice(F.col("sig"), band * 2 + 1, 2), "")).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    write_bucketed(banded.filter(F.col("doc_id") % 7 != 0), "band_index_bkt", ["band", "bkey"], 8)
+    corpus = spark.table("band_index_bkt")
+    batch = banded.filter(F.col("doc_id") % 7 == 0)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = corpus.alias("a").join(
+            batch.hint("merge").alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        n_exchanges = count_ops(probe, "Exchange")
+        assert n_exchanges == 1, (n_exchanges, plan_ops(probe))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS band_index_bkt")
