@@ -16,7 +16,7 @@ handles skew and coalesces post-shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
@@ -240,6 +240,106 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_iqr"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-by-value HISTOGRAM percentile — the documented 100 TB production
+# path for bounded domains (SCALE.md "Exact percentiles"), demonstrated:
+# l_quantity has ≤50 distinct values, so instead of sorting every row
+# inside the aggregation (exact `percentile` buffers a value→count map
+# per group), ONE map-side-combined groupBy(value) shuffle of ≤50 rows
+# per flag feeds a bounded cumulative-count lookup. The interpolation
+# mirrors Spark's Percentile.scala exactly — position = (n-1)*p in
+# DOUBLE, lower/higher = floor/ceil, (higher−pos)·lo + (pos−lower)·hi
+# with the equal-index special case — so the result is bit-identical to
+# agg_percentiles' qty columns (asserted in tests/test_semantics.py).
+# DuckDB oracle twin spells out the same IEEE steps (0.5/0.9 literals
+# CAST to DOUBLE — DuckDB parses bare 0.9 as DECIMAL).
+# ---------------------------------------------------------------------------
+def _hist_pct_sql(tag: str, out: str) -> str:
+    lo_v = f"MIN(CASE WHEN cum >= lo{tag} + 1 THEN v END)"
+    hi_v = f"MIN(CASE WHEN cum >= hi{tag} + 1 THEN v END)"
+    return (
+        f"CASE WHEN MAX(hi{tag}) = MAX(lo{tag}) THEN {lo_v} "
+        f"ELSE (MAX(hi{tag}) - MAX(pos{tag})) * {lo_v} "
+        f"+ (MAX(pos{tag}) - MAX(lo{tag})) * {hi_v} END AS {out}"
+    )
+
+
+@query(
+    "agg_percentiles_histogram",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, v,
+             SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM counts
+    ), pc AS (
+      SELECT l_returnflag, v, cum, n,
+             CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS pos50,
+             FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS lo50,
+             CEIL(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS hi50,
+             CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE) AS pos90,
+             FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS lo90,
+             CEIL(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS hi90
+      FROM cum
+    )
+    SELECT l_returnflag,
+           {_hist_pct_sql('50', 'qty_median')},
+           {_hist_pct_sql('90', 'qty_p90')},
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM pc
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "histogram", "scale-path"),
+)
+def agg_percentiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("v")
+    )
+    counts = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    # Per-row copies of the per-group interpolation constants; the outer
+    # CASE re-reads them through MAX() (constant per group, so MAX is the
+    # value) to satisfy aggregation scoping.
+    for p, tag in ((0.5, "50"), (0.9, "90")):
+        pos = (F.col("n") - 1).cast("double") * F.lit(p).cast("double")
+        cum = (
+            cum.withColumn(f"pos{tag}", pos)
+            .withColumn(f"lo{tag}", F.floor(pos))
+            .withColumn(f"hi{tag}", F.ceil(pos))
+        )
+
+    def hist_pct(tag: str, out: str) -> F.Column:
+        lo_v = F.min(F.when(F.col("cum") >= F.col(f"lo{tag}") + 1, F.col("v")))
+        hi_v = F.min(F.when(F.col("cum") >= F.col(f"hi{tag}") + 1, F.col("v")))
+        pos, lo_i, hi_i = (F.max(f"pos{tag}"), F.max(f"lo{tag}"), F.max(f"hi{tag}"))
+        return (
+            F.when(hi_i == lo_i, lo_v)
+            .otherwise((hi_i - pos) * lo_v + (pos - lo_i) * hi_v)
+            .alias(out)
+        )
+
+    return cum.groupBy("l_returnflag").agg(
+        hist_pct("50", "qty_median"),
+        hist_pct("90", "qty_p90"),
+        F.max("n").cast("bigint").alias("n"),
     )
 
 

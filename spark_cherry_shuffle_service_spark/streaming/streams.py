@@ -189,12 +189,25 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def micro(v: float) -> int:
+            # Exact twin of the batch F.round(value, 6)→DECIMAL micro
+            # quantization: HALF_UP on the shortest-decimal repr (what
+            # Spark rounds), NOT Python round() (half-even on the binary
+            # product) — a value within 1 ulp of a 6-dp half boundary
+            # would otherwise differ from the batch twin by 1 micro.
+            return int(
+                Decimal(repr(float(v))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                * 1_000_000
+            )
+
         hist: list[int] = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out_ids: list[int] = []
         out_ewma: list[int] = []
         for value, event_id in zip(rows["value"], rows["event_id"]):
-            hist.append(int(round(float(value) * 1_000_000)))
+            hist.append(micro(value))
             if len(hist) > 8:
                 hist.pop(0)
             out_ids.append(int(event_id))
@@ -420,12 +433,22 @@ def cusum_stream(events: DataFrame, target_micro: int = CUSUM_TARGET_MICRO) -> D
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def micro(v: float) -> int:
+            # Same batch-twin quantization as ewma_stream above: HALF_UP
+            # on the shortest-decimal repr, mirroring F.round(value, 6).
+            return int(
+                Decimal(repr(float(v))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                * 1_000_000
+            )
+
         p, minp = state.get if state.exists else (0, 0)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out_ids: list[int] = []
         out_cusum: list[int] = []
         for value, event_id in zip(rows["value"], rows["event_id"]):
-            p += int(round(float(value) * 1_000_000)) - target_micro
+            p += micro(value) - target_micro
             minp = min(minp, p)
             out_ids.append(int(event_id))
             out_cusum.append(p - min(minp, 0))

@@ -325,11 +325,21 @@ print(json.dumps(out))
 """
 
 
+def _free_port() -> int:
+    """Bind-then-release probe: a hardcoded service port flakes against a
+    concurrent run or a stale ExternalShuffleService JVM (ADVICE r5)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_shuffle_output_survives_executor_death_with_service(duck_smoke):
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
-        [sys.executable, "-c", _CHILD_SVC, SF_SMOKE, "7437"],
+        [sys.executable, "-c", _CHILD_SVC, SF_SMOKE, str(_free_port())],
         cwd="/root/repo",
         env=env,
         capture_output=True,

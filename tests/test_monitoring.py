@@ -7,7 +7,7 @@ S_i = P_i - min(0, min P_j) really is the max(0, S+dev) CUSUM recurrence.
 
 from __future__ import annotations
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import functions as F
 
@@ -32,7 +32,13 @@ def test_cusum_closed_form_equals_recurrence(spark):
         .agg((F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double") / F.count("value")).alias("mu_d"))
         .collect()
     )
-    mus = {r["event_type"]: Decimal(str(round(r["mu_d"], 6))) for r in mu_rows}
+    # HALF_UP on the shortest-decimal repr — the money()/F.round twin;
+    # Python round() is half-even on the binary value and can diverge on
+    # a .5-boundary (ADVICE r5).
+    def q6(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    mus = {r["event_type"]: q6(r["mu_d"]) for r in mu_rows}
 
     rows = (
         ev.select("event_type", "ts", "event_id", "value")
@@ -45,7 +51,7 @@ def test_cusum_closed_form_equals_recurrence(spark):
     h = Decimal("500.000000")
     for r in rows:
         t = r["event_type"]
-        dev = Decimal(str(round(r["value"], 6))) - mus[t]
+        dev = q6(r["value"]) - mus[t]
         s = max(Decimal(0), state.get(t, Decimal(0)) + dev)
         state[t] = s
         if s > h:

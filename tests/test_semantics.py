@@ -185,3 +185,26 @@ def test_round4_ops_are_parallelism_invariant(spark):
             assert a == b, f"{n} differs between 1 and 32 shuffle partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_histogram_percentile_equals_exact_percentile(spark):
+    """The count-by-value histogram percentile (the SCALE.md production
+    path for bounded domains) must be BIT-identical to Spark's exact
+    `percentile` on the same data — it mirrors Percentile.scala's
+    interpolation ((higher−pos)·lo + (pos−lower)·hi over position =
+    (n−1)·p in double) over cumulative value counts."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+    from tests.conftest import SF_CORRECT
+
+    specs = all_specs()
+    exact = {
+        r["l_returnflag"]: (r["qty_median"], r["qty_p90"])
+        for r in specs["agg_percentiles"].builder(spark, SF_CORRECT).collect()
+    }
+    hist = {
+        r["l_returnflag"]: (r["qty_median"], r["qty_p90"])
+        for r in specs["agg_percentiles_histogram"].builder(spark, SF_CORRECT).collect()
+    }
+    assert set(exact) == set(hist)
+    for flag in exact:
+        assert exact[flag] == hist[flag], (flag, exact[flag], hist[flag])
