@@ -17,13 +17,17 @@ decomposition, DataFrame-only:
 2. assign each row a bucket id by comparing its key against the frozen
    boundaries (a pure row-value function — ≤31 lexicographic compares
    inside whole-stage codegen);
-3. aggregate per-bucket row counts (and optional exact per-bucket sums);
-4. turn counts into *prefix offsets* with a broadcast triangular
-   self-join over the tiny counts frame (≤ num_buckets² pairs at ANY
-   data scale — deliberately NOT a window, which would itself be
-   partition-less);
-5. broadcast the offsets back and add per-bucket ``row_number`` /
-   running sums: ``global_rank = offset + local_rank``.
+3. collect per-bucket row counts (and optional exact per-bucket sums)
+   once — ≤ num_buckets rows, SF-invariant driver memory (the
+   centroid-collect precedent);
+4. fold the prefix offsets into LITERAL arrays indexed by bucket id, so
+   the ranked plan is just projection + ONE partitioned window:
+   ``global_rank = offset[bucket] + local_rank``. (An earlier variant
+   computed the offsets in-plan via a broadcast triangular self-join;
+   correct, but it tripled the stage count and spent ~2.5 s/build on
+   planning+codegen. The counts collect is safe precisely because the
+   bucket id is a pure row-value function — a separate job cannot
+   disagree with the main plan.)
 
 Why boundaries-as-literals instead of ``repartitionByRange`` +
 ``spark_partition_id()``: the partition-id variant assigns bucket ids in
@@ -113,6 +117,7 @@ def with_global_rank(
     n_name: str | None = None,
     num_buckets: int | None = None,
     samples_per_bucket: int = 200,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Add a global 1-based row_number over ``order`` without a
     partition-less window.
@@ -125,9 +130,17 @@ def with_global_rank(
                  inclusive global running sums.
     n_name       if set, also emit the total row count under this name
                  (needed by ntile_expr).
+    persist_input  the input feeds THREE consumers (boundary sample,
+                 bucket counts, ranked output); the default persist is
+                 materialized by the sample job so the other two read
+                 the cache instead of recomputing the upstream pipeline
+                 (lifetime per SCALE.md's persist policy). Pass False
+                 when the caller already persisted.
     """
     spark = df.sparkSession
     n_buck = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if persist_input:
+        df = df.persist()
     bounds = _collect_boundaries(df, order, n_buck, samples_per_bucket)
 
     bucket = F.lit(0)
@@ -135,43 +148,41 @@ def with_global_rank(
         bucket = bucket + (~_row_lt_boundary(order, b)).cast("int")
     bucketed = df.withColumn("_gw_b", bucket)
 
-    aggs = [F.count(F.lit(1)).alias("_gw_bn")]
-    aggs += [F.sum(src).alias(f"_gw_bs_{out}") for src, out in running]
-    counts = bucketed.groupBy("_gw_b").agg(*aggs)
+    # Per-bucket counts (and exact per-bucket sums) collected ONCE —
+    # ≤ num_buckets rows, SF-invariant driver memory (the centroid-sized
+    # collect precedent). The bucket id is a pure function of row values,
+    # so a separate counts job is always consistent with the main plan —
+    # no cross-branch coupling to protect. Folding the prefix offsets
+    # into LITERAL arrays keeps the ranked plan to projection + ONE
+    # partitioned window (measured: the prior in-plan triangular-join
+    # variant spent ~2.5 s/build on planning+codegen alone).
+    agg_cols = [F.count(F.lit(1)).alias("_n")]
+    agg_cols += [F.sum(src).alias(f"_s_{out}") for src, out in running]
+    by_bucket = {r["_gw_b"]: r for r in bucketed.groupBy("_gw_b").agg(*agg_cols).collect()}
+    n_slots = len(bounds) + 1
+    cnts = [by_bucket[b]["_n"] if b in by_bucket else 0 for b in range(n_slots)]
+    total_n = sum(cnts)
+    count_offs = [sum(cnts[:b]) for b in range(n_slots)]
 
-    # Prefix offsets over the tiny counts frame: triangular broadcast
-    # self-join (≤ num_buckets² pairs — SF-invariant), not a window.
-    lower = counts.select(
-        F.col("_gw_b").alias("_lo_b"),
-        F.col("_gw_bn").alias("_lo_n"),
-        *[F.col(f"_gw_bs_{out}").alias(f"_lo_s_{out}") for _, out in running],
-    )
-    tri = counts.join(F.broadcast(lower), F.col("_lo_b") < F.col("_gw_b"), "left")
-    off_aggs = [F.coalesce(F.sum("_lo_n"), F.lit(0)).alias("_gw_off")]
-    off_aggs += [F.sum(f"_lo_s_{out}").alias(f"_gw_off_{out}") for _, out in running]
-    offsets = tri.groupBy("_gw_b").agg(*off_aggs)
-
-    out = bucketed.join(F.broadcast(offsets), "_gw_b")
     sort_cols = _sort_exprs(order)
     w_rank = Window.partitionBy("_gw_b").orderBy(*sort_cols)
     w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = bucketed
     if rank_name is not None:
-        out = out.withColumn(
-            rank_name, (F.col("_gw_off") + F.row_number().over(w_rank)).cast("bigint")
-        )
+        off = F.element_at(F.array(*[F.lit(o) for o in count_offs]), F.col("_gw_b") + 1)
+        out = out.withColumn(rank_name, (off + F.row_number().over(w_rank)).cast("bigint"))
     for src, out_name in running:
-        local = F.sum(src).over(w_run)
-        out = out.withColumn(
-            out_name,
-            F.when(F.col(f"_gw_off_{out_name}").isNull(), local).otherwise(
-                F.col(f"_gw_off_{out_name}") + local
-            ),
-        )
+        zero = by_bucket[next(iter(by_bucket))][f"_s_{out_name}"] * 0 if by_bucket else 0
+        sums = [
+            by_bucket[b][f"_s_{out_name}"] if b in by_bucket else zero
+            for b in range(n_slots)
+        ]
+        run_offs = [sum(sums[:b], zero) for b in range(n_slots)]
+        off = F.element_at(F.array(*[F.lit(o) for o in run_offs]), F.col("_gw_b") + 1)
+        out = out.withColumn(out_name, off + F.sum(src).over(w_run))
     if n_name is not None:
-        total = counts.agg(F.sum("_gw_bn").alias(n_name))
-        out = out.join(F.broadcast(total))
-    drop = ["_gw_b", "_gw_off"] + [f"_gw_off_{out_name}" for _, out_name in running]
-    return out.drop(*drop)
+        out = out.withColumn(n_name, F.lit(total_n))
+    return out.drop("_gw_b")
 
 
 def ntile_expr(rank: str, n: str, k: int) -> Column:

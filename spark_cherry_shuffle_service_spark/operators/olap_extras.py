@@ -790,23 +790,43 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "monetary"),
         )
     )
-    ranked = with_global_rank(
-        per_cust,
+    # Three PARALLEL slim rank branches joined back on the unique key —
+    # NOT a chain: chaining nests each rank's two consumers inside the
+    # next one's, doubling the logical plan per level (2^3 copies of the
+    # per-customer pipeline; measured 10.6 s vs ~1 s at sf0.1). The
+    # shared persisted input is materialized once by the first boundary
+    # sample.
+    per_cust = per_cust.persist()
+    r = with_global_rank(
+        per_cust.select("o_custkey", "recency_days"),
         [("recency_days", "asc"), ("o_custkey", "asc")],
         rank_name="_r_rk",
         n_name="_n",
-    )
-    ranked = with_global_rank(
-        ranked, [("frequency", "desc"), ("o_custkey", "asc")], rank_name="_f_rk"
-    )
-    ranked = with_global_rank(
-        ranked, [("monetary", "desc"), ("o_custkey", "asc")], rank_name="_m_rk"
-    )
-    scored = ranked.select(
-        "monetary",
-        ntile_expr("_r_rk", "_n", 5).alias("r_score"),
-        ntile_expr("_f_rk", "_n", 5).alias("f_score"),
-        ntile_expr("_m_rk", "_n", 5).alias("m_score"),
+        persist_input=False,
+    ).select("o_custkey", "_r_rk", "_n")
+    f = with_global_rank(
+        per_cust.select("o_custkey", "frequency"),
+        [("frequency", "desc"), ("o_custkey", "asc")],
+        rank_name="_f_rk",
+        persist_input=False,
+    ).select("o_custkey", "_f_rk")
+    m = with_global_rank(
+        per_cust.select("o_custkey", "monetary"),
+        [("monetary", "desc"), ("o_custkey", "asc")],
+        rank_name="_m_rk",
+        persist_input=False,
+    ).select("o_custkey", "_m_rk")
+    scored = (
+        per_cust.select("o_custkey", "monetary")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "monetary",
+            ntile_expr("_r_rk", "_n", 5).alias("r_score"),
+            ntile_expr("_f_rk", "_n", 5).alias("f_score"),
+            ntile_expr("_m_rk", "_n", 5).alias("m_score"),
+        )
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"), dsum(F.col("monetary"), "segment_revenue")

@@ -491,6 +491,103 @@ def cumulative_compare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-DS v2.7 q67a variant shape: ROLLUP hand-expanded as a UNION ALL of
+# progressively coarser re-aggregations over ONE shared pre-aggregate CTE
+# (tpcds-v2.7.0/q67a.sql:29-120 — v1.4 q67 says `group by rollup(...)`;
+# the v2.7 rewrite unions five explicit GROUP BY levels, then ranks
+# within i_category and keeps the top 100). Analog on TPC-H fixtures:
+# per-(priority, year, quarter, month) order revenue, four explicit
+# levels (full, -month, -quarter, -year), rank within priority by
+# revenue desc, top 100 per priority.
+#
+# Determinism: second-level sums re-aggregate dsum outputs, so they go
+# through ROUND→DECIMAL(18,6)→SUM in BOTH engines; the rank is a
+# ROW_NUMBER over (sumsales DESC, coalesced level keys) — the coalesce
+# sentinels (-1) make the tuple unique across levels, so ties in
+# sumsales cannot reorder across engines. Scale: the pre-aggregate is
+# calendar×priority bounded; every level re-aggregates the TINY shared
+# CTE, not the fact table, and the rank window is partitioned by
+# priority — no single-reducer stage.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_union_variant",
+    oracle=f"""
+    WITH results AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+             CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             {dsum_sql('o_totalprice', 'sumsales')}
+      FROM orders
+      GROUP BY 1, 2, 3, 4
+    ), rolled AS (
+      SELECT prio, yr, qtr, mo, sumsales FROM results
+      UNION ALL
+      SELECT prio, yr, qtr, CAST(NULL AS BIGINT), {dsum_sql('sumsales', 'sumsales')}
+      FROM results GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT prio, yr, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             {dsum_sql('sumsales', 'sumsales')}
+      FROM results GROUP BY 1, 2
+      UNION ALL
+      SELECT prio, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             {dsum_sql('sumsales', 'sumsales')}
+      FROM results GROUP BY 1
+    )
+    SELECT prio, yr, qtr, mo, sumsales, rk FROM (
+      SELECT prio, yr, qtr, mo, sumsales,
+             ROW_NUMBER() OVER (PARTITION BY prio
+               ORDER BY sumsales DESC, COALESCE(yr, -1), COALESCE(qtr, -1),
+                        COALESCE(mo, -1)) AS rk
+      FROM rolled
+    ) WHERE rk <= 100
+    ORDER BY prio, rk
+    """,
+    tags=("rollup", "union", "window", "tpcds-v2.7"),
+)
+def rollup_union_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _d("o_orderdate")
+    results = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.year(d).cast("bigint").alias("yr"),
+            F.quarter(d).cast("bigint").alias("qtr"),
+            F.month(d).cast("bigint").alias("mo"),
+        )
+        .agg(dsum(F.col("o_totalprice"), "sumsales"))
+    )
+    null_b = F.lit(None).cast("bigint")
+
+    def level(*keep: str) -> DataFrame:
+        gb = results.groupBy(*[F.col(k) for k in keep]).agg(
+            dsum(F.col("sumsales"), "sumsales")
+        )
+        for k in ("yr", "qtr", "mo"):
+            if k not in keep:
+                gb = gb.withColumn(k, null_b)
+        return gb.select("prio", "yr", "qtr", "mo", "sumsales")
+
+    rolled = (
+        results.select("prio", "yr", "qtr", "mo", "sumsales")
+        .unionAll(level("prio", "yr", "qtr"))
+        .unionAll(level("prio", "yr"))
+        .unionAll(level("prio"))
+    )
+    w = Window.partitionBy("prio").orderBy(
+        F.col("sumsales").desc(),
+        F.coalesce(F.col("yr"), F.lit(-1)),
+        F.coalesce(F.col("qtr"), F.lit(-1)),
+        F.coalesce(F.col("mo"), F.lit(-1)),
+    )
+    return (
+        rolled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .orderBy("prio", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL (SURVEY.md §2.7 lists
 # the DISTINCT forms in-corpus; the ALL forms complete the family). Inputs
 # are projections with real duplicate rows (priority, status).
