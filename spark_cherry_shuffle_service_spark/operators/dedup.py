@@ -833,11 +833,16 @@ def _lsh_recall_oracle() -> str:
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cherry_shuffle_service_spark.functions.text import minhash_signature
 
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    # "First N in md5 order" is a TOP-K, not a window: orderBy+limit
+    # lowers to TakeOrderedAndProject (per-partition top-400 heaps, no
+    # global sort, no partition-less WindowExec) — the round-6 audit
+    # found the previous row_number() form was the one remaining global
+    # window over an SF-scaling grain (test_plans.py pins the whitelist).
     samp = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", "text", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= _AUDIT_N)
+        .select(F.md5(F.col("doc_id").cast("string")).alias("_m"), "doc_id", "text")
+        .orderBy("_m", "doc_id")
+        .limit(_AUDIT_N)
         .select("doc_id", shingles3(F.col("text")).alias("sh"))
         .persist()  # feeds truth (both sides), sig
     )

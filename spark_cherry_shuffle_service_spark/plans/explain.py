@@ -48,12 +48,26 @@ def partitionless_windows(df: DataFrame) -> int:
     Spark itself warns about (`WindowExec: No Partition Defined ...
     serious performance degradation`): the whole frame funnels through
     one task. In the formatted details section a Window's Arguments are
-    `[exprs], [partitionSpec], [orderSpec]`; the optimizer drops an
-    empty (or constant — it folds foldable partition keys) spec, leaving
-    only two top-level bracket groups, i.e. a single `], [` separator."""
+    `[exprs], [partitionSpec], [orderSpec]` with EMPTY specs omitted
+    (and constant partition keys folded away), so the probe must
+    disambiguate the two-group case by content:
+      1 group               → global unordered (grand-total) window;
+      2 groups, last ASC/DESC → global ORDERED window (the sort-merge
+                                single reducer — the worst shape);
+      2 groups, no ASC/DESC → partitioned, unordered — fine;
+      3 groups              → partitioned + ordered — fine."""
     plan = formatted_plan(df)
     wins = re.findall(r"^\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)$", plan, re.MULTILINE)
-    return sum(1 for w in wins if w.count("], [") < 2)
+    n = 0
+    for w in wins:
+        seps = w.count("], [")
+        if seps == 0:
+            n += 1
+        elif seps == 1:
+            last = w.rsplit("], [", 1)[1]
+            if " ASC" in last or " DESC" in last:
+                n += 1
+    return n
 
 
 def uses_python_eval(df: DataFrame) -> bool:

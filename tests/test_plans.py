@@ -630,3 +630,33 @@ def test_bucketed_band_index_makes_incremental_probe_corpus_side_exchange_free(s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS band_index_bkt")
+
+
+def test_global_windows_only_on_sf_invariant_grains(spark):
+    """Registry-wide single-reducer audit: a partition-less ORDERED (or
+    grand-total unordered) Window is allowed ONLY over grains that do
+    not scale with SF — every other query must plan zero of them. The
+    whitelist documents each bounded grain; growing it requires the same
+    justification. (The three formerly-violating queries — orders_rfm,
+    customer_revenue_deciles, abc_classification — and the round-6
+    dedup_lsh_recall top-k rewrite must stay OFF this list.)"""
+    from spark_cherry_shuffle_service_spark.plans.explain import partitionless_windows
+
+    bounded_grain_whitelist = {
+        # grand MAX over the per-source aggregate (sources: fixed vocabulary)
+        "corpus_temperature_sample",
+        # cross-bucket running sum over <= 1000 score buckets (SF-invariant)
+        "corpus_token_budget",
+        # two cumulative series on the 1997 daily grain (<= 365 rows each)
+        "cumulative_compare",
+        # RANK over the 25-nation aggregate (dimension-sized)
+        "sql_text_cte_window",
+        # grand total over the 5x3 priority-status contingency
+        "stats_chi2",
+    }
+    offenders = {}
+    for name, spec in SPECS.items():
+        n = partitionless_windows(spec.builder(spark, SF_SMOKE))
+        if n and name not in bounded_grain_whitelist:
+            offenders[name] = n
+    assert not offenders, offenders
