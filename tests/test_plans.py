@@ -660,3 +660,41 @@ def test_global_windows_only_on_sf_invariant_grains(spark):
         if n and name not in bounded_grain_whitelist:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_global_rank_helper_edge_cases(spark):
+    """Empty frame, n < k NTILE, single row, and all-duplicate sort keys
+    (boundaries dedupe to one bucket; the unique tiebreak column keeps
+    the order total) — the degenerate shapes of the decomposition."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    e = spark.range(0).select(F.col("id"), (F.col("id") % 3).alias("x"))
+    r = with_global_rank(
+        e, [("x", "asc"), ("id", "asc")], rank_name="rk", running=(("x", "cx"),), n_name="n"
+    )
+    assert r.count() == 0
+
+    t = spark.range(3).select(F.col("id"), F.col("id").alias("x"))
+    r2 = with_global_rank(t, [("x", "asc"), ("id", "asc")], rank_name="rk", n_name="n")
+    rows = r2.select("rk", ntile_expr("rk", "n", 5).alias("t5")).orderBy("rk").collect()
+    assert [(x["rk"], x["t5"]) for x in rows] == [(1, 1), (2, 2), (3, 3)]
+
+    s = spark.range(1).select(F.col("id"), F.lit(7).cast("long").alias("x"))
+    row = with_global_rank(
+        s, [("x", "asc"), ("id", "asc")], rank_name="rk", running=(("x", "cx"),), n_name="n"
+    ).first()
+    assert (row["rk"], row["cx"], row["n"]) == (1, 7, 1)
+
+    d = spark.range(2000).select(F.col("id"), F.lit(5).cast("long").alias("x"))
+    r4 = with_global_rank(d, [("x", "asc"), ("id", "asc")], rank_name="rk")
+    bad = (
+        r4.join(d.select("id", (F.col("id") + 1).alias("want")), "id")
+        .filter("rk != want")
+        .count()
+    )
+    assert bad == 0
