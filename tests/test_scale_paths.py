@@ -157,3 +157,31 @@ def test_prefix_filter_candidates_are_recall_complete(spark):
     }
     assert set(got) == set(exact), (
         set(exact) - set(got), set(got) - set(exact))
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """SCALE.md's production percentile path for UNBOUNDED domains
+    (l_extendedprice — where the count-by-value histogram doesn't apply):
+    percentile_approx (mergeable one-pass sketch) must land within 1% of
+    the exact ordered-set aggregate at default-plus accuracy. The exact
+    form stays the oracle-checked query (agg_percentiles); this pins the
+    approximation error the swap would introduce at 100 TB."""
+    exact = {
+        r["l_returnflag"]: (r["price_p25"], r["price_p75"])
+        for r in SPECS["agg_percentiles"].builder(spark, SF_CORRECT).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["a25"], r["a75"])
+        for r in table(spark, SF_CORRECT, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.25, 10000).alias("a25"),
+            F.percentile_approx("l_extendedprice", 0.75, 10000).alias("a75"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (e25, e75) in exact.items():
+        a25, a75 = approx[flag]
+        assert abs(a25 - e25) / e25 < 0.01, (flag, a25, e25)
+        assert abs(a75 - e75) / e75 < 0.01, (flag, a75, e75)
