@@ -15,8 +15,9 @@ decomposition, DataFrame-only:
    and freeze ≤ num_buckets-1 equally spaced boundary tuples as plan
    LITERALS;
 2. assign each row a bucket id by comparing its key against the frozen
-   boundaries (a pure row-value function — ≤31 lexicographic compares
-   inside whole-stage codegen);
+   boundaries (a pure row-value function: one lambda over a literal
+   struct array — see ``_bucket_expr`` for why not an unrolled
+   comparison chain);
 3. collect per-bucket row counts (and optional exact per-bucket sums)
    once — ≤ num_buckets rows, SF-invariant driver memory (the
    centroid-collect precedent);
@@ -68,35 +69,57 @@ def _sort_exprs(order: list[OrderSpec]) -> list[Column]:
     return [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order]
 
 
-def _row_lt_boundary(order: list[OrderSpec], b: tuple) -> Column:
-    """row <(lex, per-direction) boundary, built inside-out."""
+def _row_lt_boundary(order: list[OrderSpec], b) -> Column:
+    """row <(lex, per-direction) boundary, built inside-out. `b` is a
+    struct Column with fields c0..c{k-1} (one per order column)."""
     cond = F.lit(False)
-    for (name, d), bv in zip(reversed(order), reversed(b)):
-        col, lit = F.col(name), F.lit(bv)
+    for j, (name, d) in reversed(list(enumerate(order))):
+        col, lit = F.col(name), b[f"c{j}"]
         strict = col > lit if d == "desc" else col < lit
         cond = strict | ((col == lit) & cond)
     return cond
 
 
-def _collect_boundaries(
-    df: DataFrame, order: list[OrderSpec], num_buckets: int, samples_per_bucket: int
-) -> list[tuple]:
-    """Deterministic bounded sample of the sort key → ≤ num_buckets-1
-    equally spaced, deduplicated boundary tuples.
+def _bucket_expr(order: list[OrderSpec], bounds: list[tuple]) -> Column:
+    """Bucket id = number of boundary tuples ≤ the row's key, computed as
+    size(filter(<literal struct array>, b -> NOT row < b)).
+
+    The boundaries live in ONE array literal and the lexicographic
+    compare is ONE lambda applied per element — a constant-size
+    expression tree. The earlier unrolled form (sum of per-boundary OR
+    chains, ~31 × |order| comparison terms, fresh literals per build)
+    made every build a janino codegen-cache miss costing seconds of
+    compile; the interpreted HOF evaluation here is ≤ num_buckets cheap
+    compares per row, negligible against the scan either locally or at
+    100 TB."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(f"c{j}") for j, v in enumerate(b)])
+            for b in bounds
+        ]
+    )
+    return F.size(F.filter(arr, lambda b: ~_row_lt_boundary(order, b))).cast("int")
+
+
+def _collect_sample(df: DataFrame, names: list[str], target: int) -> list:
+    """Deterministic bounded uniform sample of the key columns.
 
     md5 over the key tuple is the tie-free "random" order, so the sample
     is a uniform, run-to-run-stable subset; the limit lowers to
     per-partition top-k (TakeOrderedAndProject) — no global sort, and
     driver memory is bounded by the sample size at any SF.
     """
-    names = [c for c, _ in order]
     tag = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in names]))
-    sample = (
-        df.select(*names, tag.alias("_smp"))
-        .orderBy("_smp")
-        .limit(num_buckets * samples_per_bucket)
-        .collect()
-    )
+    return df.select(*names, tag.alias("_smp")).orderBy("_smp").limit(target).collect()
+
+
+def _pick_bounds(sample: list, order: list[OrderSpec], num_buckets: int) -> list[tuple]:
+    """≤ num_buckets-1 equally spaced, deduplicated boundary tuples from
+    a collected sample, sorted per the (possibly mixed-direction) order
+    via successive stable sorts."""
+    names = [c for c, _ in order]
     keyed = [tuple(r[c] for c in names) for r in sample]
     for (name, d), idx in zip(reversed(order), reversed(range(len(order)))):
         keyed.sort(key=lambda t, i=idx: t[i], reverse=(d == "desc"))
@@ -107,6 +130,14 @@ def _collect_boundaries(
         if not out or p != out[-1]:
             out.append(p)
     return out
+
+
+def _collect_boundaries(
+    df: DataFrame, order: list[OrderSpec], num_buckets: int, samples_per_bucket: int
+) -> list[tuple]:
+    names = [c for c, _ in order]
+    sample = _collect_sample(df, names, num_buckets * samples_per_bucket)
+    return _pick_bounds(sample, order, num_buckets)
 
 
 def with_global_rank(
@@ -143,10 +174,7 @@ def with_global_rank(
         df = df.persist()
     bounds = _collect_boundaries(df, order, n_buck, samples_per_bucket)
 
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (~_row_lt_boundary(order, b)).cast("int")
-    bucketed = df.withColumn("_gw_b", bucket)
+    bucketed = df.withColumn("_gw_b", _bucket_expr(order, bounds))
 
     # Per-bucket counts (and exact per-bucket sums) collected ONCE —
     # ≤ num_buckets rows, SF-invariant driver memory (the centroid-sized
@@ -183,6 +211,71 @@ def with_global_rank(
     if n_name is not None:
         out = out.withColumn(n_name, F.lit(total_n))
     return out.drop("_gw_b")
+
+
+def with_global_ranks(
+    df: DataFrame,
+    ranks: list[tuple[str, list[OrderSpec]]],
+    n_name: str | None = None,
+    num_buckets: int | None = None,
+    samples_per_bucket: int = 200,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Multiple global ranks over the SAME frame with ONE sample job and
+    ONE counts job (``with_global_rank`` pays one pair per rank —
+    orders_rfm's three ranks would otherwise run six builder-time jobs).
+
+    ranks        [(rank_name, order), ...] — each order as in
+                 with_global_rank (total order, non-null keys).
+    The single md5-top-k sample is a uniform subset regardless of which
+    order it is later sorted by, so every rank derives its boundaries
+    from the same collected rows; the counts job computes every rank's
+    per-bucket counts in one pass by exploding (dim, bucket) pairs
+    (num_ranks rows per input row, aggregated map-side to
+    ≤ num_ranks × num_buckets groups).
+    """
+    spark = df.sparkSession
+    n_buck = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if persist_input:
+        df = df.persist()
+    names: list[str] = []
+    for _, order in ranks:
+        for c, _d in order:
+            if c not in names:
+                names.append(c)
+    sample = _collect_sample(df, names, n_buck * samples_per_bucket)
+
+    bucketed = df
+    metas: list[tuple[str, list[OrderSpec], str, int]] = []
+    for i, (rank_name, order) in enumerate(ranks):
+        bounds = _pick_bounds(sample, order, n_buck)
+        bucketed = bucketed.withColumn(f"_gw_b{i}", _bucket_expr(order, bounds))
+        metas.append((rank_name, order, f"_gw_b{i}", len(bounds) + 1))
+
+    pair = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("dim"), F.col(bname).alias("b"))
+                for i, (_, _, bname, _) in enumerate(metas)
+            ]
+        )
+    ).alias("p")
+    cnt_rows = (
+        bucketed.select(pair).select("p.dim", "p.b").groupBy("dim", "b").count().collect()
+    )
+    cmap = {(r["dim"], r["b"]): r["count"] for r in cnt_rows}
+    total_n = sum(v for (d, _), v in cmap.items() if d == 0)
+
+    out = bucketed
+    for i, (rank_name, order, bname, n_slots) in enumerate(metas):
+        cnts = [cmap.get((i, b), 0) for b in range(n_slots)]
+        offs = [sum(cnts[:b]) for b in range(n_slots)]
+        w = Window.partitionBy(bname).orderBy(*_sort_exprs(order))
+        off = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col(bname) + 1)
+        out = out.withColumn(rank_name, (off + F.row_number().over(w)).cast("bigint"))
+    if n_name is not None:
+        out = out.withColumn(n_name, F.lit(total_n))
+    return out.drop(*[bname for _, _, bname, _ in metas])
 
 
 def ntile_expr(rank: str, n: str, k: int) -> Column:

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.functions.aggregates import dsum, money
-from spark_cherry_shuffle_service_spark.functions.ranking import ntile_expr, with_global_rank
+from spark_cherry_shuffle_service_spark.functions.ranking import (
+    ntile_expr,
+    with_global_rank,
+    with_global_ranks,
+)
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -790,43 +794,25 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "monetary"),
         )
     )
-    # Three PARALLEL slim rank branches joined back on the unique key —
-    # NOT a chain: chaining nests each rank's two consumers inside the
-    # next one's, doubling the logical plan per level (2^3 copies of the
-    # per-customer pipeline; measured 10.6 s vs ~1 s at sf0.1). The
-    # shared persisted input is materialized once by the first boundary
-    # sample.
-    per_cust = per_cust.persist()
-    r = with_global_rank(
-        per_cust.select("o_custkey", "recency_days"),
-        [("recency_days", "asc"), ("o_custkey", "asc")],
-        rank_name="_r_rk",
+    # ONE shared sample job + ONE counts job derive all three ranks'
+    # boundaries and offsets (with_global_ranks); the ranked plan is the
+    # persisted per-customer frame + three partitioned windows. (Earlier
+    # shapes measured at sf0.1: chained with_global_rank calls 10.6 s —
+    # the chain doubles the plan per level — and three parallel
+    # single-rank branches 4.5 s from six builder-time jobs.)
+    scored = with_global_ranks(
+        per_cust,
+        [
+            ("_r_rk", [("recency_days", "asc"), ("o_custkey", "asc")]),
+            ("_f_rk", [("frequency", "desc"), ("o_custkey", "asc")]),
+            ("_m_rk", [("monetary", "desc"), ("o_custkey", "asc")]),
+        ],
         n_name="_n",
-        persist_input=False,
-    ).select("o_custkey", "_r_rk", "_n")
-    f = with_global_rank(
-        per_cust.select("o_custkey", "frequency"),
-        [("frequency", "desc"), ("o_custkey", "asc")],
-        rank_name="_f_rk",
-        persist_input=False,
-    ).select("o_custkey", "_f_rk")
-    m = with_global_rank(
-        per_cust.select("o_custkey", "monetary"),
-        [("monetary", "desc"), ("o_custkey", "asc")],
-        rank_name="_m_rk",
-        persist_input=False,
-    ).select("o_custkey", "_m_rk")
-    scored = (
-        per_cust.select("o_custkey", "monetary")
-        .join(r, "o_custkey")
-        .join(f, "o_custkey")
-        .join(m, "o_custkey")
-        .select(
-            "monetary",
-            ntile_expr("_r_rk", "_n", 5).alias("r_score"),
-            ntile_expr("_f_rk", "_n", 5).alias("f_score"),
-            ntile_expr("_m_rk", "_n", 5).alias("m_score"),
-        )
+    ).select(
+        "monetary",
+        ntile_expr("_r_rk", "_n", 5).alias("r_score"),
+        ntile_expr("_f_rk", "_n", 5).alias("f_score"),
+        ntile_expr("_m_rk", "_n", 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"), dsum(F.col("monetary"), "segment_revenue")
