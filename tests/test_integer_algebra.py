@@ -99,3 +99,30 @@ def test_decimal_micro_units_roundtrip(xs):
     for x in xs:
         d = Decimal(x) / Decimal(1_000_000)
         assert int(d * 1_000_000) == x
+
+
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=300, deadline=None)
+def test_ntile_formula_matches_sql_standard(n, k):
+    """functions/ranking.py::ntile_expr's arithmetic — with q = n DIV k,
+    r = n % k, the first r tiles hold q+1 rows — must reproduce the SQL
+    NTILE bucket for every rank 1..n (the identity the distributed
+    ranking decomposition relies on to replace global NTILE windows)."""
+    q, r = divmod(n, k)
+    cut = r * (q + 1)
+
+    def formula(rank: int) -> int:
+        if rank <= cut:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - cut - 1) // q + 1
+
+    # Reference NTILE: distribute n rows into k ordered buckets whose
+    # sizes differ by at most one, larger buckets first.
+    sizes = [q + 1] * r + [q] * (k - r)
+    expect = []
+    for tile, size in enumerate(sizes, start=1):
+        expect.extend([tile] * size)
+    assert [formula(i) for i in range(1, n + 1)] == expect
