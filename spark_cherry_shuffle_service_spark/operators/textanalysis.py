@@ -1108,3 +1108,85 @@ def text_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction pass — the compliance stage every training-data
+# pipeline runs before a corpus ships. The synthetic fixture text carries
+# no natural PII, so the op first INJECTS deterministic PII-shaped spans
+# (an email and a phone derived from doc_id — identical expressions in
+# both engines), then detects with generic patterns (any email-shaped /
+# +1-555 phone-shaped span, dialect-safe across Java regex and RE2),
+# redacts via regexp_replace, and PROVES the redaction by re-scanning the
+# scrubbed text (residual_hits must be 0 — and the oracle must agree).
+#
+# Scale: pure projection (regex per row, whole-stage codegen) + one
+# map-side-combined groupBy(source) — scan-shaped; the single-file
+# fixture is repartitioned before the regex work (repo convention).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    ), scrubbed AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{_PII_EMAIL}')) AS email_hits,
+             len(regexp_extract_all(t, '{_PII_PHONE}')) AS phone_hits,
+             regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_PHONE}', '<PHONE>', 'g') AS red
+      FROM enriched
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+           CAST(SUM(phone_hits) AS BIGINT) AS phone_hits,
+           CAST(SUM(len(regexp_extract_all(red, '{_PII_EMAIL}'))
+                    + len(regexp_extract_all(red, '{_PII_PHONE}'))) AS BIGINT)
+             AS residual_hits
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "pii", "compliance", "datapipe"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("email_hits"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("phone_hits"),
+        (
+            F.regexp_count(red, F.lit(_PII_EMAIL)) + F.regexp_count(red, F.lit(_PII_PHONE))
+        ).alias("residual"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("email_hits").cast("bigint").alias("email_hits"),
+            F.sum("phone_hits").cast("bigint").alias("phone_hits"),
+            F.sum("residual").cast("bigint").alias("residual_hits"),
+        )
+        .orderBy("source")
+    )
