@@ -1118,3 +1118,88 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_pairs_050"),
         F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0)).cast("bigint").alias("n_pairs_070"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN audit (substring-level dedup, the Lee et al. /
+# C4-style exact-substring pass): every 5-token span is fingerprinted and
+# spans appearing in >= 2 distinct documents are counted per source —
+# the readout that decides whether a corpus needs span-level surgery on
+# top of document-level dedup (boilerplate_prefix covers only PREFIXES;
+# this covers arbitrary positions).
+#
+# Scale: spans are md5-fingerprinted BEFORE any shuffle (fixed 32-byte
+# keys — the boilerplate-prefix precedent), then ONE map-side-combined
+# groupBy(fingerprint) builds the document-frequency table and ONE join
+# tags each span occurrence; both shuffles are linear in token count,
+# never pairwise in documents. Per-row gram expansion uses the
+# shifted-zip shingles construction (no O(len²) element_at lambdas).
+# ---------------------------------------------------------------------------
+_SPAN_W = 5
+_SQL_SPANS = (
+    "list_distinct(list_transform(generate_series(1, len(t) - 4),"
+    " i -> array_to_string(t[i:i+4], ' ')))"
+)
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SQL_SPANS} AS sp
+      FROM (SELECT doc_id, source, string_split_regex(trim(text), ' +') AS t FROM documents)
+    ), ex AS (
+      SELECT doc_id, source, md5(unnest(sp)) AS g
+      FROM s
+    ), freq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY g
+    ), per_doc AS (
+      SELECT e.doc_id, e.source,
+             COUNT(*) AS n_spans,
+             SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      FROM ex e JOIN freq f ON e.g = f.g
+      GROUP BY e.doc_id, e.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS total_spans,
+           CAST(SUM(dup_spans) AS BIGINT) AS dup_spans,
+           CAST(SUM(dup_spans) * 10000 // SUM(n_spans) AS BIGINT) AS dup_ratio_bp
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "spans", "substring", "audit", "datapipe"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_cherry_shuffle_service_spark.functions.text import shingles
+
+    ex = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles(F.col("text"), _SPAN_W)).alias("span"),
+        )
+        .select("doc_id", "source", F.md5(F.col("span")).alias("g"))
+    )
+    freq = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ex.join(freq, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup_spans"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.sum("dup_spans").cast("bigint").alias("dup_spans"),
+            F.expr("CAST(SUM(dup_spans) * 10000 DIV SUM(n_spans) AS BIGINT)").alias(
+                "dup_ratio_bp"
+            ),
+        )
+        .orderBy("source")
+    )
