@@ -698,3 +698,35 @@ def test_global_rank_helper_edge_cases(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_multi_rank_helper_matches_single_reducer_windows(spark):
+    """with_global_ranks (one shared sample/counts pass for N orders)
+    must equal per-order ROW_NUMBER() windows bit-for-bit, including a
+    desc order and the shared total count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.ranking import with_global_ranks
+
+    df = spark.range(4001).select(
+        "id",
+        F.md5(F.col("id").cast("string")).substr(1, 3).alias("v"),
+        ((F.col("id") * 13) % 700).cast("long").alias("x"),
+    )
+    got = with_global_ranks(
+        df,
+        [
+            ("rv", [("v", "asc"), ("id", "asc")]),
+            ("rx", [("x", "desc"), ("id", "asc")]),
+        ],
+        n_name="n",
+    )
+    exp = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rv_e"),
+        F.row_number().over(Window.orderBy(F.col("x").desc(), "id")).alias("rx_e"),
+    )
+    j = got.join(exp, "id")
+    assert j.filter("rv != rv_e or rx != rx_e or n != 4001").count() == 0
+    assert j.count() == 4001
