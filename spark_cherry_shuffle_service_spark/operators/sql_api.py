@@ -449,3 +449,39 @@ def _make_sql_text_twin(text_name: str, twin_name: str):
 
 for _text_name, _twin_name in _TPCH_SQL_TEXT_TWINS.items():
     _make_sql_text_twin(_text_name, _twin_name)
+
+
+# ---------------------------------------------------------------------------
+# tpcds/q88.sql shape: a single result row assembled by CROSS JOINING
+# eight independent 1-row scalar-count subqueries (q88 counts store
+# sales in eight half-hour bands and joins s1..s8). Analog: eight order
+# totalprice bands over orders. Dialect-shared verbatim text — Spark
+# plans eight parallel scans folded by broadcast-nested-loop joins of
+# single rows (each side is one row, so the "cross join" is scalar
+# composition, not a product); the efficient single-pass rewrite of
+# this shape is conditional aggregation, already covered by
+# `conditional_agg` — THIS query pins the multi-subquery parser form.
+# ---------------------------------------------------------------------------
+_Q_MULTISCALAR = """
+SELECT b1.n AS band_00_25k, b2.n AS band_25_50k, b3.n AS band_50_75k,
+       b4.n AS band_75_100k, b5.n AS band_100_150k, b6.n AS band_150_200k,
+       b7.n AS band_200_300k, b8.n AS band_300k_up
+FROM (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice < 25000) b1,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 25000 AND o_totalprice < 50000) b2,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 75000) b3,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 75000 AND o_totalprice < 100000) b4,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 100000 AND o_totalprice < 150000) b5,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 150000 AND o_totalprice < 200000) b6,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 200000 AND o_totalprice < 300000) b7,
+     (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= 300000) b8
+"""
+
+
+@query(
+    "sql_text_multiscalar",
+    oracle=_Q_MULTISCALAR,
+    tags=("sql", "api", "scalar", "tpcds-q88-shape"),
+)
+def sql_text_multiscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_MULTISCALAR)
