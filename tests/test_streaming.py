@@ -358,3 +358,54 @@ def test_dedup_incremental_stream_matches_batch(spark):
     got = sorted(map(repr, streamed.collect()))
     want = sorted(map(repr, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume semantics for an incremental ETL stream: phase 1
+    processes the first input file and STOPS; new data arrives; a new
+    query restarts from the SAME checkpoint and must process ONLY the
+    new file — the parquet sink's transactional log + the source's
+    checkpointed offsets give exactly-once output across the restart
+    (no row lost, no row duplicated, phase-1 file not reprocessed).
+    This is the streaming face of the engine's recovery story
+    (tests/test_cluster_recovery.py covers the batch/executor face)."""
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    part1 = ev.filter(F.col("user_id") % 2 == 0)
+    part2 = ev.filter(F.col("user_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    part1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .withColumn("value_micro", F.round("value", 6).cast("decimal(18,6)") * 1_000_000)
+            .select("event_id", "user_id", F.col("value_micro").cast("long").alias("value_micro"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == part1.count()
+
+    part2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # fresh query object, SAME checkpoint — resumes, not replays
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count(), "lost or duplicated rows across restart"
+    assert got.select("event_id").distinct().count() == ev.count()
+    expect = ev.withColumn(
+        "value_micro", (F.round("value", 6).cast("decimal(18,6)") * 1_000_000).cast("long")
+    ).select("event_id", "user_id", "value_micro")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
