@@ -1,0 +1,88 @@
+"""Randomized differential testing (SQLancer-style) over the shared SQL
+dialect: a seeded generator builds predicate trees over `orders`, renders
+ONE dialect-shared SQL text, and runs it on Spark and DuckDB — any
+count/sum divergence is an engine-semantics bug the curated oracles
+missed. Aggregates are integer-only (COUNT + SUM of a key column), so no
+float convention is involved; the generator is `random.Random(seed)`
+with fixed seeds, fully deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from spark_cherry_shuffle_service_spark.sources.catalog import register_views
+from tests.conftest import SF_SMOKE
+
+_NUM_COLS = {
+    "o_orderkey": (1, 60000),
+    "o_custkey": (1, 1500),
+}
+_MONEY_COL = ("o_totalprice", 800.0, 500000.0)
+_DATE_COL = ("o_orderdate", 1992, 1998)
+_STR_COLS = {
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": [
+        "'1-URGENT'",
+        "'2-HIGH'",
+        "'3-MEDIUM'",
+        "'4-NOT SPECIFIED'",
+        "'5-LOW'",
+    ],
+}
+_CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def _leaf(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        col, (lo, hi) = rng.choice(sorted(_NUM_COLS.items()))
+        return f"{col} {rng.choice(_CMP)} {rng.randint(lo, hi)}"
+    if kind == 1:
+        col, lo, hi = _MONEY_COL
+        # integer-valued literal: no float-literal parsing differences
+        return f"{col} {rng.choice(_CMP)} {rng.randint(int(lo), int(hi))}"
+    if kind == 2:
+        col, ylo, yhi = _DATE_COL
+        d = f"DATE '{rng.randint(ylo, yhi)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
+        return f"CAST({col} AS DATE) {rng.choice(_CMP)} {d}"
+    if kind == 3:
+        col, vals = rng.choice(sorted(_STR_COLS.items()))
+        if rng.random() < 0.5:
+            return f"{col} = {rng.choice(vals)}"
+        subset = rng.sample(vals, rng.randint(1, len(vals)))
+        return f"{col} IN ({', '.join(subset)})"
+    return f"o_orderpriority LIKE '{rng.randint(1, 5)}%'"
+
+
+def _pred(rng: random.Random, depth: int) -> str:
+    if depth == 0 or rng.random() < 0.35:
+        return _leaf(rng)
+    op = rng.choice(["AND", "OR"])
+    left, right = _pred(rng, depth - 1), _pred(rng, depth - 1)
+    neg = "NOT " if rng.random() < 0.2 else ""
+    return f"{neg}(({left}) {op} ({right}))"
+
+
+@pytest.mark.parametrize("block", range(4))
+def test_random_predicates_match_duckdb(spark, block):
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    mismatches = []
+    for seed in range(block * 25, block * 25 + 25):
+        rng = random.Random(seed)
+        sql = (
+            "SELECT COUNT(*) AS n, COALESCE(SUM(o_custkey), 0) AS s "
+            f"FROM orders WHERE {_pred(rng, 3)}"
+        )
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["s"]) != (drow[0], drow[1]):
+            mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
+    assert not mismatches, mismatches[:3]
