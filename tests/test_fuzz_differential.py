@@ -86,3 +86,50 @@ def test_random_predicates_match_duckdb(spark, block):
         if (srow["n"], srow["s"]) != (drow[0], drow[1]):
             mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
     assert not mismatches, mismatches[:3]
+
+
+_SEGMENTS = ["'AUTOMOBILE'", "'BUILDING'", "'FURNITURE'", "'MACHINERY'", "'HOUSEHOLD'"]
+
+
+def _join_leaf(rng: random.Random) -> str:
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"c_nationkey {rng.choice(_CMP)} {rng.randint(0, 24)}"
+    if kind == 1:
+        return f"c_acctbal {rng.choice(_CMP)} {rng.randint(-999, 9999)}"
+    if kind == 2:
+        subset = rng.sample(_SEGMENTS, rng.randint(1, 3))
+        return f"c_mktsegment IN ({', '.join(subset)})"
+    return _leaf(rng)
+
+
+def _join_pred(rng: random.Random, depth: int) -> str:
+    if depth == 0 or rng.random() < 0.35:
+        return _join_leaf(rng)
+    op = rng.choice(["AND", "OR"])
+    return f"(({_join_pred(rng, depth - 1)}) {op} ({_join_pred(rng, depth - 1)}))"
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_join_groupby_matches_duckdb(spark, block):
+    """Join + GROUP BY fuzz: orders ⋈ customer with a random mixed-table
+    predicate, grouped by a random categorical — full result-set compare
+    (string keys + integer aggregates)."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{SF_SMOKE}/customer.parquet'")
+    mismatches = []
+    for seed in range(1000 + block * 20, 1000 + block * 20 + 20):
+        rng = random.Random(seed)
+        group = rng.choice(["o_orderstatus", "o_orderpriority", "c_mktsegment", "c_nationkey"])
+        sql = (
+            f"SELECT {group} AS k, COUNT(*) AS n, COALESCE(SUM(o_orderkey), 0) AS s "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"WHERE {_join_pred(rng, 3)} GROUP BY {group}"
+        )
+        srows = sorted((r["k"], r["n"], r["s"]) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql))
+    assert not mismatches, mismatches[:3]
