@@ -133,3 +133,36 @@ def test_random_join_groupby_matches_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_window_ranks_match_duckdb(spark, block):
+    """Window fuzz: RANK / DENSE_RANK / ROW_NUMBER over random partition
+    and order columns (o_orderkey appended as unique tiebreak, so all
+    three are deterministic), reduced to integer per-group rank sums —
+    pins frame-free window semantics across engines under random
+    predicates."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    funcs = ["RANK()", "DENSE_RANK()", "ROW_NUMBER()"]
+    parts = ["o_orderstatus", "o_orderpriority"]
+    orders_by = ["o_custkey", "o_totalprice", "CAST(o_orderdate AS DATE)"]
+    mismatches = []
+    for seed in range(2000 + block * 15, 2000 + block * 15 + 15):
+        rng = random.Random(seed)
+        fn = rng.choice(funcs)
+        part = rng.choice(parts)
+        ob = rng.choice(orders_by)
+        direction = rng.choice(["ASC", "DESC"])
+        sql = (
+            f"SELECT {part} AS k, COUNT(*) AS n, SUM(rk) AS s FROM ("
+            f"SELECT {part}, {fn} OVER (PARTITION BY {part} "
+            f"ORDER BY {ob} {direction}, o_orderkey) AS rk "
+            f"FROM orders WHERE {_pred(rng, 2)}) GROUP BY {part}"
+        )
+        srows = sorted((r["k"], r["n"], r["s"]) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql))
+    assert not mismatches, mismatches[:3]
