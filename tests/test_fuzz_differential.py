@@ -166,3 +166,31 @@ def test_random_window_ranks_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_setops_match_duckdb(spark, block):
+    """Set-operation fuzz: UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL]
+    between two randomly predicated projections of orders — pins bag vs
+    set semantics (the ALL variants differ precisely on duplicate
+    multiplicities) via integer count + sum."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    ops = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    mismatches = []
+    for seed in range(3000 + block * 15, 3000 + block * 15 + 15):
+        rng = random.Random(seed)
+        op = rng.choice(ops)
+        proj = "o_orderstatus, o_orderpriority, o_custkey % 50 AS ck"
+        sql = (
+            "SELECT COUNT(*) AS n, COALESCE(SUM(ck), 0) AS s FROM ("
+            f"SELECT {proj} FROM orders WHERE {_pred(rng, 2)} "
+            f"{op} "
+            f"SELECT {proj} FROM orders WHERE {_pred(rng, 2)})"
+        )
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["s"]) != (drow[0], drow[1]):
+            mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
+    assert not mismatches, mismatches[:3]
