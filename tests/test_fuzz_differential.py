@@ -194,3 +194,101 @@ def test_random_setops_match_duckdb(spark, block):
         if (srow["n"], srow["s"]) != (drow[0], drow[1]):
             mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
     assert not mismatches, mismatches[:3]
+
+
+def _li_leaf(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        return f"l_quantity {rng.choice(_CMP)} {rng.randint(1, 50)}"
+    if kind == 1:
+        # discount is k/100 exactly; integer-scaled compare avoids float literals
+        return f"CAST(l_discount * 100 AS BIGINT) {rng.choice(_CMP)} {rng.randint(0, 10)}"
+    if kind == 2:
+        d = f"DATE '{rng.randint(1992, 1998)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
+        return f"CAST(l_shipdate AS DATE) {rng.choice(_CMP)} {d}"
+    if kind == 3:
+        return f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'"
+    return f"l_linestatus = '{rng.choice(['O', 'F'])}'"
+
+
+def _li_pred(rng: random.Random, depth: int) -> str:
+    if depth == 0 or rng.random() < 0.4:
+        return _li_leaf(rng)
+    op = rng.choice(["AND", "OR"])
+    return f"(({_li_pred(rng, depth - 1)}) {op} ({_li_pred(rng, depth - 1)}))"
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_lineitem_predicates_match_duckdb(spark, block):
+    """Lineitem fuzz: quantity / integer-scaled discount / ship-date /
+    flag leaves; integer aggregates (quantity is integral-valued, summed
+    as BIGINT)."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'")
+    mismatches = []
+    for seed in range(4000 + block * 20, 4000 + block * 20 + 20):
+        rng = random.Random(seed)
+        sql = (
+            "SELECT COUNT(*) AS n, COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS s "
+            f"FROM lineitem WHERE {_li_pred(rng, 3)}"
+        )
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["s"]) != (drow[0], drow[1]):
+            mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
+    assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_correlated_exists_match_duckdb(spark, block):
+    """Correlated-subquery fuzz: EXISTS / NOT EXISTS / IN probes from
+    orders into a randomly predicated lineitem — pins decorrelation
+    semantics (semi/anti rewrite) under random inner predicates."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'")
+    mismatches = []
+    for seed in range(5000 + block * 12, 5000 + block * 12 + 12):
+        rng = random.Random(seed)
+        form = rng.randrange(3)
+        inner = _li_pred(rng, 2)
+        if form == 0:
+            where = f"EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND ({inner}))"
+        elif form == 1:
+            where = f"NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND ({inner}))"
+        else:
+            where = f"o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE {inner})"
+        if rng.random() < 0.5:
+            where = f"({where}) AND ({_pred(rng, 1)})"
+        sql = f"SELECT COUNT(*) AS n, COALESCE(SUM(o_custkey), 0) AS s FROM orders WHERE {where}"
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["s"]) != (drow[0], drow[1]):
+            mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
+    assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_topk_match_duckdb(spark, block):
+    """ORDER BY + LIMIT fuzz with a unique tiebreak: the exact top-20 key
+    lists must be identical (pins TakeOrderedAndProject semantics,
+    including desc order, under random predicates)."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(6000 + block * 15, 6000 + block * 15 + 15):
+        rng = random.Random(seed)
+        ob = rng.choice(["o_custkey", "o_totalprice", "CAST(o_orderdate AS DATE)"])
+        direction = rng.choice(["ASC", "DESC"])
+        sql = (
+            f"SELECT o_orderkey FROM orders WHERE {_pred(rng, 2)} "
+            f"ORDER BY {ob} {direction}, o_orderkey LIMIT 20"
+        )
+        skeys = [r["o_orderkey"] for r in spark.sql(sql).collect()]
+        dkeys = [r[0] for r in con.execute(sql).fetchall()]
+        if skeys != dkeys:
+            mismatches.append((seed, sql, skeys[:5], dkeys[:5]))
+    assert not mismatches, mismatches[:3]
