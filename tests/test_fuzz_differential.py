@@ -292,3 +292,33 @@ def test_random_topk_match_duckdb(spark, block):
         if skeys != dkeys:
             mismatches.append((seed, sql, skeys[:5], dkeys[:5]))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_left_join_on_clause_match_duckdb(spark, block):
+    """Outer-join fuzz: LEFT JOIN with the random lineitem predicate in
+    the ON clause (not WHERE) — the null-extension rule that trips
+    engines: ON-clause filters restrict the RIGHT side only, every left
+    row survives. Checked via COUNT(*), COUNT(right col) (null-aware)
+    and an integer sum over the null-extended column."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'")
+    mismatches = []
+    for seed in range(7000 + block * 12, 7000 + block * 12 + 12):
+        rng = random.Random(seed)
+        on_extra = _li_pred(rng, 2)
+        where = _pred(rng, 1) if rng.random() < 0.5 else "1=1"
+        sql = (
+            "SELECT COUNT(*) AS n, COUNT(l_orderkey) AS nm, "
+            "COALESCE(SUM(CAST(COALESCE(l_quantity, 0) AS BIGINT)), 0) AS s "
+            "FROM orders LEFT JOIN lineitem "
+            f"ON l_orderkey = o_orderkey AND ({on_extra}) "
+            f"WHERE {where}"
+        )
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["nm"], srow["s"]) != (drow[0], drow[1], drow[2]):
+            mismatches.append((seed, sql, tuple(srow), tuple(drow)))
+    assert not mismatches, mismatches[:3]
