@@ -17,6 +17,7 @@ import re
 import sys
 import time
 
+from spark_cherry_shuffle_service_spark.functions.ranking import release_persisted
 from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 from spark_cherry_shuffle_service_spark.session import get_spark
 from spark_cherry_shuffle_service_spark.sources.catalog import write_noop
@@ -283,6 +284,11 @@ def main() -> None:
         }
         flag = " [retimed]" if retimed else ""
         print(f"  {name}: {timings[name]:.3f}s{flag}", file=sys.stderr)
+        # Ranking builds (functions/ranking.py) persist their input for
+        # the build's duration; release after the query's runs complete so
+        # the bench session carries no abandoned blocks (no-op for queries
+        # that don't route through with_global_rank).
+        release_persisted()
         # Deliberately NO spark.catalog.clearCache() here: an A/B run showed
         # per-query cache clearing adds ~60% total wall-clock (agg_cube
         # 3.0 s -> 13-22 s) via block-eviction churn against the live

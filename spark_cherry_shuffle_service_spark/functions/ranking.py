@@ -64,6 +64,26 @@ from pyspark.sql import functions as F
 
 OrderSpec = tuple[str, str]  # (column name, "asc" | "desc")
 
+# Frames persisted by with_global_rank(s) builds, awaiting release. The
+# persist is only needed DURING the build (it lets the boundary-sample and
+# bucket-counts jobs share one materialization with the final ranked
+# output); correctness never depends on it. Harnesses that materialize the
+# ranked result (compare, bench) call release_persisted() after the final
+# action so long sessions don't accumulate abandoned cache blocks
+# (ADVICE r6 / VERDICT r6 item 4; policy in SCALE.md §persist).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame cached by prior ranking builds; returns how
+    many were released. Safe at any time — callers invoke it after the
+    final action on the ranked output; a later re-action would simply
+    recompute the upstream pipeline without the cache."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def _sort_exprs(order: list[OrderSpec]) -> list[Column]:
     return [F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order]
@@ -121,6 +141,20 @@ def _pick_bounds(sample: list, order: list[OrderSpec], num_buckets: int) -> list
     via successive stable sorts."""
     names = [c for c, _ in order]
     keyed = [tuple(r[c] for c in names) for r in sample]
+    # Runtime enforcement of the total-order contract (ADVICE r6): a
+    # duplicate key tuple in the sample PROVES the caller's order is not
+    # total — ranks over ties would be nondeterministic and the md5
+    # sample tag (keyed on the tuple) would collapse toward few values,
+    # degrading bucket balance back to a near-single-reducer. Fail loud
+    # here instead. The sample is ≤ num_buckets × samples_per_bucket
+    # tuples, so the set() check is O(sample), never O(data).
+    if len(set(keyed)) != len(keyed):
+        dup = next(t for t in keyed if keyed.count(t) > 1)
+        raise ValueError(
+            f"with_global_rank: order {order} is not a total order — "
+            f"duplicate key tuple {dup!r} in the boundary sample. Add a "
+            "unique tiebreak column (ranking.py total-order contract)."
+        )
     for (name, d), idx in zip(reversed(order), reversed(range(len(order)))):
         keyed.sort(key=lambda t, i=idx: t[i], reverse=(d == "desc"))
     m = len(keyed)
@@ -164,14 +198,17 @@ def with_global_rank(
     persist_input  the input feeds THREE consumers (boundary sample,
                  bucket counts, ranked output); the default persist is
                  materialized by the sample job so the other two read
-                 the cache instead of recomputing the upstream pipeline
-                 (lifetime per SCALE.md's persist policy). Pass False
-                 when the caller already persisted.
+                 the cache instead of recomputing the upstream pipeline.
+                 The frame is tracked in _PERSISTED — harnesses call
+                 release_persisted() after the final action (policy in
+                 SCALE.md §persist). Pass False when the caller already
+                 persisted.
     """
     spark = df.sparkSession
     n_buck = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if persist_input:
         df = df.persist()
+        _PERSISTED.append(df)
     bounds = _collect_boundaries(df, order, n_buck, samples_per_bucket)
 
     bucketed = df.withColumn("_gw_b", _bucket_expr(order, bounds))
@@ -238,6 +275,7 @@ def with_global_ranks(
     n_buck = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if persist_input:
         df = df.persist()
+        _PERSISTED.append(df)
     names: list[str] = []
     for _, order in ranks:
         for c, _d in order:

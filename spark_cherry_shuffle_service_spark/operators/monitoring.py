@@ -443,11 +443,11 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single change-point locator per event type: the position maximizing
     |n*P_i - i*P_n| (the integer form of the max-CUSUM-deviation split —
     zero-mean-shift series score near 0, a level shift scores at the
-    shift). All BIGINT micro-units; n*P_i stays < 2^63 through ~sf1 —
-    beyond that, drop the micro scale to 1e3 (same argmax, coarser tie
-    landscape). GUARDED: an in-plan assert_true raises past the bound
-    instead of letting Spark wrap silently (ANSI off) while DuckDB
-    errors."""
+    shift). All BIGINT micro-units; the signed combination n*P_i - i*P_n
+    stays < 2^63 through ~sf0.5 — beyond that, drop the micro scale to
+    1e3 (same argmax, coarser tie landscape). GUARDED: an in-plan
+    assert_true raises past the bound instead of letting Spark wrap
+    silently (ANSI off) while DuckDB errors."""
     ev = table(spark, sf_dir, "events")
     w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -464,17 +464,22 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_all).alias("n"),
         F.sum("micro").over(w_all).alias("t"),
     )
-    # Overflow GUARD (ADVICE r5): with ANSI off Spark wraps a BIGINT
-    # product silently (wrong argmax) while DuckDB raises — make the
-    # Spark side raise too. assert_true is wired INTO the d expression
-    # (when(assert.isNull, ...)) so column pruning can't drop the check;
-    # `greatest(|p|,|t|) <= (2^63-1) DIV n` is conservative by ≤1 unit
-    # and guarantees both n*p and i*t (i ≤ n) fit in int64. Past ~sf1,
-    # drop the micro scale to 1e3 (docstring) and the guard re-arms.
+    # Overflow GUARD (ADVICE r5, tightened r7): with ANSI off Spark wraps
+    # a BIGINT product silently (wrong argmax) while DuckDB raises — make
+    # the Spark side raise too. assert_true is wired INTO the d expression
+    # (when(assert.isNull, ...)) so column pruning can't drop the check.
+    # The bound is `greatest(|p|,|t|) <= (2^63-1) DIV (2*n)`: the guarded
+    # quantity is the SIGNED combination d = n*p - i*t, which with
+    # opposite-sign p and t reaches |n*p| + |i*t| ≤ 2n·max(|p|,|t|) —
+    # bounding each factor by (2^63-1) DIV n (the r5 form) kept each
+    # product in range but let the subtraction wrap (ADVICE r6). The 2n
+    # denominator covers the combination end-to-end, conservative by ≤1
+    # unit. Past ~sf0.5, drop the micro scale to 1e3 (docstring) and the
+    # guard re-arms.
     _i64 = (1 << 63) - 1
     guard = F.assert_true(
         F.greatest(F.abs(F.col("p")), F.abs(F.col("t")))
-        <= F.expr(f"CAST({_i64} AS BIGINT) DIV n"),
+        <= F.expr(f"CAST({_i64} AS BIGINT) DIV (2 * n)"),
         F.lit("events_changepoint: n*P exceeds int64 — lower the micro scale (monitoring.py)"),
     )
     dev = pre.select(

@@ -765,3 +765,50 @@ def test_global_rank_buckets_stay_balanced_under_skew(spark):
     assert len(sizes) >= 16, sizes  # boundaries dedupe only under extreme ties
     ratio = max(sizes) / statistics.mean(sizes)
     assert ratio < 2.0, (ratio, sorted(sizes)[-5:])
+
+
+def test_ranking_persist_released(spark):
+    """VERDICT r6 item 4: a build through with_global_rank(s) persists its
+    input for the build's duration; after the final action +
+    release_persisted() (which the compare harness and bench.py call
+    per-query) the session must carry ZERO net-new persisted frames.
+    Asserted for all three ranking-routed queries via the JVM-side
+    persistent-RDD map."""
+    from spark_cherry_shuffle_service_spark.functions.ranking import release_persisted
+    from spark_cherry_shuffle_service_spark.sources.catalog import write_noop
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_persisted()  # drain anything a prior test left behind
+    before = n_persisted()
+    for name in ("orders_rfm", "customer_revenue_deciles", "abc_classification"):
+        df = SPECS[name].builder(spark, SF_SMOKE)
+        assert n_persisted() > before, f"{name}: build should persist its input"
+        write_noop(df)  # the final action, as in compare/bench
+        released = release_persisted()
+        assert released >= 1, name
+        assert n_persisted() == before, name
+
+
+def test_ranking_total_order_contract_enforced(spark):
+    """ADVICE r6: a caller violating the total-order contract (duplicate
+    key tuples) must fail LOUD at build time — duplicated md5 sample tags
+    would otherwise silently collapse boundary picks and bucket balance.
+    A valid order over the same data still builds."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.functions.ranking import (
+        release_persisted,
+        with_global_rank,
+        with_global_ranks,
+    )
+
+    df = spark.range(4000).select("id", (F.col("id") % 5).cast("long").alias("x"))
+    with pytest.raises(ValueError, match="total order"):
+        with_global_rank(df, [("x", "asc")], rank_name="rk")
+    with pytest.raises(ValueError, match="total order"):
+        with_global_ranks(df, [("rk", [("x", "asc")])])
+    ok = with_global_rank(df, [("x", "asc"), ("id", "asc")], rank_name="rk")
+    assert ok.count() == 4000
+    release_persisted()
