@@ -427,7 +427,8 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.event_type
     ORDER BY e.event_type
     """,
-    tags=("dataquality", "outlier", "percentile"),
+    tags=("dataquality", "outlier", "percentile", "exact-unbounded"),
+    scale_twin="agg_percentiles_tdigest",
 )
 def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deliberately NOT pre-rounding the fences (ADVICE r4): events.value is

@@ -267,6 +267,7 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
     tags=("dedup", "minhash", "lsh"),
+    scale_twin="dedup_incremental",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pair_frame(spark, sf_dir)

@@ -651,7 +651,8 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dev d JOIN mad a USING (event_type)
     GROUP BY d.event_type
     """,
-    tags=("events", "anomaly", "robust-stats"),
+    tags=("events", "anomaly", "robust-stats", "exact-unbounded"),
+    scale_twin="agg_percentiles_tdigest",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")

@@ -231,7 +231,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    tags=("agg", "percentile", "median"),
+    tags=("agg", "percentile", "median", "exact-unbounded"),
+    scale_twin="agg_percentiles_histogram",
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

@@ -224,7 +224,8 @@ def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    tags=("agg", "percentile", "ordered-set"),
+    tags=("agg", "percentile", "ordered-set", "exact-unbounded"),
+    scale_twin="agg_percentiles_histogram",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -340,6 +341,37 @@ def agg_percentiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_pct("50", "qty_median"),
         hist_pct("90", "qty_p90"),
         F.max("n").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest sketch percentile — the documented 100 TB production path for
+# UNBOUNDED (double) domains, where the count-by-value histogram above
+# stops applying: `approx_percentile` keeps a fixed-size mergeable sketch
+# per group (single pass, map-side combined), so per-group state is O(1)
+# regardless of how many distinct values flow in. Registered rows-only
+# (no DuckDB oracle — the sketch is engine-specific by design, the HLL
+# approx-distinct precedent); tests/test_semantics.py instead brackets
+# every output between exact neighboring quantiles, the accuracy contract
+# approx_percentile documents. Scale twin target for dq_outlier_iqr /
+# events_anomaly_mad (exact fences/medians over arbitrary doubles).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_percentiles_tdigest",
+    oracle=None,
+    tags=("agg", "percentile", "sketch", "scale-path"),
+)
+def agg_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.25, 10000)").alias("p25_approx"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+            F.expr("approx_percentile(value, 0.75, 10000)").alias("p75_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -1033,7 +1033,8 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS short_bp
     FROM documents GROUP BY source ORDER BY source
     """,
-    tags=("text", "curation", "profile", "percentile"),
+    tags=("text", "curation", "profile", "percentile", "exact-unbounded"),
+    scale_twin="agg_percentiles_histogram",
 )
 def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

@@ -478,7 +478,8 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(lat_days) AS BIGINT) AS max_days
     FROM gaps GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    tags=("warehouse", "latency", "percentile"),
+    tags=("warehouse", "latency", "percentile", "exact-unbounded"),
+    scale_twin="agg_percentiles_histogram",
 )
 def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")

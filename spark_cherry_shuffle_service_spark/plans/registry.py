@@ -32,18 +32,41 @@ class QuerySpec:
     oracle: str | None  # DuckDB-runnable ANSI SQL, or None (rows-only check)
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: Machine-readable 100 TB pairing (VERDICT r6 item 6): for a query
+    #: that is DELIBERATELY exact with per-group state that grows with
+    #: the data (tag "exact-unbounded" — e.g. exact `percentile` buffering
+    #: a value→count map over an unbounded domain), `scale_twin` names the
+    #: registered query that demonstrates the bounded production path
+    #: (histogram percentile, t-digest sketch, bucketed incremental
+    #: index). tests/test_plans.py::test_exact_unbounded_queries_name_a_scale_twin
+    #: enforces tag ⇒ twin-exists, so the pairing is discoverable from
+    #: all_specs() rather than prose.
+    scale_twin: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    scale_twin: str | None = None,
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            scale_twin=scale_twin,
+        )
         return fn
 
     return deco

@@ -208,3 +208,46 @@ def test_histogram_percentile_equals_exact_percentile(spark):
     assert set(exact) == set(hist)
     for flag in exact:
         assert exact[flag] == hist[flag], (flag, exact[flag], hist[flag])
+
+
+def test_tdigest_percentile_within_accuracy_of_exact(spark):
+    """agg_percentiles_tdigest (the SCALE.md production path for UNBOUNDED
+    double domains — fixed-size mergeable sketch per group) must honor
+    approx_percentile's documented accuracy contract: each approximate
+    quantile is an actual data value whose true rank is within
+    1/accuracy of the requested quantile. Asserted by bracketing every
+    output between the exact quantiles at p ± 0.001 (10× the nominal
+    1/accuracy rank tolerance — GK-sketch rank error concentrates near
+    dense value runs, observed 3e-4 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+    from spark_cherry_shuffle_service_spark.sources.catalog import table
+    from tests.conftest import SF_CORRECT
+
+    specs = all_specs()
+    approx = {
+        r["event_type"]: (r["p25_approx"], r["p50_approx"], r["p75_approx"], r["n"])
+        for r in specs["agg_percentiles_tdigest"].builder(spark, SF_CORRECT).collect()
+    }
+    eps = 0.001
+    bounds = {
+        r["event_type"]: r
+        for r in table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", q).alias(f"q{int(q * 10000):04d}")
+                for p in (0.25, 0.5, 0.75)
+                for q in (max(p - eps, 0.0), min(p + eps, 1.0))
+            ]
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds) and len(approx) > 0
+    for et, (p25, p50, p75, _n) in approx.items():
+        b = bounds[et]
+        for p, v in ((0.25, p25), (0.5, p50), (0.75, p75)):
+            lo = b[f"q{int(max(p - eps, 0.0) * 10000):04d}"]
+            hi = b[f"q{int(min(p + eps, 1.0) * 10000):04d}"]
+            assert lo <= v <= hi, (et, p, v, lo, hi)
