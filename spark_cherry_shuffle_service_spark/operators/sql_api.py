@@ -485,3 +485,61 @@ FROM (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice < 25000) b1,
 def sql_text_multiscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_MULTISCALAR)
+
+
+# Parser-path INTERSECT — the TPC-DS q14a cross-channel shape (reference
+# tpcds/q14a.sql:12,21 and q38.sql): a CTE INTERSECTing three channel
+# SELECTs (part keys returned under all three l_returnflag channels in
+# 1996-97), re-joined downstream into a brand rollup that is then
+# filtered against a scalar-subquery mean (q14a's avg_sales compare).
+# Revenue is emitted as exact BIGINT micro-units (sum of DECIMAL(18,6)
+# is integral at 1e6 scale in both engines — the CLAUDE.md wide-decimal
+# rule), and the above-mean filter is the integer cross-multiplication
+# rev*n > total, so no division ever happens. VERDICT r6 item 3:
+# INTERSECT previously ran only on the DataFrame path
+# (windows_setops.py:235); this exercises it through spark.sql() text.
+_Q_INTERSECT_CHANNELS = """
+WITH cross_parts AS (
+  SELECT p_partkey AS xk
+  FROM part, (
+    SELECT l_partkey AS pk FROM lineitem, orders
+     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+       AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    INTERSECT
+    SELECT l_partkey FROM lineitem, orders
+     WHERE l_orderkey = o_orderkey AND l_returnflag = 'A'
+       AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    INTERSECT
+    SELECT l_partkey FROM lineitem, orders
+     WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'
+       AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+       AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  ) x
+  WHERE p_partkey = pk
+), brand_rev AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micros
+  FROM lineitem, part, cross_parts
+  WHERE l_partkey = p_partkey AND p_partkey = xk
+  GROUP BY p_brand
+)
+SELECT p_brand, n_lines, rev_micros
+FROM brand_rev
+WHERE rev_micros * (SELECT COUNT(*) FROM brand_rev)
+      > (SELECT SUM(rev_micros) FROM brand_rev)
+ORDER BY p_brand
+"""
+
+
+@query(
+    "sql_text_intersect_channels",
+    oracle=_Q_INTERSECT_CHANNELS,
+    tags=("sql", "intersect", "cte", "api"),
+)
+def sql_text_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_INTERSECT_CHANNELS)
