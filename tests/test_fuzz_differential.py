@@ -322,3 +322,90 @@ def test_random_left_join_on_clause_match_duckdb(spark, block):
         if (srow["n"], srow["nm"], srow["s"]) != (drow[0], drow[1], drow[2]):
             mismatches.append((seed, sql, tuple(srow), tuple(drow)))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_window_frames_match_duckdb(spark, block):
+    """Window-FRAME fuzz (round 7 — frames were curated-only): SUM /
+    MIN / MAX / COUNT over random ROWS frames (k PRECEDING ... m
+    FOLLOWING, mixed with UNBOUNDED / CURRENT ROW bounds) behind a
+    unique o_orderkey tiebreak, plus a RANGE variant over the single
+    integer order key o_custkey (value-based frames are deterministic
+    under ties without a tiebreak). Reduced to integer per-group sums of
+    the framed aggregate."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    funcs = ["SUM(v)", "MIN(v)", "MAX(v)", "COUNT(*)"]
+    parts = ["o_orderstatus", "o_orderpriority"]
+    orders_by = ["o_custkey", "o_totalprice", "CAST(o_orderdate AS DATE)"]
+    mismatches = []
+    for seed in range(8000 + block * 14, 8000 + block * 14 + 14):
+        rng = random.Random(seed)
+        fn = rng.choice(funcs)
+        part = rng.choice(parts)
+        starts = ["UNBOUNDED PRECEDING", f"{rng.randint(1, 20)} PRECEDING", "CURRENT ROW"]
+        ends = ["CURRENT ROW", f"{rng.randint(1, 20)} FOLLOWING", "UNBOUNDED FOLLOWING"]
+        frame_kind = "RANGE" if rng.random() < 0.3 else "ROWS"
+        if frame_kind == "RANGE":
+            # value-based frame: single integer order column, numeric bounds
+            ob = "o_custkey ASC"
+            start = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randint(1, 50)} PRECEDING"])
+            end = rng.choice(["CURRENT ROW", f"{rng.randint(1, 50)} FOLLOWING"])
+        else:
+            ob = f"{rng.choice(orders_by)} {rng.choice(['ASC', 'DESC'])}, o_orderkey"
+            start, end = rng.choice(starts), rng.choice(ends)
+        sql = (
+            f"SELECT k, COUNT(*) AS n, SUM(w) AS s FROM ("
+            f"SELECT {part} AS k, {fn} OVER (PARTITION BY {part} ORDER BY {ob} "
+            f"{frame_kind} BETWEEN {start} AND {end}) AS w "
+            f"FROM (SELECT *, o_custkey % 89 AS v FROM orders WHERE {_pred(rng, 2)})"
+            f") GROUP BY k"
+        )
+        srows = sorted((r["k"], r["n"], r["s"]) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql))
+    assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_interval_joins_match_duckdb(spark, block):
+    """Non-equi interval-join fuzz (round 7 — BETWEEN joins were
+    curated-only): per-customer self-join of orders where the right
+    key falls in a random asymmetric window around the left key
+    (order-key or integer-compared money), optional strict-inequality
+    and no-self-pair variants; the equi key bounds the fan-out. Integer
+    COUNT + modular SUM compare."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(9000 + block * 12, 9000 + block * 12 + 12):
+        rng = random.Random(seed)
+        if rng.random() < 0.5:
+            lo, hi = rng.randint(0, 5000), rng.randint(0, 5000)
+            rngpred = (
+                f"b.o_orderkey BETWEEN a.o_orderkey - {lo} AND a.o_orderkey + {hi}"
+            )
+        else:
+            lo, hi = rng.randint(0, 20000), rng.randint(0, 20000)
+            # money compared at integer width: double vs int comparison is
+            # exact in both engines (no float literals, no arithmetic ties)
+            rngpred = (
+                f"b.o_totalprice >= a.o_totalprice - {lo} "
+                f"AND b.o_totalprice {'<' if rng.random() < 0.3 else '<='} "
+                f"a.o_totalprice + {hi}"
+            )
+        noself = "AND a.o_orderkey <> b.o_orderkey " if rng.random() < 0.5 else ""
+        sql = (
+            "SELECT COUNT(*) AS n, COALESCE(SUM(b.o_orderkey % 97), 0) AS s "
+            "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+            f"AND {rngpred} {noself}"
+            f"WHERE {_pred(rng, 1).replace('o_', 'a.o_')}"
+        )
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        if (srow["n"], srow["s"]) != (drow[0], drow[1]):
+            mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
+    assert not mismatches, mismatches[:3]
