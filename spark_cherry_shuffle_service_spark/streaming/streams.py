@@ -12,6 +12,12 @@ the batch twins in operators/events_ops.py:
 
 Tested with `trigger(availableNow=True)` over the parquet fixtures — the
 same code runs against kafka/file sources on a cluster unchanged.
+
+End-to-end idempotence (what survives a crash/restart, and why) is
+documented in ONE place: SCALE.md §"Exactly-once sink contract" —
+checkpointed source offsets, the file sink's `_spark_metadata`
+transaction log, and the batch_id-carrying atomic merge in
+`merge_hourly_partials` for the foreachBatch upsert path.
 """
 
 from __future__ import annotations
@@ -231,60 +237,86 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def merge_hourly_partials(batch_df: DataFrame, batch_id: int, target_path: str) -> bool:
+    """One foreachBatch merge step: fold a micro-batch's hourly partial
+    counts into the parquet aggregate table, IDEMPOTENT per batch_id.
+
+    foreachBatch delivers (batch_df, batch_id) AT-LEAST-once: if the
+    driver dies between this merge and the checkpoint commit, restart
+    re-delivers the same batch — a blind read-modify-write would
+    double-count it. Exactly-once therefore comes from the documented
+    two-part contract (SCALE.md §"Exactly-once sink contract"):
+    (1) the swap below is ATOMIC (rename; a transactional table commit
+    on a cluster), so readers never see a half-merged table, and
+    (2) the committed table CARRIES the batch_id that produced it in an
+    underscore-prefixed marker (ignored by parquet readers); a replayed
+    batch_id <= the marker is skipped, making replays no-ops. Returns
+    whether the batch was applied (False = replay skipped).
+
+    The batch side of the merge is plain DataFrame code, so the same
+    logic serves backfill; at 100 TB the target is a transactional table
+    format and the marker is its commit version — dataflow unchanged.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    marker = os.path.join(target_path, "_committed_batch_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return False  # replayed batch: already folded in
+
+    spark = batch_df.sparkSession
+    partial = (
+        batch_df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:  # first batch: nothing to merge yet
+        existing = None
+    merged = (
+        partial
+        if existing is None
+        else existing.unionByName(partial)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    # Write-temp-then-swap: the merged frame lazily READS target_path,
+    # so overwriting it in place would race the scan. Materialize the
+    # merge with a distributed write to a batch-versioned temp dir
+    # (never through the driver — the rollup is small today but this
+    # path must survive a 100 TB-wide aggregate), then swap directories
+    # atomically. The batch_id marker is written INTO the temp dir before
+    # the rename, so marker and data commit in the same atomic step.
+    import shutil
+
+    tmp = f"{target_path}__tmp_b{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_committed_batch_id"), "w") as fh:
+        fh.write(str(batch_id))
+    old = f"{target_path}__old_b{batch_id}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def run_incremental_aggregate(
     events: DataFrame, target_path: str, checkpoint_path: str
 ) -> None:
     """Continuous-aggregate maintenance via foreachBatch: each micro-batch's
     hourly partial counts are merged into a parquet aggregate table
-    (read-modify-write keyed by (hour, event_type)).
-
-    This is the production sink pattern Structured Streaming itself doesn't
-    provide (arbitrary upsert into a columnar table): the batch side of the
-    merge is plain DataFrame code, so the same logic serves backfill. At
-    scale the target is a transactional table format; the merge dataflow —
-    new partials ⟕ existing, sum, overwrite affected partitions — is
-    unchanged.
-    """
-    from pyspark.sql import functions as F  # noqa: F811
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = (
-            batch_df.groupBy(
-                F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-            )
-            .agg(F.count(F.lit(1)).alias("n_events"))
-        )
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:  # first batch: nothing to merge yet
-            existing = None
-        merged = (
-            partial
-            if existing is None
-            else existing.unionByName(partial)
-            .groupBy("hour", "event_type")
-            .agg(F.sum("n_events").cast("long").alias("n_events"))
-        )
-        # Write-temp-then-swap: the merged frame lazily READS target_path,
-        # so overwriting it in place would race the scan. Materialize the
-        # merge with a distributed write to a batch-versioned temp dir
-        # (never through the driver — the rollup is small today but this
-        # path must survive a 100 TB-wide aggregate), then swap directories
-        # atomically. On a cluster the swap is a transactional table
-        # format's commit; the merge dataflow is identical.
-        import shutil
-
-        tmp = f"{target_path}__tmp_b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target_path}__old_b{batch_id}"
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+    (read-modify-write keyed by (hour, event_type)) — the production sink
+    pattern Structured Streaming itself doesn't provide (arbitrary upsert
+    into a columnar table). Exactly-once across restarts via the
+    idempotent, atomically-committed `merge_hourly_partials` (contract in
+    SCALE.md §"Exactly-once sink contract")."""
 
     q = (
-        events.writeStream.foreachBatch(merge)
+        events.writeStream.foreachBatch(
+            lambda batch_df, batch_id: merge_hourly_partials(batch_df, batch_id, target_path)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

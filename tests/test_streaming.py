@@ -127,6 +127,48 @@ def test_foreach_batch_incremental_aggregate(spark, tmp_path):
     assert got == want
 
 
+def test_foreach_batch_merge_is_idempotent_on_replay(spark, tmp_path):
+    """The exactly-once half of the foreachBatch contract (SCALE.md
+    §"Exactly-once sink contract"): foreachBatch delivers at-least-once,
+    so a batch REPLAYED after a crash-before-checkpoint must be a no-op.
+    merge_hourly_partials carries the committed batch_id inside the
+    atomically-swapped table; applying the same batch twice (and then a
+    stale lower id) leaves the table byte-identical, while the next
+    batch_id still applies."""
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        merge_hourly_partials,
+        normalize_ts,
+    )
+
+    ev = normalize_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    target = str(tmp_path / "hourly_agg")
+
+    assert merge_hourly_partials(b0, 0, target) is True
+    after_first = sorted(map(tuple, spark.read.parquet(target).collect()))
+    # replay of batch 0 (crash between merge and checkpoint commit)
+    assert merge_hourly_partials(b0, 0, target) is False
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == after_first
+    # batch 1 applies; a stale replay of batch 0 after it is still a no-op
+    assert merge_hourly_partials(b1, 1, target) is True
+    after_second = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert merge_hourly_partials(b0, 0, target) is False
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == after_second
+    # the two batches together equal the one-shot aggregate
+    from pyspark.sql import functions as F  # noqa: F811
+
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .collect(),
+        )
+    )
+    assert sorted(after_second) == sorted(want)
+
+
 def test_stream_static_join_enriches_events(spark):
     """Stream-static join: the streaming fact joins a static dimension
     (user_id % 25 → nation) without watermark requirements — dimension
