@@ -97,6 +97,12 @@ def get_spark(
     # fail to bind locally).
     #   SPARK_GRAFT_EXTERNAL_SHUFFLE=1 -> spark.shuffle.service.enabled
     #   SPARK_GRAFT_DYNAMIC_ALLOCATION=min:max -> dynamicAllocation bounds
+    # The behavior itself is demonstrated LIVE (not just config) in
+    # tests/test_cluster_recovery.py::
+    # test_dynamic_allocation_scales_executors_up_and_down: a
+    # local-cluster session with these exact confs goes 0 -> max -> 0
+    # real executor JVMs around a backlogged stage (the reference's
+    # metricsMonitor.py:150-162 scale-up/down loop, natively).
     if os.environ.get("SPARK_GRAFT_EXTERNAL_SHUFFLE"):
         builder = builder.config("spark.shuffle.service.enabled", "true")
     dyn = os.environ.get("SPARK_GRAFT_DYNAMIC_ALLOCATION")

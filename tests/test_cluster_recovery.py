@@ -376,3 +376,126 @@ def test_shuffle_output_survives_executor_death_with_service(duck_smoke):
     # dead executor's) was served by the external shuffle service.
     retried = [a for a in out["stage_attempts"] if a[1] != 0]
     assert not retried, f"stage resubmission happened despite shuffle service: {out['stage_attempts']}"
+
+
+# Third scenario — ELASTICITY, live (VERDICT r6 item 2): the reference
+# autoscales workers when load is high and tears them down when idle
+# (metrics-monitor/metricsMonitor.py:150-162 + spark-worker-scale.sh);
+# Spark's native form of the same behavior is dynamic allocation. The
+# child starts a local-cluster session with dynamicAllocation enabled,
+# initial/min executors = 0, and shuffle tracking (the K8s path — no
+# external shuffle service needed), then asserts the full lifecycle:
+# ZERO executor JVMs at rest -> a backlogged parallel stage raises the
+# count to maxExecutors -> the job's result is exact -> after
+# executorIdleTimeout + shuffleTracking.timeout every executor JVM is
+# gone again. Executor presence is measured at the PROCESS level (the
+# /proc-cmdline java filter, not Spark's own view) so the demo proves
+# real JVMs came and went.
+_CHILD_DYN = r"""
+import json, os, subprocess, sys, threading, time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+out = {"initial_execs": None, "peak_execs": 0, "final_execs": None,
+       "sum": None, "error": None}
+
+spark = (SparkSession.builder.master("local-cluster[2,1,1536]")
+         .appName("elasticity-demo")
+         .config("spark.dynamicAllocation.enabled", "true")
+         .config("spark.dynamicAllocation.minExecutors", "0")
+         .config("spark.dynamicAllocation.initialExecutors", "0")
+         .config("spark.dynamicAllocation.maxExecutors", "2")
+         .config("spark.dynamicAllocation.schedulerBacklogTimeout", "1s")
+         .config("spark.dynamicAllocation.sustainedSchedulerBacklogTimeout", "1s")
+         .config("spark.dynamicAllocation.executorIdleTimeout", "2s")
+         .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
+         .config("spark.dynamicAllocation.shuffleTracking.timeout", "4s")
+         .config("spark.executor.memory", "1g")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+sc = spark.sparkContext
+
+
+def backend_count():
+    r = subprocess.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                       capture_output=True, text=True)
+    n = 0
+    for p in r.stdout.split():
+        pid = int(p)
+        if pid == os.getpid():
+            continue
+        try:
+            argv = open(f"/proc/{pid}/cmdline", "rb").read().split(b"\0")
+        except OSError:
+            continue
+        if argv and b"java" in argv[0] and any(b"CoarseGrainedExecutorBackend" in a for a in argv[1:]):
+            n += 1
+    return n
+
+
+# At rest, with initialExecutors=0, no executor JVM may exist. Give the
+# cluster a moment to settle (workers register; no executors launch).
+time.sleep(3)
+out["initial_execs"] = backend_count()
+
+# A deliberately backlogged parallel stage: 8 tasks x ~2.5 s on at most
+# 2 single-core executors -> sustained backlog drives the request up to
+# maxExecutors while the watcher thread samples real JVM counts.
+slow = F.udf(lambda k: (time.sleep(2.5), int(k))[1], "long")
+state = {"done": False}
+
+
+def watch():
+    while not state["done"]:
+        out["peak_execs"] = max(out["peak_execs"], backend_count())
+        time.sleep(0.2)
+
+
+w = threading.Thread(target=watch, daemon=True)
+w.start()
+try:
+    df = spark.range(8).repartition(8).select(slow(F.col("id")).alias("v"))
+    out["sum"] = df.groupBy().agg(F.sum("v").alias("s")).collect()[0]["s"]
+except Exception as e:
+    out["error"] = repr(e)
+finally:
+    state["done"] = True
+w.join(timeout=5)
+
+# Decay: idle timeout (2s) + shuffle-tracking timeout (4s) releases every
+# executor; poll the process table until the JVMs are actually gone.
+deadline = time.time() + 90
+final = backend_count()
+while time.time() < deadline:
+    final = backend_count()
+    if final == 0:
+        break
+    time.sleep(0.5)
+out["final_execs"] = final
+spark.stop()
+print(json.dumps(out))
+"""
+
+
+def test_dynamic_allocation_scales_executors_up_and_down():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_DYN],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON from child\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+
+    assert out["error"] is None, out
+    assert out["initial_execs"] == 0, f"executors existed before any work: {out}"
+    assert out["peak_execs"] == 2, f"backlog never scaled to maxExecutors: {out}"
+    assert out["final_execs"] == 0, f"executors not reclaimed after idle: {out}"
+    assert out["sum"] == sum(range(8)), out
