@@ -122,6 +122,25 @@ def cmd_compare(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_genscale(args) -> int:
+    """Generate the deterministic scaled fixture set (sources/genscale.py)
+    and print its manifest — pair with `compare --sf-dir <out>` for the
+    past-sf0.1 differential gate."""
+    from spark_cherry_shuffle_service_spark.sources.genscale import (
+        GEN_DIR,
+        generate_scaled_fixtures,
+        value_sensitive_names,
+    )
+
+    spark = _spark(args)
+    manifest = generate_scaled_fixtures(
+        spark, out_dir=args.out or GEN_DIR, scale=args.scale, force=args.force
+    )
+    manifest = dict(manifest, value_sensitive_slice=value_sensitive_names())
+    print(json.dumps(manifest, indent=1))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Formatted physical plan for a registered query — the .explain
     feedback loop (pushdown / broadcast / exchange inspection) as a
@@ -183,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compare", help="DuckDB differential check per query")
     c.add_argument("--queries", default=None)
 
+    g = sub.add_parser("genscale", help="write deterministic scaled fixtures")
+    g.add_argument("--out", default=None)
+    g.add_argument("--scale", type=float, default=10.0)
+    g.add_argument("--force", action="store_true")
+
     e = sub.add_parser("explain", help="print a query's formatted physical plan")
     e.add_argument("name")
 
@@ -193,6 +217,7 @@ def main(argv: list[str] | None = None) -> int:
         "workload": cmd_workload,
         "bench": cmd_bench,
         "compare": cmd_compare,
+        "genscale": cmd_genscale,
         "explain": cmd_explain,
     }[args.cmd](args)
 

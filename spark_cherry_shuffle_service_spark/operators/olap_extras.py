@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import dsum, money
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, dsum, money
 from spark_cherry_shuffle_service_spark.functions.ranking import (
     ntile_expr,
     with_global_rank,
@@ -171,7 +171,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("l_returnflag") + F.grouping("l_linestatus")).alias("agg_level"),
             F.sum("_n").alias("n"),
-            F.sum("_qty_dec").cast("double").alias("sum_qty"),
+            dec_to_double(F.sum("_qty_dec")).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "agg_level", "n", "sum_qty")
     )
@@ -209,7 +209,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("_n").alias("n"),
-            F.sum("_price_dec").cast("double").alias("sum_price"),
+            dec_to_double(F.sum("_price_dec")).alias("sum_price"),
         )
         .select("l_returnflag", "l_linestatus", "n", "sum_price")
     )
@@ -968,7 +968,7 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_nationkey")
         .agg(
             F.round(
-                F.coalesce(F.sum(money(F.col("o_totalprice"))).cast("double"), F.lit(0.0))
+                F.coalesce(dec_to_double(F.sum(money(F.col("o_totalprice")))), F.lit(0.0))
                 / 1000000,
                 6,
             ).alias("x")
@@ -982,8 +982,8 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(
-                2 * F.sum(money(F.col("i") * F.col("x"))).cast("double")
-                / (F.count(F.lit(1)) * F.sum(money(F.col("x"))).cast("double"))
+                2 * dec_to_double(F.sum(money(F.col("i") * F.col("x"))))
+                / (F.count(F.lit(1)) * dec_to_double(F.sum(money(F.col("x")))))
                 - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
                 6,
             ).alias("gini"),

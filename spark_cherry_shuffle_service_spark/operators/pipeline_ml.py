@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -402,7 +403,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "events_winsorized_revenue",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -418,7 +419,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CASE WHEN r.value < c.lo OR r.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
            c.lo, c.hi,
-           CAST(SUM(ROUND(LEAST(GREATEST(r.value, c.lo), c.hi), 6)::DECIMAL(18,6)) AS DOUBLE) AS winsorized_sum
+           {dsum_sql('LEAST(GREATEST(r.value, c.lo), c.hi)', 'winsorized_sum')}
     FROM ranked r JOIN cuts c ON r.event_type = c.event_type
     GROUP BY r.event_type, c.lo, c.hi
     ORDER BY r.event_type

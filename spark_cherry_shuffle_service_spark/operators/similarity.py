@@ -22,6 +22,7 @@ from spark_cherry_shuffle_service_spark.functions.vectors import (
     lsh_bucket_expr,
     norm,
 )
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -428,7 +429,7 @@ _KM_K = 8
     )
     SELECT centroid_id AS cluster_id,
            COUNT(*) AS n_members,
-           CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+           {dsum_sql('d2', 'inertia')}
     FROM assigned WHERE rnk = 1
     GROUP BY centroid_id
     """,

@@ -58,7 +58,7 @@ def sql_text_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # channel-level rollup. Dialect-shared (runs verbatim on both engines).
 _Q_CHANNEL_UNION = """
 SELECT channel, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(ROUND(amount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_amount
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(amount, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(amount, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(amount, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS total_amount
 FROM (
   SELECT 'order' AS channel, o_totalprice AS amount FROM orders
     WHERE o_orderstatus = 'F'
@@ -117,7 +117,7 @@ def sql_text_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs the reference's corpus style unmodified (spark.sql path) while the
 # same string is its own oracle.
 _Q_TPCH_Q6 = """
-SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+SELECT (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * l_discount, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
@@ -145,13 +145,13 @@ def sql_text_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS sum_qty,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS sum_base_price,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS sum_disc_price,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS sum_charge,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) / COUNT(*) AS avg_qty,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) / COUNT(*) AS avg_price,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -160,7 +160,7 @@ GROUP BY l_returnflag, l_linestatus
 
 _Q_TPCH_Q3 = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue,
        CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -175,7 +175,7 @@ LIMIT 10
 
 _Q_TPCH_Q5 = """
 SELECT n_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,7 +191,7 @@ ORDER BY revenue DESC, n_name
 
 _Q_TPCH_Q10 = """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue,
        CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -268,10 +268,14 @@ ORDER BY l_linestatus
 
 _Q_TPCH_Q14 = """
 SELECT 100.00
-       * CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+       * (CAST(CAST(FLOOR(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END, 6) AS DECIMAL(18,6))) AS DOUBLE)
-       / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                                  ELSE 0 END, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE))
+       / (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE))
        AS promo_revenue_pct,
        COUNT(*) AS n_lines
 FROM lineitem
@@ -281,7 +285,7 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
 """
 
 _Q_TPCH_Q19 = """
-SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+SELECT (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -324,7 +328,7 @@ def sql_text_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q_GROUPING_SETS = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       (CAST(CAST(FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) + CAST(CAST((SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) - FLOOR(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))))) * 1000000 AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS sum_qty,
        COUNT(*) AS n,
        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls

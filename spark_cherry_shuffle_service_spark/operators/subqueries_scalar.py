@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, davg, dsum
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -111,7 +111,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(money(F.abs(price * (1 - disc) - price))).cast("double") / F.count(F.lit(1)), 2
+            dec_to_double(F.sum(money(F.abs(price * (1 - disc) - price)))) / F.count(F.lit(1)), 2
         ).alias("avg_discount_amount"),
         davg(F.coalesce(F.nullif(disc, F.lit(0.0)), F.lit(0.05)), "avg_disc_defaulted"),
         F.sum(F.when(F.nullif(disc, F.lit(0.0)).isNull(), 1).otherwise(0)).alias("n_zero_disc"),

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, davg, dsum, money
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
@@ -288,8 +288,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(money(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))).cast("double")
-                / F.sum(money(vol)).cast("double"),
+                dec_to_double(F.sum(money(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))))
+                / dec_to_double(F.sum(money(vol))),
                 6,
             ).alias("mkt_share")
         )
@@ -624,7 +624,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pa, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(money(F.col("l_extendedprice"))).cast("double") / 7.0).alias("avg_yearly"),
+            (dec_to_double(F.sum(money(F.col("l_extendedprice")))) / 7.0).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import money
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, money
 from spark_cherry_shuffle_service_spark.functions.ranking import ntile_expr, with_global_rank
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
@@ -324,7 +324,7 @@ def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ym", "o_orderpriority")
         .agg(
             F.sum("cnt").cast("long").alias("n_orders"),
-            F.sum("s").cast("double").alias("sum_total"),
+            dec_to_double(F.sum("s")).alias("sum_total"),
         )
         .orderBy("ym", "o_orderpriority")
     )

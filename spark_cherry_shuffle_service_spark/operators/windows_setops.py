@@ -17,8 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
-from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, dsum
+from spark_cherry_shuffle_service_spark.plans.oracle import dec_to_double_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -67,9 +67,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
     )
     SELECT l_returnflag, d, rev,
-           CAST(SUM(CAST(ROUND(rev, 6) AS DECIMAL(18,6)))
+           {dec_to_double_sql('''SUM(CAST(ROUND(rev, 6) AS DECIMAL(18,6)))
                 OVER (PARTITION BY l_returnflag ORDER BY d
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume_rev
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cume_rev
     FROM daily
     """,
     tags=("window", "running_sum", "frame"),
@@ -89,7 +89,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cherry_shuffle_service_spark.functions.aggregates import money
 
     return daily.select(
-        "l_returnflag", "d", "rev", F.sum(money(F.col("rev"))).over(w).cast("double").alias("cume_rev")
+        "l_returnflag", "d", "rev", dec_to_double(F.sum(money(F.col("rev"))).over(w)).alias("cume_rev")
     )
 
 
@@ -106,7 +106,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_suppkey, date_trunc('month', CAST(l_shipdate AS DATE))
     ), with_avg AS (
       SELECT l_suppkey, mon, sales,
-             CAST(SUM(CAST(ROUND(sales, 6) AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey) AS DOUBLE)
+             {dec_to_double_sql("SUM(CAST(ROUND(sales, 6) AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey)")}
                / COUNT(*) OVER (PARTITION BY l_suppkey) AS avg_sales
       FROM monthly
     )
@@ -130,7 +130,7 @@ def window_avg_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "mon",
         "sales",
-        (F.sum(money(F.col("sales"))).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("avg_sales"),
+        (dec_to_double(F.sum(money(F.col("sales"))).over(w)) / F.count(F.lit(1)).over(w)).alias("avg_sales"),
     )
     dev = F.abs(F.col("sales") - F.col("avg_sales")) / F.col("avg_sales")
     return with_avg.filter(dev > 0.8).select(
@@ -296,12 +296,12 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE year(CAST(l_shipdate AS DATE)) = 1997
       GROUP BY CAST(l_shipdate AS DATE)
     ), oc AS (
-      SELECT d, CAST(SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
-             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
+      SELECT d, {dec_to_double_sql('''SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cume
       FROM o
     ), lc AS (
-      SELECT d, CAST(SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
-             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
+      SELECT d, {dec_to_double_sql('''SUM(CAST(ROUND(rev,6) AS DECIMAL(18,6)))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS cume
       FROM l
     )
     SELECT COALESCE(oc.d, lc.d) AS day,
@@ -324,14 +324,14 @@ def cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year(_d("o_orderdate")) == 1997)
         .groupBy(_d("o_orderdate").alias("d"))
         .agg(dsum(F.col("o_totalprice"), "rev"))
-        .select("d", F.sum(money(F.col("rev"))).over(cume_w).cast("double").alias("ocume"))
+        .select("d", dec_to_double(F.sum(money(F.col("rev"))).over(cume_w)).alias("ocume"))
     )
     l = (
         table(spark, sf_dir, "lineitem")
         .filter(F.year(_d("l_shipdate")) == 1997)
         .groupBy(_d("l_shipdate").alias("d"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "rev"))
-        .select(F.col("d").alias("ld"), F.sum(money(F.col("rev"))).over(cume_w).cast("double").alias("lcume"))
+        .select(F.col("d").alias("ld"), dec_to_double(F.sum(money(F.col("rev"))).over(cume_w)).alias("lcume"))
     )
     j = o.join(l, o.d == l.ld, "full")
     return (
@@ -384,7 +384,7 @@ def cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
     ), o_v1 AS (
       SELECT v1.prio, v1.d,
-             CAST(SUM(CAST(ROUND(v2.rev, 6) AS DECIMAL(18,6))) AS DOUBLE) AS cume
+             {dsum_sql('v2.rev', 'cume')}
       FROM o_tv v1 JOIN o_tv v2 ON v1.prio = v2.prio AND v1.rk >= v2.rk
       GROUP BY v1.prio, v1.d
     ), l_tv AS (
@@ -397,7 +397,7 @@ def cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o.o_orderpriority, CAST(l.l_shipdate AS DATE)
     ), l_v1 AS (
       SELECT v1.prio, v1.d,
-             CAST(SUM(CAST(ROUND(v2.rev, 6) AS DECIMAL(18,6))) AS DOUBLE) AS cume
+             {dsum_sql('v2.rev', 'cume')}
       FROM l_tv v1 JOIN l_tv v2 ON v1.prio = v2.prio AND v1.rk >= v2.rk
       GROUP BY v1.prio, v1.d
     ), v AS (
@@ -434,7 +434,7 @@ def cumulative_compare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             tv.join(v2, (F.col("prio") == F.col("p2")) & (F.col("rk") >= F.col("rk2")))
             .groupBy("prio", "d")
-            .agg(F.sum(money(F.col("rev2"))).cast("double").alias("cume"))
+            .agg(dec_to_double(F.sum(money(F.col("rev2")))).alias("cume"))
         )
 
     w_rk = Window.partitionBy("prio").orderBy("d")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double
+from spark_cherry_shuffle_service_spark.plans.oracle import dec_to_double_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
 from spark_cherry_shuffle_service_spark.sources.catalog import table
 
@@ -167,11 +169,14 @@ _SKEW_KEY_SQL = "CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey % 100 END"
              {{dsum}} FROM part GROUP BY p_partkey % 100
     )
     SELECT key, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(ROUND(dim_price * l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS weighted
+           {{weighted}} AS weighted
     FROM fact JOIN dim ON key = dkey
     GROUP BY key
     """.format(
-        dsum="CAST(SUM(CAST(ROUND(p_retailprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dim_price"
+        dsum=dsum_sql("p_retailprice", "dim_price"),
+        weighted=dec_to_double_sql(
+            "SUM(CAST(ROUND(dim_price * l_quantity, 6) AS DECIMAL(28,6)))"
+        ),
     ),
     tags=("workload", "join", "skew", "salt", "scale"),
 )
@@ -205,7 +210,7 @@ def skewed_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.round(F.col("dim_price") * F.col("l_quantity"), 6).cast("decimal(28,6)"))
-        .cast("double")
-        .alias("weighted"),
+        dec_to_double(
+            F.sum(F.round(F.col("dim_price") * F.col("l_quantity"), 6).cast("decimal(28,6)"))
+        ).alias("weighted"),
     )

@@ -74,11 +74,18 @@ def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
 
 
 def duck_connection(sf_dir: str):
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are multi-file directories (the generated-
+        # scale fixtures, sources/genscale.py); glob the part files so
+        # DuckDB reads the same data Spark does.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

@@ -1,0 +1,232 @@
+"""Generated-scale fixture tests (sources/genscale.py) — the determinism
+path past sf0.1 (VERDICT r6 item 1).
+
+Three claims, each checked:
+1. The generator is deterministic: two runs produce identical tables.
+2. Queries stay cross-engine bit-identical on GENERATED data (the slice
+   where all four historical determinism bugs lived) — proven here at a
+   small scale in-suite, and at ~sf1 by the committed COMPARE_sf1.json
+   artifact (kept honest by test_committed_sf1_artifact_is_green).
+3. The events_changepoint int64 guard FIRES before Spark's ANSI-off
+   silent wrap — exercised with data past the documented bound, plus an
+   integer-algebra proof that the bound covers the signed combination.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.plans.differential import compare_queries
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from spark_cherry_shuffle_service_spark.sources.genscale import (
+    BASE_ROWS,
+    MEAN_LINES_PER_ORDER,
+    gen_events,
+    generate_scaled_fixtures,
+    value_sensitive_names,
+)
+
+SLICE_SAMPLE = (
+    "events_changepoint",
+    "events_cusum",
+    "events_rolling_zscore",
+    "events_trend_mannkendall",
+    "decimal_pricing",
+    "orders_fulfillment_latency",
+    "customer_revenue_deciles",
+    "orders_rfm",
+    "cdc_merge_apply",
+    "events_twap",
+)
+
+
+@pytest.fixture(scope="module")
+def gen_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("genscale") / "sf005")
+    generate_scaled_fixtures(spark, out_dir=out, scale=0.05, partitions=8)
+    return out
+
+
+def test_manifest_and_shape(spark, gen_dir):
+    with open(os.path.join(gen_dir, "_GENSCALE.json")) as fh:
+        m = json.load(fh)
+    assert m["row_counts"]["orders"] == int(BASE_ROWS["orders"] * 0.05)
+    assert m["row_counts"]["events"] == int(BASE_ROWS["events"] * 0.05)
+    # lineitem is 1..7 lines/order, mean 4 — allow 5% drift at 7.5k orders
+    expect_li = m["row_counts"]["orders"] * MEAN_LINES_PER_ORDER
+    assert abs(m["row_counts"]["lineitem"] - expect_li) / expect_li < 0.05
+    # idempotent: a second call with a matching manifest is a no-op
+    m2 = generate_scaled_fixtures(spark, out_dir=gen_dir, scale=0.05, partitions=8)
+    assert m2["row_counts"] == m["row_counts"]
+
+
+def test_generated_schema_matches_fixture_schema(spark, gen_dir):
+    """The generated physical types must be drop-in for the driver's r2
+    fixtures (timestamp[us] NTZ etc.) so every registered query reads them
+    through the same catalog branches."""
+    for t in ("orders", "lineitem", "events"):
+        gen = dict(spark.read.parquet(f"{gen_dir}/{t}.parquet").dtypes)
+        fix = dict(spark.read.parquet(f"/root/testdata/sf0.1/{t}.parquet").dtypes)
+        assert gen == fix, f"{t}: {gen} != {fix}"
+
+
+def test_generator_is_deterministic(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_scaled_fixtures(spark, out_dir=a, scale=0.02, partitions=4)
+    generate_scaled_fixtures(spark, out_dir=b, scale=0.02, partitions=4)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        for x, y in ((a, b), (b, a)):
+            diff = con.execute(
+                f"SELECT count(*) FROM (SELECT * FROM '{x}/{t}.parquet/*.parquet'"
+                f" EXCEPT SELECT * FROM '{y}/{t}.parquet/*.parquet')"
+            ).fetchone()[0]
+            assert diff == 0, f"{t}: {diff} rows differ between identical runs"
+
+
+def test_generated_slice_matches_oracle(spark, gen_dir):
+    """Cross-engine differential on PURELY generated data: the ten most
+    value-sensitive shapes (windowed micro-sums, DECIMAL money, deciles,
+    CDC ROUND ties) hash-match DuckDB byte-for-byte."""
+    results = compare_queries(spark, gen_dir, list(SLICE_SAMPLE))
+    bad = {k: v for k, v in results.items() if v != "match"}
+    assert not bad, f"generated-data mismatches: {bad}"
+
+
+def test_value_sensitive_slice_resolves():
+    names = value_sensitive_names()
+    specs = all_specs()
+    assert len(names) >= 40
+    assert all(n in specs and specs[n].oracle for n in names)
+    assert set(SLICE_SAMPLE) <= set(names)
+
+
+def test_committed_sf1_artifact_is_green():
+    """The committed ~sf1 differential artifact must be all-match and must
+    cover the current slice — a stale or red COMPARE_sf1.json fails the
+    gate instead of silently rotting."""
+    path = "/root/repo/COMPARE_sf1.json"
+    if not os.path.exists(path):
+        pytest.skip("COMPARE_sf1.json not yet generated")
+    with open(path) as fh:
+        art = json.load(fh)
+    verdicts = {k: v for k, v in art.items() if not k.startswith("_")}
+    assert art["_failures"] == 0
+    assert all(v == "match" for v in verdicts.values())
+    assert set(value_sensitive_names()) <= set(verdicts)
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint overflow guard: prove it FIRES (not just that the
+# bound holds) on data past the documented ~sf0.5 micro-unit envelope.
+# ---------------------------------------------------------------------------
+def test_changepoint_guard_fires_before_wrap(spark, tmp_path):
+    """A level-shifted series (4k events at 0.01, then 4k at 999999)
+    makes the true deviation d = n·P_i − i·P_n ≈ n²/4·1e12 ≈ 1.6e19 —
+    past int64. With ANSI off Spark would silently wrap it; the in-plan
+    assert_true must raise instead, naming the remediation (drop the
+    micro scale). DuckDB refuses the same data independently (it sums
+    into int128, then the final BIGINT cast overflows) — so NEITHER
+    engine can return a wrapped argmax."""
+    sf_dir = str(tmp_path / "hot")
+    os.makedirs(sf_dir)
+    n = 8000
+    (
+        gen_events(spark, n, partitions=4)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") < n // 2, F.lit(0.01)).otherwise(F.lit(999_999.0)),
+        )
+        .withColumn("event_type", F.lit("hot"))
+        .write.parquet(f"{sf_dir}/events.parquet")
+    )
+    spec = all_specs()["events_changepoint"]
+    with pytest.raises(Exception, match="micro scale"):
+        spec.builder(spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    with pytest.raises(Exception):
+        con.execute(spec.oracle).fetchall()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**9),
+    i=st.integers(min_value=0, max_value=10**9),
+    p_sign=st.sampled_from([-1, 1]),
+    t_sign=st.sampled_from([-1, 1]),
+    p_frac=st.floats(min_value=0.0, max_value=1.0),
+    t_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_guard_bound_covers_signed_combination(n, i, p_sign, t_sign, p_frac, t_frac):
+    """The r7 bound — greatest(|p|,|t|) ≤ (2^63-1) DIV (2n) — implies the
+    SIGNED combination |n·p − i·t| ≤ 2^63-1 for every i ≤ n, including the
+    mixed-sign worst case that broke the r5 per-product bound (ADVICE r6)."""
+    i = min(i, n)
+    m = (1 << 63) - 1
+    bound = m // (2 * n)
+    p = p_sign * int(p_frac * bound)
+    t = t_sign * int(t_frac * bound)
+    assert abs(n * p - i * t) <= m
+
+
+# ---------------------------------------------------------------------------
+# Fuzz family 11: randomized BIG-magnitude dsum aggregates (the r7 drift
+# zone). Every historical float-convention bug was value-dependent — a
+# curated query passes while a nearby shape fails. This family renders
+# seeded dialect-shared texts whose decimal sums land well past 2^53 micro
+# units (where naive CAST(DECIMAL AS DOUBLE) drifts between engines) and
+# asserts the split conversion stays bit-identical under random predicates,
+# group keys, and integer scale multipliers.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def gen_sf1_small(spark, tmp_path_factory):
+    """scale=1.0 orders-only zone: per-status sums ~1.25e10 (micro value
+    ~1.25e16 > 2^53) — squarely in the engine-divergent conversion range."""
+    out = str(tmp_path_factory.mktemp("genscale") / "sf10")
+    generate_scaled_fixtures(spark, out_dir=out, scale=1.0, partitions=8)
+    return out
+
+
+def test_random_big_dsum_match_duckdb(spark, gen_sf1_small):
+    import random
+
+    from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
+    from spark_cherry_shuffle_service_spark.sources.catalog import register_views
+
+    register_views(spark, gen_sf1_small)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{gen_sf1_small}/orders.parquet/*.parquet'"
+    )
+    cmps = ["<", "<=", ">", ">=", "<>"]
+    groups = ["o_orderstatus", "o_orderstatus, o_orderpriority", None]
+    mismatches = []
+    for seed in range(30):
+        rng = random.Random(1000 + seed)
+        k = rng.randint(2, 9)  # inflate sums deeper into the >2^53 zone
+        pred = (
+            f"o_orderkey % {rng.randint(2, 7)} <> {rng.randint(0, 1)} "
+            f"AND o_totalprice {rng.choice(cmps)} {rng.randint(2_000, 400_000)}"
+        )
+        g = rng.choice(groups)
+        sel = f"{g + ', ' if g else ''}COUNT(*) AS n, {dsum_sql(f'o_totalprice * {k}', 'tot')}"
+        sql = f"SELECT {sel} FROM orders WHERE {pred}"
+        if g:
+            sql += f" GROUP BY {g}"
+        s_rows = sorted(
+            [tuple(r) for r in spark.sql(sql).collect()], key=repr
+        )
+        d_rows = sorted([tuple(r) for r in con.execute(sql).fetchall()], key=repr)
+        if s_rows != d_rows:
+            mismatches.append((seed, sql, s_rows[:2], d_rows[:2]))
+    assert not mismatches, mismatches[:2]
