@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import duckdb
 import pytest
@@ -230,3 +231,71 @@ def test_random_big_dsum_match_duckdb(spark, gen_sf1_small):
         if s_rows != d_rows:
             mismatches.append((seed, sql, s_rows[:2], d_rows[:2]))
     assert not mismatches, mismatches[:2]
+
+
+# ---------------------------------------------------------------------------
+# Regression lint: the naive DECIMAL→DOUBLE cast must never reappear. A new
+# query written with CAST(SUM(DECIMAL) AS DOUBLE) would pass every fixture-
+# scale test and silently drift at ~sf1 (the exact r7 failure mode), so ban
+# the pattern statically — in every registered oracle string AND in the
+# operator/plan sources (builder side).
+# ---------------------------------------------------------------------------
+# the canonical naive shape: CAST( SUM(CAST(ROUND(expr, 6) AS DECIMAL(p,6)))
+# [OVER (...)] AS DOUBLE ) — the outer CAST must wrap the SUM directly
+# (FLOOR-split conversions never have CAST(SUM immediately adjacent).
+_NAIVE_CAST = re.compile(
+    r"CAST\s*\(\s*SUM\s*\(\s*(CAST\s*\(\s*ROUND\s*\(|ROUND\s*\()"
+    r".{0,200}?(::\s*)?DECIMAL\s*\(\d+,\s*6\s*\)\s*\)+\s*(OVER\s*\([^)]{0,200}\)\s*)?"
+    r"AS\s+DOUBLE\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _is_split_form(text: str, m: re.Match) -> bool:
+    # the split conversion contains FLOOR( immediately around the sum —
+    # accept any match whose 60-char left context includes FLOOR(
+    return "FLOOR(" in text[max(0, m.start() - 60) : m.start() + 40].upper()
+
+
+def test_no_naive_decimal_double_cast_in_oracles():
+    bad = []
+    for name, spec in all_specs().items():
+        if not spec.oracle:
+            continue
+        for m in _NAIVE_CAST.finditer(spec.oracle):
+            if not _is_split_form(spec.oracle, m):
+                bad.append((name, m.group(0)[:80]))
+    assert not bad, f"naive DECIMAL→DOUBLE cast in oracles (use dsum_sql/dec_to_double_sql): {bad[:3]}"
+
+
+def test_no_naive_decimal_double_cast_in_sources():
+    import glob
+
+    pat_sql = _NAIVE_CAST
+    pat_py = re.compile(r'sum\s*\(\s*money\s*\([^)]*\)\s*\)\s*(\.over\([^)]*\))?\s*\.cast\(\s*"double"', re.IGNORECASE)
+    bad = []
+    roots = ("spark_cherry_shuffle_service_spark/operators", "spark_cherry_shuffle_service_spark/plans",
+             "spark_cherry_shuffle_service_spark/functions", "spark_cherry_shuffle_service_spark/streaming")
+    for root in roots:
+        for p in glob.glob(f"/root/repo/{root}/*.py"):
+            text = open(p).read()
+            for m in pat_sql.finditer(text):
+                if not _is_split_form(text, m):
+                    bad.append((p.rsplit("/", 1)[-1], m.group(0)[:70]))
+            for m in pat_py.finditer(text):
+                bad.append((p.rsplit("/", 1)[-1], m.group(0)[:70]))
+    assert not bad, f"naive decimal→double conversion (use dec_to_double): {bad[:3]}"
+
+
+def test_changepoint_guard_arms_at_generated_sf2(spark, tmp_path):
+    """The docstring envelope, demonstrated on honest data: at ~sf2
+    (2M generated events, ~400k rows/type, mean value 50) the per-type
+    total micro-sum t ≈ 2e13 exceeds the (2^63−1) DIV 2n ≈ 1.15e13
+    bound, so the guard must raise on REALISTIC value distributions —
+    not only on the crafted level-shift fixture — exactly where the
+    documented remediation (drop the micro scale to 1e3) takes over."""
+    sf_dir = str(tmp_path / "sf2")
+    os.makedirs(sf_dir)
+    gen_events(spark, 2_000_000, partitions=8).write.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(Exception, match="micro scale"):
+        all_specs()["events_changepoint"].builder(spark, sf_dir).collect()
