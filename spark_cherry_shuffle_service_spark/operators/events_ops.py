@@ -77,14 +77,19 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sessionization (30-min inactivity gap): gaps-and-islands — the batch twin
 # of streaming session windows. Oracle uses lag + cumulative flag sum.
+# The gap test is integer-MICROSECOND exact on both engines: comparing
+# second-truncated casts against an INTERVAL is NOT equivalent once
+# timestamps carry sub-second parts — a 1800.4 s gap truncates to 1800 and
+# merges a session the interval test splits (found by the full-registry
+# ~sf1 differential; invisible at sf0.1 density).
 # ---------------------------------------------------------------------------
 @query(
     "events_sessionize",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE OR
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000 OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -115,7 +120,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
             1,
         ).otherwise(0),
     )

@@ -251,3 +251,55 @@ def test_tdigest_percentile_within_accuracy_of_exact(spark):
             lo = b[f"q{int(max(p - eps, 0.0) * 10000):04d}"]
             hi = b[f"q{int(min(p + eps, 1.0) * 10000):04d}"]
             assert lo <= v <= hi, (et, p, v, lo, hi)
+
+
+def test_sessionize_gap_is_microsecond_exact(spark, tmp_path):
+    """Regression for the sub-second sessionize trap found by the ~sf1
+    differential: the 30-min gap test must compare integer MICROSECONDS on
+    both engines. A 1800.4 s gap truncated to whole seconds reads as 1800
+    (not > 1800) and wrongly merges a session; a gap of exactly 1800 s must
+    merge (strict >), 1800.000001 s must split."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: exact-1800s gap (merge), then +1800s+1µs (split)
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=1800)),
+        (1, t0 + dt.timedelta(seconds=3600) + us),
+        # user 2: the truncation trap — 1800.4 s gap must SPLIT
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=400_000)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    spec = all_specs()["events_sessionize"]
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["total_session_seconds"])
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 3, 1800)  # exact gap merged, +1µs split
+    assert got[2] == (2, 2, 0)  # 1800.4s gap split: two 1-event sessions
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert oracle == got
