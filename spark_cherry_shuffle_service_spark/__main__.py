@@ -113,11 +113,13 @@ def cmd_compare(args) -> int:
 
     spark = _spark(args)
     names = args.queries.split(",") if args.queries else None
-    results = compare_queries(spark, args.sf_dir, names)
+    results = compare_queries(
+        spark, args.sf_dir, names, prefer_py_oracle=getattr(args, "py_oracle", False)
+    )
     bad = 0
     for name, verdict in sorted(results.items()):
         print(f"{name:32s} {verdict}")
-        bad += verdict not in ("match",) and not verdict.startswith("SKIP")
+        bad += not verdict.startswith(("match", "SKIP"))
     print(f"{len(results)} compared, {bad} failures")
     return 1 if bad else 0
 
@@ -201,6 +203,13 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compare", help="DuckDB differential check per query")
     c.add_argument("--queries", default=None)
+    c.add_argument(
+        "--py-oracle",
+        dest="py_oracle",
+        action="store_true",
+        help="route specs with a registered oracle_py straight to it "
+        "(generated-scale runs where the SQL oracle is resource-infeasible)",
+    )
 
     g = sub.add_parser("genscale", help="write deterministic scaled fixtures")
     g.add_argument("--out", default=None)

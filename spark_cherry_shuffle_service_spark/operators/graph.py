@@ -181,6 +181,61 @@ def _cc_oracle() -> str:
     return "".join(parts)
 
 
+def _cc_oracle_py(con, sf_dir: str):
+    """Independent Python oracle: the same k rounds of min-label
+    propagation, but as numpy array passes instead of DuckDB's self-joined
+    CTE chain.
+
+    Why it exists: the SQL oracle is CORRECT but resource-infeasible at
+    generated scale — each l{i} CTE materializes a node×neighbor join, and
+    at ~sf1 DuckDB's temp spill grew past 30 GB and died with ENOSPC
+    (round-7 full-registry differential). The engine-side query is fine;
+    only the oracle needed a scale-feasible twin. Equivalence to the SQL
+    oracle at fixture scale is pinned by
+    tests/test_graph.py::test_cc_py_oracle_matches_sql_oracle.
+
+    Semantics mirrored exactly: l0 = node labels = node ids over DISTINCT
+    edge sources; round i: label_i(n) = LEAST(label_{i-1}(n),
+    MIN over n's out-edges of label_{i-1}(dst)); every node has ≥1 edge by
+    construction (edges are bidirectional), so the SQL's inner joins drop
+    nothing. Output: per surviving label, node count and min node id —
+    pure int64 arithmetic, no float drift possible.
+    """
+    import numpy as np
+
+    res = con.execute(
+        """
+        SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    ).fetchnumpy()
+    s = np.asarray(res["s_node"], dtype=np.int64)
+    c = np.asarray(res["c_node"], dtype=np.int64)
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    nodes = np.unique(src)  # == unique(dst): edges are symmetric
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    # Sort edges by src once so each round is a gather + min.reduceat
+    # (O(E) per round; no per-element dispatch like minimum.at).
+    order = np.argsort(src_idx, kind="stable")
+    src_sorted = src_idx[order]
+    dst_sorted = dst_idx[order]
+    boundaries = np.searchsorted(src_sorted, np.arange(len(nodes)))
+    label = nodes.copy()
+    for _ in range(_CC_ITER):
+        neighbor_min = np.minimum.reduceat(label[dst_sorted], boundaries)
+        label = np.minimum(label, neighbor_min)
+    components, inverse, counts = np.unique(label, return_inverse=True, return_counts=True)
+    min_node = np.full(len(components), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_node, inverse, nodes)
+    rows = [
+        (int(comp), int(cnt), int(mn))
+        for comp, cnt, mn in zip(components, counts, min_node)
+    ]
+    return ["component", "n_nodes", "min_node"], rows
+
+
 # ---------------------------------------------------------------------------
 # Connected components via k rounds of min-label propagation over the same
 # trade graph — the other canonical iterative graph workload (GraphX's
@@ -192,6 +247,7 @@ def _cc_oracle() -> str:
     "graph_connected_components",
     oracle=_cc_oracle(),
     tags=("graph", "iterative", "components"),
+    oracle_py=_cc_oracle_py,
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism

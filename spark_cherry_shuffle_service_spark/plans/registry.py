@@ -42,6 +42,17 @@ class QuerySpec:
     #: enforces tag ⇒ twin-exists, so the pairing is discoverable from
     #: all_specs() rather than prose.
     scale_twin: str | None = None
+    #: Independent PYTHON oracle `(duckdb_con, sf_dir) -> (col_names, rows)`
+    #: for queries whose SQL oracle is correct but resource-infeasible at
+    #: generated scale (e.g. the connected-components min-label CTE chain
+    #: exhausts DuckDB temp disk at ~sf1 while the query itself is fine).
+    #: The compare harness uses it ONLY as a fallback when the SQL oracle
+    #: raises a non-assertion error, and labels the result
+    #: "match (py-oracle)" so artifacts stay transparent about which
+    #: oracle adjudicated. tests/test_graph.py proves py-oracle ≡ SQL
+    #: oracle at fixture scale, so the fallback is itself differentially
+    #: anchored to the primary.
+    oracle_py: Callable | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -53,6 +64,7 @@ def query(
     tags: tuple[str, ...] = (),
     doc: str = "",
     scale_twin: str | None = None,
+    oracle_py: Callable | None = None,
 ):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
 
@@ -66,6 +78,7 @@ def query(
             tags=tags,
             doc=doc or (fn.__doc__ or ""),
             scale_twin=scale_twin,
+            oracle_py=oracle_py,
         )
         return fn
 

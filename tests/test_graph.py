@@ -1,0 +1,102 @@
+"""Graph-operator oracle plumbing: the Python connected-components oracle
+and the compare harness's transparent py-oracle fallback.
+
+Background (round 7): the full-registry generated-scale (~sf1)
+differential killed the connected-components SQL oracle — DuckDB's
+min-label CTE chain spilled >30 GB of temp and ENOSPC'd — while the
+engine-side query ran fine. The fix is an independent numpy oracle
+(graph.py::_cc_oracle_py) used only when the SQL oracle raises a
+resource error. These tests anchor that fallback:
+
+1. py-oracle ≡ SQL oracle at fixture scale (so the fallback is itself
+   differentially verified against the primary);
+2. the harness labels a fallback adjudication as "match (py-oracle...)"
+   rather than silently reporting plain "match".
+"""
+
+from __future__ import annotations
+
+from spark_cherry_shuffle_service_spark.plans.differential import (
+    compare_queries,
+    duck_rows,
+    py_oracle_rows,
+)
+from spark_cherry_shuffle_service_spark.plans.registry import (
+    REGISTRY,
+    QuerySpec,
+    all_specs,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_cc_py_oracle_matches_sql_oracle(duck_correct):
+    spec = all_specs()["graph_connected_components"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+    assert len(p_rows) > 0
+
+
+def test_py_oracle_fallback_is_transparent(spark, duck_correct):
+    """When the SQL oracle raises (here: invalid SQL standing in for the
+    sf1 ENOSPC), the harness must adjudicate via oracle_py and SAY SO in
+    the result string; a value mismatch through the fallback must still
+    read MISMATCH."""
+    import pyspark.sql.functions as F
+
+    def builder(s, sf_dir):
+        return s.range(3).select(F.col("id").cast("long").alias("n"))
+
+    def good_py_oracle(con, sf_dir):
+        return ["n"], [(0,), (1,), (2,)]
+
+    def bad_py_oracle(con, sf_dir):
+        return ["n"], [(0,), (1,), (99,)]
+
+    names = ["__t_fallback_ok__", "__t_fallback_bad__", "__t_no_py__"]
+    try:
+        REGISTRY[names[0]] = QuerySpec(
+            name=names[0], builder=builder, oracle="SELECT * FROM no_such_table_xyz",
+            oracle_py=good_py_oracle,
+        )
+        REGISTRY[names[1]] = QuerySpec(
+            name=names[1], builder=builder, oracle="SELECT * FROM no_such_table_xyz",
+            oracle_py=bad_py_oracle,
+        )
+        REGISTRY[names[2]] = QuerySpec(
+            name=names[2], builder=builder, oracle="SELECT * FROM no_such_table_xyz",
+        )
+        results = compare_queries(spark, SF_CORRECT, names)
+    finally:
+        for n in names:
+            REGISTRY.pop(n, None)
+
+    assert results[names[0]].startswith("match (py-oracle"), results[names[0]]
+    assert results[names[1]].startswith("MISMATCH"), results[names[1]]
+    assert results[names[2]].startswith("ERROR"), results[names[2]]
+
+
+def test_sql_oracle_value_mismatch_never_falls_back(spark, duck_correct):
+    """A VALUE disagreement with the working SQL oracle is a real bug and
+    must surface as MISMATCH even when an oracle_py is registered — the
+    fallback is for oracle resource failures only."""
+    import pyspark.sql.functions as F
+
+    def builder(s, sf_dir):
+        return s.range(2).select(F.col("id").cast("long").alias("n"))
+
+    def py_oracle(con, sf_dir):  # agrees with Spark; must NOT be consulted
+        return ["n"], [(0,), (1,)]
+
+    name = "__t_sql_mismatch__"
+    try:
+        REGISTRY[name] = QuerySpec(
+            name=name, builder=builder,
+            oracle="SELECT CAST(7 AS BIGINT) AS n", oracle_py=py_oracle,
+        )
+        results = compare_queries(spark, SF_CORRECT, [name])
+    finally:
+        REGISTRY.pop(name, None)
+    assert results[name].startswith("MISMATCH"), results[name]
