@@ -409,3 +409,91 @@ def test_random_interval_joins_match_duckdb(spark, block):
         if (srow["n"], srow["s"]) != (drow[0], drow[1]):
             mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
     assert not mismatches, mismatches[:3]
+
+
+def _gap_events(rng: random.Random, threshold_us: int):
+    """Adversarial per-user timestamp chains: most gaps land ON or within
+    ±1 µs / ±400 ms of the session threshold — exactly the band where the
+    round-7 sessionize bug lived (a second-truncated comparison reads a
+    1800.4 s gap as 1800 and merges the session)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 15, 0, 0, 0)
+    adversarial = [
+        threshold_us,
+        threshold_us + 1,
+        max(threshold_us - 1, 1),
+        threshold_us + 400_000,
+        max(threshold_us - 400_000, 1),
+    ]
+    rows = []
+    for user in range(20):
+        t = base + dt.timedelta(microseconds=rng.randint(0, 10**6))
+        for _ in range(rng.randint(5, 40)):
+            rows.append((user, t))
+            if rng.random() < 0.7:
+                gap = rng.choice(adversarial)
+            else:
+                gap = rng.randint(1, 3 * threshold_us)
+            t += dt.timedelta(microseconds=gap)
+    return rows
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_subsecond_session_gaps_match_duckdb(spark, block):
+    """Sub-second sessionization fuzz (round 7, family 11 — born from the
+    events_sessionize microsecond bug): random gap thresholds, INCLUDING
+    fractional-second ones, applied as a dialect-shared
+    `ts - LAG(ts) > INTERVAL '<T>' SECOND` gaps-and-islands over
+    microsecond-resolution chains engineered to straddle the threshold by
+    ±1 µs and ±400 ms. Both engines must agree on session counts and
+    session-id checksums exactly; any whole-second shortcut in either
+    engine's interval comparison diverges immediately."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    mismatches = []
+    for seed in range(11000 + block * 13, 11000 + block * 13 + 13):
+        rng = random.Random(seed)
+        # threshold: the canonical 30 min, whole seconds, or arbitrary µs
+        kind = rng.randrange(3)
+        if kind == 0:
+            t_us, t_lit = 1_800_000_000, "1800"
+        elif kind == 1:
+            secs = rng.randint(1, 3600)
+            t_us, t_lit = secs * 1_000_000, str(secs)
+        else:
+            t_us = rng.randint(1, 3600) * 1_000_000 + rng.randint(1, 999_999)
+            t_lit = f"{t_us // 1_000_000}.{t_us % 1_000_000:06d}"
+        pdf = pd.DataFrame(
+            _gap_events(rng, t_us), columns=["user_id", "ts"]
+        ).astype({"ts": "datetime64[us]"})
+        spark.createDataFrame(pdf).createOrReplaceTempView("gap_events")
+        con.register("gap_events", pdf)
+        sql = f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '{t_lit}' SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM gap_events
+        ), sessions AS (
+          SELECT user_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id * 1000 + sid) AS BIGINT) AS n_sessions,
+               CAST(SUM(user_id * 1000 + sid) AS BIGINT) AS checksum
+        FROM sessions
+        """
+        srow = spark.sql(sql).first()
+        drow = con.execute(sql).fetchone()
+        con.unregister("gap_events")
+        if (srow["n_events"], srow["n_sessions"], srow["checksum"]) != tuple(drow):
+            mismatches.append(
+                (seed, t_lit, (srow["n_events"], srow["n_sessions"], srow["checksum"]), tuple(drow))
+            )
+    assert not mismatches, mismatches[:3]

@@ -124,6 +124,31 @@ def test_committed_sf1_artifact_is_green():
     assert set(value_sensitive_names()) <= set(verdicts)
 
 
+def test_committed_sf1_full_artifact_is_green():
+    """Round 7 extends the ~sf1 gate from the value-sensitive slice to the
+    FULL oracle registry (COMPARE_sf1_full.json). Every verdict must be
+    'match' or 'match (py-oracle)' — the latter only for specs that
+    actually register an oracle_py (currently the connected-components
+    query, whose SQL oracle is temp-disk-infeasible in DuckDB at ~sf1) —
+    and the artifact must cover every oracle-bearing query so it can't
+    silently shrink."""
+    path = "/root/repo/COMPARE_sf1_full.json"
+    if not os.path.exists(path):
+        pytest.skip("COMPARE_sf1_full.json not yet generated")
+    with open(path) as fh:
+        art = json.load(fh)
+    verdicts = {k: v for k, v in art.items() if not k.startswith("_")}
+    assert art["_failures"] == 0
+    specs = all_specs()
+    for name, v in verdicts.items():
+        if v == "match":
+            continue
+        assert v.startswith("match (py-oracle"), f"{name}: {v}"
+        assert specs[name].oracle_py is not None, f"{name}: py-oracle verdict without oracle_py"
+    oracle_names = {n for n, s in specs.items() if s.oracle is not None}
+    assert oracle_names <= set(verdicts), sorted(oracle_names - set(verdicts))
+
+
 # ---------------------------------------------------------------------------
 # events_changepoint overflow guard: prove it FIRES (not just that the
 # bound holds) on data past the documented ~sf0.5 micro-unit envelope.
