@@ -497,3 +497,67 @@ def test_random_subsecond_session_gaps_match_duckdb(spark, block):
                 (seed, t_lit, (srow["n_events"], srow["n_sessions"], srow["checksum"]), tuple(drow))
             )
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_null_semantics_match_duckdb(spark, block):
+    """NULL-semantics fuzz (round 7, family 12): NULLIF-derived nullable
+    columns over orders exercise the corners where engines historically
+    diverge — COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col), aggregates
+    over all-NULL groups, the NULL group in GROUP BY, three-valued logic
+    in WHERE (=, <>, IS NULL, IS NOT DISTINCT FROM, IN-lists containing
+    NULL), and explicit NULLS FIRST/LAST ordering (the engines' DEFAULTS
+    differ: Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST — every ORDER BY
+    here is explicit). One dialect-shared SQL text per seed."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(12000 + block * 13, 12000 + block * 13 + 13):
+        rng = random.Random(seed)
+        m1, m2 = rng.randint(2, 9), rng.randint(2, 9)
+        r1, r2 = rng.randrange(m1), rng.randrange(m2)
+        inner = (
+            f"SELECT NULLIF(o_custkey % {m1}, {r1}) AS k, "
+            f"NULLIF(o_orderkey % {m2}, {r2}) AS v, o_orderkey "
+            f"FROM orders WHERE {_pred(rng, 2)}"
+        )
+        where_opts = [
+            "k = v",
+            "k <> v",
+            "k IS NULL",
+            "k IS NOT NULL",
+            "k IS NOT DISTINCT FROM v",
+            f"k IN (0, 1, {r1})",
+            "k IN (0, 1, NULL)",
+            "NOT (k = v)",
+        ]
+        shape = rng.randrange(3)
+        if shape == 0:
+            sql = (
+                "SELECT COUNT(*) AS a, COUNT(k) AS b, COUNT(DISTINCT k) AS c, "
+                "COALESCE(CAST(SUM(v) AS BIGINT), -1) AS d, "
+                "COALESCE(MIN(v), -1) AS e, COALESCE(MAX(v), -1) AS f "
+                f"FROM ({inner}) t WHERE {rng.choice(where_opts)}"
+            )
+        elif shape == 1:
+            sql = (
+                "SELECT COALESCE(k, -1) AS kk, COUNT(*) AS n, COUNT(v) AS nv, "
+                "COALESCE(CAST(SUM(v) AS BIGINT), -1) AS s "
+                f"FROM ({inner}) t GROUP BY k"
+            )
+        else:
+            nf = rng.choice(["NULLS FIRST", "NULLS LAST"])
+            direction = rng.choice(["ASC", "DESC"])
+            sql = (
+                "SELECT COALESCE(k, -1) AS kk, o_orderkey "
+                f"FROM ({inner}) t WHERE {rng.choice(where_opts)} "
+                f"ORDER BY k {direction} {nf}, o_orderkey LIMIT 50"
+            )
+        srows = [tuple(r) for r in spark.sql(sql).collect()]
+        drows = [tuple(r) for r in con.execute(sql).fetchall()]
+        if shape == 1:  # unordered shape: compare as multisets
+            srows, drows = sorted(srows), sorted(drows)
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
