@@ -189,19 +189,23 @@ def test_changepoint_guard_fires_before_wrap(spark, tmp_path):
     i=st.integers(min_value=0, max_value=10**9),
     p_sign=st.sampled_from([-1, 1]),
     t_sign=st.sampled_from([-1, 1]),
-    p_frac=st.floats(min_value=0.0, max_value=1.0),
-    t_frac=st.floats(min_value=0.0, max_value=1.0),
+    # integer numerators over a fixed denominator: float fractions round —
+    # int(1.0 * (2^62-1)) == 2^62, one PAST the bound, so the sampler
+    # itself violated the premise it was testing (caught by hypothesis)
+    p_num=st.integers(min_value=0, max_value=10**9),
+    t_num=st.integers(min_value=0, max_value=10**9),
 )
 @settings(max_examples=200, deadline=None)
-def test_guard_bound_covers_signed_combination(n, i, p_sign, t_sign, p_frac, t_frac):
+def test_guard_bound_covers_signed_combination(n, i, p_sign, t_sign, p_num, t_num):
     """The r7 bound — greatest(|p|,|t|) ≤ (2^63-1) DIV (2n) — implies the
     SIGNED combination |n·p − i·t| ≤ 2^63-1 for every i ≤ n, including the
     mixed-sign worst case that broke the r5 per-product bound (ADVICE r6)."""
     i = min(i, n)
     m = (1 << 63) - 1
     bound = m // (2 * n)
-    p = p_sign * int(p_frac * bound)
-    t = t_sign * int(t_frac * bound)
+    p = p_sign * (bound * p_num // 10**9)
+    t = t_sign * (bound * t_num // 10**9)
+    assert abs(p) <= bound and abs(t) <= bound  # premise holds exactly
     assert abs(n * p - i * t) <= m
 
 
