@@ -561,3 +561,134 @@ def test_random_null_semantics_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:3], drows[:3]))
     assert not mismatches, mismatches[:3]
+
+
+def _date_expr(rng: random.Random) -> str:
+    """A random dialect-shared date expression over o_orderdate. EXTRACT
+    fields and calendar ops verified engine-identical by probe (leap-day
+    clamping, month-end clamping, ISO week, Monday date_trunc('week'));
+    DOW is deliberately EXCLUDED — Spark numbers Sunday=1, DuckDB
+    Sunday=0, a documented dialect difference, not a bug. DATE+INTERVAL
+    and date_trunc are re-CAST to DATE because DuckDB yields TIMESTAMP
+    where Spark yields DATE."""
+    d = "CAST(o_orderdate AS DATE)"
+    kind = rng.randrange(4)
+    if kind == 0:
+        field = rng.choice(["YEAR", "MONTH", "DAY", "QUARTER", "DOY", "WEEK"])
+        return f"EXTRACT({field} FROM {d})"
+    if kind == 1:
+        unit, span = rng.choice([("DAY", 400), ("MONTH", 14), ("YEAR", 3)])
+        return f"CAST({d} + INTERVAL {rng.randint(1, span)} {unit} AS DATE)"
+    if kind == 2:
+        unit = rng.choice(["month", "quarter", "year", "week"])
+        return f"CAST(date_trunc('{unit}', {d}) AS DATE)"
+    return f"last_day({d})"
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_date_expressions_match_duckdb(spark, block):
+    """Datetime-function fuzz (round 7, family 13): random EXTRACT /
+    DATE+INTERVAL (month-end and leap-day clamping included by
+    construction — interval spans cross both) / date_trunc / last_day
+    expressions over o_orderdate, consumed either as a GROUP BY key or
+    inside a WHERE comparison. One shared SQL per seed; integer COUNT +
+    modular SUM (and the derived value itself) compare exactly."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(13000 + block * 13, 13000 + block * 13 + 13):
+        rng = random.Random(seed)
+        e = _date_expr(rng)
+        if rng.random() < 0.5:
+            sql = (
+                f"SELECT {e} AS k, COUNT(*) AS n, "
+                "CAST(SUM(o_orderkey % 97) AS BIGINT) AS s "
+                f"FROM orders WHERE {_pred(rng, 2)} GROUP BY {e}"
+            )
+        else:
+            if "EXTRACT" in e:
+                cmp_lit = str(rng.randint(1, 12))
+            else:
+                cmp_lit = (
+                    f"DATE '{rng.randint(1992, 1999)}-"
+                    f"{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'"
+                )
+            sql = (
+                "SELECT COUNT(*) AS n, "
+                "COALESCE(CAST(SUM(o_custkey % 89) AS BIGINT), -1) AS s "
+                f"FROM orders WHERE {e} {rng.choice(_CMP)} {cmp_lit}"
+            )
+        srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
+
+
+def _string_expr(rng: random.Random, col: str) -> str:
+    """A random dialect-shared string expression. All constituent
+    functions probe-verified identical (1-based SUBSTR incl. the
+    length-overrun clamp, TRIM family, PAD family, POSITION, REVERSE,
+    REPEAT, LEFT/RIGHT, ||, LIKE with ESCAPE). Positions stay >= 1 —
+    zero/negative SUBSTR positions are a known dialect divergence the
+    engine never emits."""
+    kind = rng.randrange(7)
+    if kind == 0:
+        return f"SUBSTR({col}, {rng.randint(1, 20)}, {rng.randint(1, 30)})"
+    if kind == 1:
+        return f"UPPER(SUBSTR({col}, {rng.randint(1, 10)}, {rng.randint(1, 12)}))"
+    if kind == 2:
+        return f"REPLACE({col}, '{rng.choice('aeiou')}', '{rng.choice('*#+')}')"
+    if kind == 3:
+        return f"LPAD(LEFT({col}, {rng.randint(1, 8)}), {rng.randint(1, 12)}, '.')"
+    if kind == 4:
+        return f"RIGHT(REVERSE({col}), {rng.randint(1, 10)})"
+    if kind == 5:
+        return f"SUBSTR({col}, POSITION('{rng.choice('etor')}' IN {col}) + 1, {rng.randint(1, 9)})"
+    # STRING, not VARCHAR: Spark rejects length-less VARCHAR; both engines
+    # accept STRING (DuckDB aliases it to VARCHAR)
+    return f"LOWER({col}) || '_' || CAST(LENGTH({col}) % {rng.randint(2, 9)} AS STRING)"
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_string_expressions_match_duckdb(spark, block):
+    """String-function fuzz (round 7, family 14): random compositions of
+    the shared string surface over documents.text (real multi-word prose)
+    and orders.o_orderpriority, consumed as GROUP BY keys, LIKE subjects,
+    or value columns. Byte-identical comparison — any off-by-one in
+    SUBSTR/POSITION indexing or PAD/TRIM edge handling diverges."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'")
+    mismatches = []
+    for seed in range(14000 + block * 13, 14000 + block * 13 + 13):
+        rng = random.Random(seed)
+        if rng.random() < 0.6:
+            tbl, col, key = "documents", "text", "doc_id"
+        else:
+            tbl, col, key = "orders", "o_orderpriority", "o_orderkey"
+        e = _string_expr(rng, col)
+        shape = rng.randrange(3)
+        if shape == 0:
+            sql = (
+                f"SELECT {e} AS k, COUNT(*) AS n FROM {tbl} GROUP BY {e}"
+            )
+        elif shape == 1:
+            pat = rng.choice(["%a%", "%the%", "%1%", "_%e%", "%d"])
+            sql = (
+                "SELECT COUNT(*) AS n, "
+                f"COALESCE(CAST(SUM(LENGTH({e})) AS BIGINT), -1) AS s "
+                f"FROM {tbl} WHERE {e} LIKE '{pat}'"
+            )
+        else:
+            sql = (
+                f"SELECT {key} AS id, {e} AS v FROM {tbl} "
+                f"WHERE LENGTH({col}) % {rng.randint(2, 7)} = 0"
+            )
+        srows = sorted((tuple(r) for r in spark.sql(sql).collect()), key=repr)
+        drows = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=repr)
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:2], drows[:2]))
+    assert not mismatches, mismatches[:3]
