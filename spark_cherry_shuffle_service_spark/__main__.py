@@ -178,6 +178,29 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_shufflestats(args) -> int:
+    """Measured shuffle accounting (plans/shufflestats.py): per-query
+    shuffle/input bytes from the REST status API + static exchange counts
+    from the plan. Writes the artifact JSON and prints a summary line."""
+    from spark_cherry_shuffle_service_spark.plans.shufflestats import (
+        measure_queries,
+        summarize,
+    )
+
+    spark = get_spark(
+        app_name="cherry-spark-shufflestats",
+        shuffle_partitions=args.parallelism,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    names = [_resolve(n) for n in args.queries.split(",")] if args.queries else None
+    results = measure_queries(spark, args.sf_dir, names)
+    payload = {"_sf_dir": args.sf_dir, "_summary": summarize(results), **results}
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"out": args.out, **payload["_summary"]}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="spark_cherry_shuffle_service_spark")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -219,6 +242,12 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("explain", help="print a query's formatted physical plan")
     e.add_argument("name")
 
+    st = sub.add_parser(
+        "shufflestats", help="measured per-query shuffle/input bytes (REST metrics)"
+    )
+    st.add_argument("--queries", default=None)
+    st.add_argument("--out", default="SHUFFLE_STATS.json")
+
     args = ap.parse_args(argv)
     return {
         "query": cmd_query,
@@ -228,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
         "compare": cmd_compare,
         "genscale": cmd_genscale,
         "explain": cmd_explain,
+        "shufflestats": cmd_shufflestats,
     }[args.cmd](args)
 
 

@@ -1,0 +1,62 @@
+"""Measured shuffle accounting (plans/shufflestats.py): SCALE.md's
+shuffle-inventory claims, checked against Spark's own stage metrics
+instead of prose. Runs in a subprocess because the REST status API needs
+a UI-enabled SparkContext and the shared test fixture's is UI-disabled
+(one context per JVM)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from tests.conftest import SF_SMOKE
+
+_QUERIES = "pricing_summary,corpus_stratified_sample,dedup_exact,join_inner"
+
+
+def test_shufflestats_measures_the_claimed_inventory(tmp_path):
+    out = tmp_path / "stats.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "spark_cherry_shuffle_service_spark",
+            "--sf-dir",
+            SF_SMOKE,
+            "shufflestats",
+            "--queries",
+            _QUERIES,
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(out.read_text())
+
+    # SCALE.md: "exact dedup = one shuffle on md5 fingerprint"
+    dedup = stats["dedup_exact"]
+    assert dedup["plan_shuffle_exchanges"] == 1
+    assert dedup["shuffleWriteBytes"] > 0
+    # shuffle conservation: what one side writes the other side reads
+    assert dedup["shuffleReadBytes"] == dedup["shuffleWriteBytes"]
+
+    # datapipe: stratified sampling is a pure per-row predicate — ZERO
+    # shuffle, measured (not just plan-asserted in test_plans.py)
+    strat = stats["corpus_stratified_sample"]
+    assert strat["plan_shuffle_exchanges"] == 0
+    assert strat["shuffleWriteBytes"] == 0
+    assert strat["inputBytes"] > 0  # it did scan the table
+
+    # relational spine: one agg-grain shuffle; dims broadcast
+    ji = stats["join_inner"]
+    assert ji["plan_shuffle_exchanges"] >= 1
+    assert ji["plan_broadcast_exchanges"] >= 1
+
+    summary = stats["_summary"]
+    assert summary["zero_shuffle_queries"] == ["corpus_stratified_sample"]
+    assert summary["n_queries"] == 4
