@@ -113,8 +113,21 @@ def summarize(results: dict[str, dict]) -> dict:
         "n_queries": len(results),
         "total_shuffle_write_bytes": sum(r["shuffleWriteBytes"] for r in results.values()),
         "total_input_bytes": sum(r["inputBytes"] for r in results.values()),
+        # truly shuffle-free: zero measured bytes AND zero shuffle
+        # exchanges in the plan — the structural claim SCALE.md makes
         "zero_shuffle_queries": sorted(
-            n for n, r in results.items() if r["shuffleWriteBytes"] == 0
+            n
+            for n, r in results.items()
+            if r["shuffleWriteBytes"] == 0 and r["plan_shuffle_exchanges"] == 0
+        ),
+        # zero bytes but the plan DOES shuffle: this run's stages were
+        # served by persisted intermediates / reused exchanges built by
+        # earlier queries — the look-ahead-cache effect, order-dependent,
+        # NOT a structural zero-shuffle claim
+        "cache_served_queries": sorted(
+            n
+            for n, r in results.items()
+            if r["shuffleWriteBytes"] == 0 and r["plan_shuffle_exchanges"] > 0
         ),
         "top_shufflers": [
             {"query": n, "shuffleWriteBytes": r["shuffleWriteBytes"]}

@@ -59,4 +59,37 @@ def test_shufflestats_measures_the_claimed_inventory(tmp_path):
 
     summary = stats["_summary"]
     assert summary["zero_shuffle_queries"] == ["corpus_stratified_sample"]
+    assert summary["cache_served_queries"] == []  # fresh session, 4 queries
     assert summary["n_queries"] == 4
+
+
+def test_committed_shuffle_stats_artifact_is_coherent():
+    """The committed sf0.1 artifact must cover the headline set and obey
+    the structural invariants: a query classified zero-shuffle has no
+    shuffle exchange in its plan; a cache-served query DOES (its bytes
+    were paid by an earlier query's persist — the look-ahead-cache
+    effect, which the artifact must not misreport as shuffle-free)."""
+    import os
+
+    import pytest
+
+    from bench import HEADLINE
+
+    path = "/root/repo/SHUFFLE_STATS.json"
+    if not os.path.exists(path):
+        pytest.skip("SHUFFLE_STATS.json not yet generated")
+    stats = json.loads(open(path).read())
+    rows = {k: v for k, v in stats.items() if not k.startswith("_")}
+    assert set(rows) == set(HEADLINE)
+    s = stats["_summary"]
+    for n in s["zero_shuffle_queries"]:
+        assert rows[n]["plan_shuffle_exchanges"] == 0, n
+        assert rows[n]["shuffleWriteBytes"] == 0, n
+    for n in s["cache_served_queries"]:
+        assert rows[n]["plan_shuffle_exchanges"] > 0, n
+        assert rows[n]["shuffleWriteBytes"] == 0, n
+    # the documented zero-shuffle stratified-sampling claim, at sf0.1
+    assert rows["corpus_stratified_sample"]["plan_shuffle_exchanges"] == 0
+    # iterative graph ops are the top shufflers by design (per-round
+    # exchange) — if they stop leading, the artifact is probably stale
+    assert rows["graph_pagerank"]["shuffleWriteBytes"] > 0
