@@ -93,3 +93,34 @@ def test_committed_shuffle_stats_artifact_is_coherent():
     # iterative graph ops are the top shufflers by design (per-round
     # exchange) — if they stop leading, the artifact is probably stale
     assert rows["graph_pagerank"]["shuffleWriteBytes"] > 0
+
+
+def test_shuffle_bytes_scale_sublinearly_at_sf1():
+    """Byte-scaling alarm over the committed sf0.1 and ~sf1 artifacts: a
+    genuinely quadratic pair/candidate generator would shuffle ~100x the
+    bytes at 10x fact data even where wall-clock noise hides it. Known
+    super-10x ratios are the genscale densification effect (facts scale,
+    entity tables don't, so degree grows 10x and entity-pair operators
+    densify ~degree^2 — SCALE.md); the alarm bounds every ratio at 50x
+    and the median at 10x."""
+    import os
+    import statistics
+
+    import pytest
+
+    if not (
+        os.path.exists("/root/repo/SHUFFLE_STATS.json")
+        and os.path.exists("/root/repo/SHUFFLE_STATS_sf1.json")
+    ):
+        pytest.skip("shuffle-stats artifacts not yet generated")
+    a = json.loads(open("/root/repo/SHUFFLE_STATS.json").read())
+    b = json.loads(open("/root/repo/SHUFFLE_STATS_sf1.json").read())
+    ratios = {}
+    for k, ra in a.items():
+        if k.startswith("_") or ra["shuffleWriteBytes"] < 100_000:
+            continue  # sub-100KB bases are all fixed overhead
+        ratios[k] = b[k]["shuffleWriteBytes"] / ra["shuffleWriteBytes"]
+    assert len(ratios) > 40
+    worst = max(ratios, key=ratios.get)
+    assert ratios[worst] <= 50, (worst, ratios[worst])
+    assert statistics.median(ratios.values()) <= 10
