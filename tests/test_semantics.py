@@ -303,3 +303,57 @@ def test_sessionize_gap_is_microsecond_exact(spark, tmp_path):
         for r in con.execute(spec.oracle).fetchall()
     }
     assert oracle == got
+
+
+def test_sessionize_boundary_parity_with_session_window(spark):
+    """Boundary parity between the batch gaps-and-islands (strict `>`:
+    merge at exactly the threshold, split one microsecond past it) and
+    Spark's built-in session_window, PROBED rather than assumed: an
+    event arriving exactly at the previous window's end (last + gap)
+    EXTENDS the session — session_window's boundary is inclusive, the
+    same semantics as the batch twin and the DuckDB oracle. So the
+    batch↔stream parity tests hold even on boundary-aligned data. If
+    this test ever fails, Spark changed session_window's gap semantics —
+    revisit the streaming parity tests."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+
+    def n_sessions(rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        return len(
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().collect()
+        )
+
+    exactly = [(1, t0), (1, t0 + dt.timedelta(seconds=1800))]
+    just_past = [(1, t0), (1, t0 + dt.timedelta(seconds=1800) + us)]
+    assert n_sessions(exactly) == 1  # exactly-at-gap MERGES (inclusive end)
+    assert n_sessions(just_past) == 2  # one microsecond past SPLITS
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts")
+
+    def batch_sessions(rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        return (
+            df.withColumn(
+                "is_new",
+                F.when(
+                    F.lag("ts").over(w).isNull()
+                    | (
+                        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                        > 1_800_000_000
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .agg(F.sum("is_new"))
+            .first()[0]
+        )
+
+    assert batch_sessions(exactly) == 1
+    assert batch_sessions(just_past) == 2
