@@ -80,10 +80,54 @@ def _oracle() -> str:
     return "".join(parts)
 
 
+def _pagerank_oracle_py(con, sf_dir: str):
+    """Independent Python oracle for PageRank — the same fixed-point
+    micro-unit iteration as numpy passes. Needed for the same reason as
+    the CC twin (_cc_oracle_py): the unrolled CTE chain joins
+    edges⋈ranks⋈deg per round, and at generated ~sf5 (fixed entity
+    tables, 50× facts ⇒ near-saturated 30M-edge bipartite graph) DuckDB
+    exhausts a 20 GB temp cap mid-chain while the Spark side finishes in
+    seconds. Integer floor-division per edge, summed per dst — Python
+    `//` on non-negative ints is the same floor DuckDB `//` and Spark
+    DIV compute, so the BIGINT micro-ranks are bit-identical; the final
+    rank/1e6 is a single correctly-rounded IEEE division of a ≤2^53
+    integer, on which ROUND(x, 6) is the identity in every engine
+    (6-dp-rational rule, CLAUDE.md). Pinned ≡ the SQL oracle at fixture
+    scale by tests/test_graph.py."""
+    import numpy as np
+
+    res = con.execute(
+        """
+        SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    ).fetchnumpy()
+    s = np.asarray(res["s_node"], dtype=np.int64)
+    c = np.asarray(res["c_node"], dtype=np.int64)
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    nodes = np.unique(src)
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
+    order = np.argsort(dst_idx, kind="stable")
+    dst_sorted = dst_idx[order]
+    src_for_dst = src_idx[order]
+    boundaries = np.searchsorted(dst_sorted, np.arange(len(nodes)))
+    rank = np.full(len(nodes), 1_000_000, dtype=np.int64)
+    for _ in range(_ITER):
+        contrib = rank[src_for_dst] // deg[src_for_dst]
+        sums = np.add.reduceat(contrib, boundaries)
+        rank = 150_000 + (85 * sums) // 100
+    rows = [(int(n), int(r) / 1_000_000.0) for n, r in zip(nodes, rank)]
+    return ["node", "pagerank"], rows
+
+
 @query(
     "graph_pagerank",
     oracle=_oracle(),
     tags=("graph", "iterative", "pagerank"),
+    oracle_py=_pagerank_oracle_py,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism

@@ -124,6 +124,33 @@ def test_committed_sf1_artifact_is_green():
     assert set(value_sensitive_names()) <= set(verdicts)
 
 
+def test_committed_sf5_artifact_is_green():
+    """The ~sf5 (50× sf0.1) value-sensitive slice artifact: every verdict
+    green, and every omission DOCUMENTED in _excluded — allowed reasons
+    are only (a) events_changepoint, whose int64 guard fires past ~sf2
+    BY DESIGN, and (b) the three entity-pair queries whose DUCKDB ORACLE
+    densifies quadratically on genscale's fixed-entity fixtures (>33 GB
+    temp spill observed; the engine side is degree/block-capped and all
+    three are green at sf1). Silent shrinkage fails."""
+    path = "/root/repo/COMPARE_sf5.json"
+    if not os.path.exists(path):
+        pytest.skip("COMPARE_sf5.json not yet generated")
+    with open(path) as fh:
+        art = json.load(fh)
+    verdicts = {k: v for k, v in art.items() if not k.startswith("_")}
+    assert art["_failures"] == 0
+    assert all(v.startswith("match") for v in verdicts.values())
+    allowed_excluded = {
+        "events_changepoint",
+        "er_blocked_linkage",
+        "graph_common_neighbors",
+        "graph_jaccard_ppm",
+    }
+    assert set(art["_excluded"]) <= allowed_excluded
+    expected = set(value_sensitive_names()) - set(art["_excluded"])
+    assert expected <= set(verdicts)
+
+
 def test_committed_sf1_full_artifact_is_green():
     """Round 7 extends the ~sf1 gate from the value-sensitive slice to the
     FULL oracle registry (COMPARE_sf1_full.json). Every verdict must be

@@ -39,6 +39,27 @@ def test_cc_py_oracle_matches_sql_oracle(duck_correct):
     assert len(p_rows) > 0
 
 
+def test_pagerank_py_oracle_matches_sql_oracle(duck_correct):
+    spec = all_specs()["graph_pagerank"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+    assert len(p_rows) > 0
+
+
+def test_pagerank_py_oracle_matches_sql_oracle_sf01():
+    from tests.conftest import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.1")
+    spec = all_specs()["graph_pagerank"]
+    d_cols, d_rows = duck_rows(con, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, con, "/root/testdata/sf0.1")
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+
+
 def test_cc_py_oracle_matches_sql_oracle_sf01():
     """Second scale point for the fallback oracle: at sf0.1 the edge set
     is ~10x sf0.01 and the SQL oracle still fits DuckDB's temp budget, so
