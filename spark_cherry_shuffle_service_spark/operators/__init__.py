@@ -20,3 +20,4 @@ import spark_cherry_shuffle_service_spark.operators.layout  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.pipeline_ml  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.warehouse_extras  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.monitoring  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.sketches  # noqa: F401
