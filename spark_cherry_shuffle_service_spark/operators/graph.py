@@ -580,3 +580,127 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.col("n_nodes").cast("bigint").alias("n_nodes"), "min_degree", "max_degree")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iteratively delete nodes with degree < k; what survives
+# is the densest "core" of the trade graph — the standard preprocessing
+# step before community detection or embedding training, and the fourth
+# classic iterative graph workload next to PageRank / components / BFS.
+# Bounded to a fixed number of peel rounds (like _CC_ITER): the result is
+# deterministic at any scale whether or not peeling has converged, which
+# is what keeps the unrolled SQL oracle exact. Each round is one
+# map-side-combined degree count (reusing the src partitioning) + two
+# semi-joins; per-round persist per the iterative rule (CLAUDE.md). At
+# 100 TB the dst-side semi-join is the round's one real shuffle — when
+# few nodes die per round, the production variant broadcasts the DEAD
+# set and anti-joins instead, but that plan's benefit is data-dependent
+# so the portable shape stays semi-join.
+# ---------------------------------------------------------------------------
+_KCORE_K = 20
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e0 AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    )"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", a{i} AS (
+      SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+    ), e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN a{i} x ON e.src = x.node
+      JOIN a{i} y ON e.dst = y.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+    )
+    return "".join(parts)
+
+
+def _kcore_oracle_py(con, sf_dir: str):
+    """Independent numpy twin of the unrolled peel (same reason as
+    _cc_oracle_py: the SQL oracle re-materializes the edge table per round
+    and is the resource risk at generated scale, not the query). Pure
+    int64 counting — no float drift possible. Pinned ≡ the SQL oracle at
+    fixture scale by tests/test_graph.py."""
+    import numpy as np
+
+    res = con.execute(
+        """
+        SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    ).fetchnumpy()
+    s = np.asarray(res["s_node"], dtype=np.int64)
+    c = np.asarray(res["c_node"], dtype=np.int64)
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    for _ in range(_KCORE_ROUNDS):
+        nodes, inv = np.unique(src, return_inverse=True)
+        deg = np.bincount(inv)
+        alive = nodes[deg >= _KCORE_K]
+        keep = np.isin(src, alive) & np.isin(dst, alive)
+        src, dst = src[keep], dst[keep]
+    nodes, inv = np.unique(src, return_inverse=True)
+    deg = np.bincount(inv)
+    rows = [(int(n), int(d)) for n, d in zip(nodes, deg)]
+    return ["node", "degree"], rows
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "kcore"),
+    oracle_py=_kcore_oracle_py,
+    doc="Bounded k-core peeling of the supplier<->customer trade graph: "
+    "4 rounds of delete-degree-below-20, then surviving nodes with their "
+    "core-subgraph degrees.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        .repartition(par, "src")
+        .persist()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+            .persist()  # probed twice below (src- and dst-side semi-joins)
+        )
+        edges = (
+            edges.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .repartition(par, "src")
+            .persist()  # per-round persist: see pagerank note (O(k^2) otherwise)
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

@@ -136,3 +136,45 @@ def test_sql_oracle_value_mismatch_never_falls_back(spark, duck_correct):
     finally:
         REGISTRY.pop(name, None)
     assert results[name].startswith("MISMATCH"), results[name]
+
+
+def test_kcore_py_oracle_matches_sql_oracle(duck_correct):
+    spec = all_specs()["graph_kcore"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+    assert len(p_rows) > 0
+
+
+def test_kcore_py_oracle_matches_sql_oracle_sf01():
+    from tests.conftest import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.1")
+    spec = all_specs()["graph_kcore"]
+    d_cols, d_rows = duck_rows(con, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, con, "/root/testdata/sf0.1")
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+
+
+def test_kcore_actually_peels(duck_correct):
+    """The fixture graph must exercise the peel: some nodes die (the
+    output is a strict subset of the node set) and nothing survives the
+    FINAL degree count with degree 0 (edge deletion is symmetric)."""
+    spec = all_specs()["graph_kcore"]
+    _, rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    n_all = duck_correct.execute(
+        """
+        SELECT COUNT(DISTINCT node) FROM (
+          SELECT 2 * l_suppkey AS node FROM lineitem
+          UNION ALL
+          SELECT 2 * o_custkey + 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )
+        """
+    ).fetchone()[0]
+    assert 0 < len(rows) < n_all
+    # cols sorted: (degree, node); cells are ("i", value)-tagged by the
+    # harness normalizer.
+    assert all(r[0][1] >= 1 for r in rows)
