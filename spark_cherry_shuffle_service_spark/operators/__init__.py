@@ -21,3 +21,4 @@ import spark_cherry_shuffle_service_spark.operators.pipeline_ml  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.warehouse_extras  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.monitoring  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.sketches  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.bpe  # noqa: F401

@@ -11,7 +11,12 @@ from tests.conftest import SF_CORRECT
 
 SPECS = all_specs()
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
-ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+PY_ONLY_NAMES = sorted(
+    n for n, s in SPECS.items() if s.oracle is None and s.oracle_py is not None
+)
+ROWS_ONLY_NAMES = sorted(
+    n for n, s in SPECS.items() if s.oracle is None and s.oracle_py is None
+)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -19,6 +24,24 @@ def test_matches_duckdb_oracle(spark, duck_correct, name):
     spec = SPECS[name]
     df = spec.builder(spark, SF_CORRECT)
     assert_matches_oracle(df, duck_correct, spec.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", PY_ONLY_NAMES)
+def test_matches_py_oracle(spark, duck_correct, name):
+    """Specs whose semantics have no SQL form (data-dependent recursion —
+    e.g. BPE merges) carry ONLY a Python oracle; value-check them with the
+    same normalize/sort/compare the SQL differential uses."""
+    from spark_cherry_shuffle_service_spark.plans.differential import (
+        py_oracle_rows,
+        spark_rows,
+    )
+
+    spec = SPECS[name]
+    s_cols, s_rows = spark_rows(spec.builder(spark, SF_CORRECT))
+    d_cols, d_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+    assert len(s_rows) > 0
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
