@@ -692,3 +692,73 @@ def test_random_string_expressions_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:2], drows[:2]))
     assert not mismatches, mismatches[:3]
+
+
+def _int_expr(rng: random.Random, depth: int) -> str:
+    """A random dialect-shared BIGINT expression over the order keys.
+    Probe-verified identical: % is C-style remainder (sign of dividend)
+    in BOTH engines (-7%3 = -1, 7%-3 = 1), and +, -, *, ABS, GREATEST,
+    LEAST, CASE are closed over integers. EXCLUDED by design: `/` and
+    DIV (Spark DIV truncates toward zero, DuckDB // floors — documented
+    divergence; the engine uses the SIGN/ABS recipe, CLAUDE.md) and SIGN
+    (DOUBLE in Spark, TINYINT in DuckDB). Moduli keep magnitudes small
+    enough that no SUM can overflow int64."""
+    if depth == 0 or rng.random() < 0.3:
+        return rng.choice(
+            ["(o_orderkey % 211)", "(o_custkey % 97)", str(rng.randint(-50, 50))]
+        )
+    a, b = _int_expr(rng, depth - 1), _int_expr(rng, depth - 1)
+    kind = rng.randrange(6)
+    if kind == 0:
+        return f"({a} + {b})"
+    if kind == 1:
+        return f"({a} - {b})"
+    if kind == 2:
+        return f"(({a}) * ({b}) % 1009)"
+    if kind == 3:
+        return f"ABS({a})"
+    if kind == 4:
+        return f"{rng.choice(['GREATEST', 'LEAST'])}({a}, {b})"
+    return f"(CASE WHEN {a} < {b} THEN {a} ELSE {b} + 1 END)"
+
+
+def _having_pred(rng: random.Random) -> str:
+    leafs = [
+        f"COUNT(*) {rng.choice(_CMP)} {rng.randint(1, 40)}",
+        f"MIN(o_orderkey) % {rng.randint(2, 13)} {rng.choice(['=', '<>'])} {rng.randint(0, 5)}",
+        f"MAX(o_custkey) {rng.choice(_CMP)} {rng.randint(1, 1500)}",
+        f"SUM(o_orderkey % 101) {rng.choice(_CMP)} {rng.randint(0, 5000)}",
+    ]
+    if rng.random() < 0.5:
+        return rng.choice(leafs)
+    a, b = rng.sample(leafs, 2)
+    return f"({a}) {rng.choice(['AND', 'OR'])} ({b})"
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_int_arith_having_match_duckdb(spark, block):
+    """Integer-arithmetic + HAVING fuzz (round 7, family 15): a random
+    BIGINT expression (negatives, C-style %, bounded products) as the
+    GROUP BY key and as the summed value, filtered post-aggregation by a
+    random HAVING tree over COUNT/MIN/MAX/SUM. Locks the shared integer
+    dialect subset the curated oracles use (including the negative-%
+    corner the SIGN/ABS division recipe depends on)."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(15000 + block * 13, 15000 + block * 13 + 13):
+        rng = random.Random(seed)
+        kexpr = _int_expr(rng, 2)
+        vexpr = _int_expr(rng, 3)
+        sql = (
+            f"SELECT CAST({kexpr} AS BIGINT) AS k, COUNT(*) AS n, "
+            f"CAST(SUM({vexpr}) AS BIGINT) AS s "
+            f"FROM orders WHERE {_pred(rng, 2)} "
+            f"GROUP BY CAST({kexpr} AS BIGINT) HAVING {_having_pred(rng)}"
+        )
+        srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
