@@ -704,3 +704,149 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()  # per-round persist: see pagerank note (O(k^2) otherwise)
         )
     return edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford single-source shortest paths: min-plus relaxation
+# from the nation-0 supplier seed set over quantity-weighted trade edges —
+# the weighted companion to graph_bfs_levels (hop counts) and the fifth
+# classic iterative graph workload. Weights are MIN(l_quantity) per
+# distinct supplier<->customer pair, cast to BIGINT (fixture quantities
+# are integral doubles, so the cast is exact in both engines; a
+# fractional quantity would diverge — DuckDB rounds, Spark truncates —
+# which tests/test_fixtures.py's schema pin would surface). Bounded to
+# _SSSP_ROUNDS relaxations like _CC_ITER/_KCORE_ROUNDS: deterministic at
+# any scale whether or not distances have converged. Per round: one join
+# against the src-partitioned edge table + one min groupBy; per-round
+# persist per the iterative rule. Distances stay tiny integers
+# (<= rounds x 50), so min-plus arithmetic can never overflow.
+# ---------------------------------------------------------------------------
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node,
+             MIN(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst, w FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst, w FROM pairs
+    ), d0 AS (
+      SELECT DISTINCT 2 * s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_nationkey = 0
+    )"""
+    ]
+    for i in range(1, _SSSP_ROUNDS + 1):
+        parts.append(
+            f""", d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d{i - 1} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM d{_SSSP_ROUNDS}\n    ")
+    return "".join(parts)
+
+
+def _sssp_oracle_py(con, sf_dir: str):
+    """numpy min-plus twin (same scale rationale as _cc_oracle_py /
+    _kcore_oracle_py: the unrolled SQL re-joins edges x dist per round and
+    is the resource risk at generated scale). Integer-only arithmetic;
+    pinned ≡ the SQL oracle at fixture scale by tests/test_graph.py."""
+    import numpy as np
+
+    res = con.execute(
+        """
+        SELECT 2 * l_suppkey AS s, 2 * o_custkey + 1 AS c,
+               MIN(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchnumpy()
+    s = np.asarray(res["s"], dtype=np.int64)
+    c = np.asarray(res["c"], dtype=np.int64)
+    w = np.asarray(res["w"], dtype=np.int64)
+    seeds = np.asarray(
+        con.execute(
+            "SELECT DISTINCT 2 * s_suppkey AS n FROM supplier WHERE s_nationkey = 0"
+        ).fetchnumpy()["n"],
+        dtype=np.int64,
+    )
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    ww = np.concatenate([w, w])
+    nodes = np.unique(np.concatenate([src, seeds]))
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    big = np.int64(2**62)
+    dist = np.full(len(nodes), big, dtype=np.int64)
+    dist[np.searchsorted(nodes, seeds)] = 0
+    for _ in range(_SSSP_ROUNDS):
+        valid = dist[src_idx] < big
+        new = dist.copy()
+        np.minimum.at(new, dst_idx[valid], dist[src_idx[valid]] + ww[valid])
+        dist = new
+    rows = [(int(n), int(d)) for n, d in zip(nodes, dist) if d < big]
+    return ["node", "dist"], rows
+
+
+@query(
+    "graph_sssp_bounded",
+    oracle=_sssp_oracle(),
+    tags=("graph", "iterative", "sssp"),
+    oracle_py=_sssp_oracle_py,
+    doc="Bounded Bellman-Ford: 4 min-plus relaxations from the nation-0 "
+    "supplier seeds over MIN(l_quantity)-weighted trade edges; one edge "
+    "join + one min groupBy per round.",
+)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .repartition(par)
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges_one_way = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = (
+        edges_one_way.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
+        .unionByName(
+            edges_one_way.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w")
+        )
+        .repartition(par, "src")
+        .persist()
+    )
+    dist = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((2 * F.col("s_suppkey")).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(_SSSP_ROUNDS):
+        cand = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            # per-round persist: see pagerank note (O(k^2) otherwise)
+            .persist()
+        )
+    return dist

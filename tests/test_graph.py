@@ -178,3 +178,44 @@ def test_kcore_actually_peels(duck_correct):
     # cols sorted: (degree, node); cells are ("i", value)-tagged by the
     # harness normalizer.
     assert all(r[0][1] >= 1 for r in rows)
+
+
+def test_sssp_py_oracle_matches_sql_oracle(duck_correct):
+    spec = all_specs()["graph_sssp_bounded"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+    assert len(p_rows) > 0
+
+
+def test_sssp_py_oracle_matches_sql_oracle_sf01():
+    from tests.conftest import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.1")
+    spec = all_specs()["graph_sssp_bounded"]
+    d_cols, d_rows = duck_rows(con, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, con, "/root/testdata/sf0.1")
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+
+
+def test_sssp_distances_are_sound(duck_correct):
+    """Seeds sit at distance 0; every other reached node is strictly
+    positive; and the reached SET equals the BFS reachable set at the same
+    round bound (min-plus relaxation reaches exactly the <=4-hop
+    neighborhood regardless of weights, all >= 1)."""
+    spec = all_specs()["graph_sssp_bounded"]
+    _, rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    # cols sorted: (dist, node); cells tagged ("i", v).
+    dists = {r[1][1]: r[0][1] for r in rows}
+    seeds = {
+        2 * x[0]
+        for x in duck_correct.execute(
+            "SELECT DISTINCT s_suppkey FROM supplier WHERE s_nationkey = 0"
+        ).fetchall()
+    }
+    assert seeds <= set(dists)
+    assert all(dists[n] == 0 for n in seeds)
+    assert all(d > 0 for n, d in dists.items() if n not in seeds)
