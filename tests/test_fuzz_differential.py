@@ -762,3 +762,32 @@ def test_random_int_arith_having_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:3], drows[:3]))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_distinct_aggregates_match_duckdb(spark, block):
+    """DISTINCT-aggregate fuzz (round 7, family 16): COUNT(DISTINCT e) and
+    SUM(DISTINCT e) over random integer expressions, grouped by a random
+    categorical, beside a plain COUNT(*) — exercises Spark's distinct-agg
+    Expand rewrite (multiple distinct aggregates in one SELECT) against
+    DuckDB's direct evaluation."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(16000 + block * 13, 16000 + block * 13 + 13):
+        rng = random.Random(seed)
+        e1 = _int_expr(rng, 2)
+        e2 = _int_expr(rng, 2)
+        group = rng.choice(["o_orderstatus", "o_orderpriority"])
+        sql = (
+            f"SELECT {group} AS g, COUNT(*) AS n, "
+            f"COUNT(DISTINCT {e1}) AS nd, "
+            f"CAST(SUM(DISTINCT {e2}) AS BIGINT) AS sd "
+            f"FROM orders WHERE {_pred(rng, 2)} GROUP BY {group}"
+        )
+        srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
