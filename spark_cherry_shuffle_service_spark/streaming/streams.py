@@ -618,3 +618,55 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("j") >= _MH_TAU)
         .select("doc_id", "dup_of", F.round(F.col("j"), 4).alias("jaccard"))
     )
+
+
+HH_ALERT_OUTPUT = StructType(
+    [StructField("user_id", LongType()), StructField("threshold", LongType())]
+)
+#: fired is encoded as 0/1 in a LongType to keep the state schema in the
+#: same two-int64 shape the other stateful operators use.
+HH_ALERT_STATE = StructType(
+    [StructField("n", LongType()), StructField("fired", LongType())]
+)
+
+
+def heavy_hitter_alert_stream(events: DataFrame, threshold: int = 70) -> DataFrame:
+    """Streaming face of the heavy-hitters family (operators/sketches.py):
+    emit each user exactly once, in the micro-batch where its RUNNING
+    event count first reaches `threshold`.
+
+    State is one (count, fired) int64 pair per user — sharded by user
+    hash in the state store, so a 1000-executor cluster splits the key
+    domain the same way the batch verify pass shards its groupBy. The
+    fired latch makes the emission set independent of micro-batch
+    boundaries (a key crosses the threshold once, whatever the batching),
+    which is what lets tests/test_streaming.py prove the emitted set
+    equals the batch GROUP BY/filter answer — live alerting == backfill.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, fired = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+        rows = []
+        if not fired and n >= threshold:
+            fired = 1
+            rows.append((int(key[0]), int(threshold)))
+        state.update((n, fired))
+        yield pd.DataFrame(rows, columns=["user_id", "threshold"]).astype(
+            {"user_id": "int64", "threshold": "int64"}
+        )
+
+    return (
+        events.select("user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HH_ALERT_OUTPUT,
+            stateStructType=HH_ALERT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

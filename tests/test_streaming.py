@@ -451,3 +451,32 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
         "value_micro", (F.round("value", 6).cast("decimal(18,6)") * 1_000_000).cast("long")
     ).select("event_id", "user_id", "value_micro")
     assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+
+def test_heavy_hitter_alert_stream_matches_batch(spark):
+    """The streaming threshold alert (per-key count + fired latch in the
+    state store) must emit exactly the keys the batch heavy-hitter filter
+    returns — each exactly once, whatever the micro-batch boundaries."""
+    from spark_cherry_shuffle_service_spark.streaming.streams import (
+        heavy_hitter_alert_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    threshold = 70
+    streamed = run_to_memory(
+        heavy_hitter_alert_stream(read_events_stream(spark, SF_SMOKE), threshold),
+        "hh_alerts",
+        mode="update",
+    )
+    got = sorted(r.user_id for r in streamed.collect())
+    want = sorted(
+        r.user_id
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # the latch: one alert per key
