@@ -77,18 +77,28 @@ def misra_gries_candidates(df: DataFrame, capacity: int) -> DataFrame:
     return df.select("key").mapInPandas(fold, _CAND_SCHEMA)
 
 
-def heavy_hitters_exact(df: DataFrame, k: int, capacity: int | None = None) -> DataFrame:
+def heavy_hitters_exact(
+    df: DataFrame, k: int, capacity: int | None = None, mg_partitions: int | None = None
+) -> DataFrame:
     """Exact heavy hitters: every key of `df.key` with count*k > total count.
 
     Two passes over the input (candidates, verify) plus a scalar total —
     never a full-domain shuffle. `capacity` >= k is required for the
     recall guarantee; the default 4*k keeps a comfortable margin between
     the summary error bound n/(capacity+1) and the report threshold n/k.
+
+    `mg_partitions` repartitions ONLY the Misra–Gries input (the one
+    CPU-heavy, Python-side pass — the single-file-fixture gotcha). The
+    verify pass and the scalar total are plain JVM row counts and read
+    the source as-is: routing them through the same repartition would add
+    two full-row exchanges that buy nothing (caught by a formatted-plan
+    audit; at 100 TB those are the two biggest shuffles in the query).
     """
     capacity = 4 * k if capacity is None else capacity
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k} breaks the MG recall guarantee")
-    cands = misra_gries_candidates(df, capacity).distinct()
+    mg_in = df.repartition(mg_partitions) if mg_partitions else df
+    cands = misra_gries_candidates(mg_in, capacity).distinct()
     total = df.agg(F.count(F.lit(1)).alias("n"))  # 1-row scalar: broadcast-safe
     exact = df.join(cands, "key").groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     return exact.crossJoin(total).filter(F.col("cnt") * k > F.col("n")).select("key", "cnt")
@@ -127,9 +137,7 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.when(
         F.col("l_orderkey") % 1000 < 300, (F.col("l_orderkey") % 8).cast("long")
     ).otherwise(100 + F.col("l_orderkey"))
-    keyed = (
-        table(spark, sf_dir, "lineitem")
-        .select(key.alias("key"))
-        .repartition(par)  # single-file fixture scans as ONE partition
-    )
-    return heavy_hitters_exact(keyed, k=_HH_K, capacity=200)
+    keyed = table(spark, sf_dir, "lineitem").select(key.alias("key"))
+    # mg_partitions spreads only the Python MG pass (single-file fixture
+    # scans as ONE partition); verify/total read the scan directly.
+    return heavy_hitters_exact(keyed, k=_HH_K, capacity=200, mg_partitions=par)

@@ -834,3 +834,17 @@ def test_exact_unbounded_queries_name_a_scale_twin(spark):
     # The tag is in active use — the audit must never pass vacuously.
     tagged = [n for n, s in SPECS.items() if "exact-unbounded" in s.tags]
     assert len(tagged) >= 5, tagged
+
+
+def test_heavy_hitters_shuffles_only_where_designed(spark):
+    """heavy_hitters_mg's whole point is bounded shuffle: exactly four
+    shuffle exchanges — the MG input spread (the one Python-side pass),
+    the candidate DISTINCT, the candidate-only count, and the scalar
+    total — and the candidates enter the verify pass by BROADCAST. The
+    verify and total passes must read the scan directly (routing them
+    through the MG repartition added two full-row exchanges; this pins
+    the fix)."""
+    df = SPECS["heavy_hitters_mg"].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert sum(1 for o in ops if o == "Exchange") == 4, ops
+    assert "BroadcastHashJoin" in ops, ops
