@@ -94,20 +94,11 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
-def _bpe_oracle_py(con, sf_dir: str):
-    """Pure-Python BPE twin: same word counts (DuckDB), same pair
-    statistics, same (count desc, pair asc) tiebreak, same left-to-right
-    non-overlapping rewrite. Independent of every Spark code path above —
-    shared is only the ALGORITHM, which is the thing under test."""
-    rows = con.execute(
-        """
-        SELECT term, COUNT(*) AS c
-        FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS term FROM documents)
-        WHERE length(term) > 0
-        GROUP BY term
-        """
-    ).fetchall()
-    vocab = [(list(word), int(cnt)) for word, cnt in rows]
+def _train_py(word_counts: list[tuple[str, int]]) -> list[tuple[int, str, str, str, int]]:
+    """Pure-Python BPE trainer: same pair statistics, same (count desc,
+    pair asc) tiebreak, same left-to-right non-overlapping rewrite as the
+    Spark loop. Shared by the train and apply oracles."""
+    vocab = [(list(word), int(cnt)) for word, cnt in word_counts]
     merges: list[tuple[int, str, str, str, int]] = []
     for step_no in range(1, _BPE_MERGES + 1):
         pair_counts: dict[tuple[str, str], int] = {}
@@ -136,20 +127,32 @@ def _bpe_oracle_py(con, sf_dir: str):
                 out.append(pend)
             new_vocab.append((out, cnt))
         vocab = new_vocab
-    return ["step", "left", "right", "merged", "pair_cnt"], merges
+    return merges
 
 
-@query(
-    "text_bpe_train",
-    oracle=None,  # not SQL-expressible (data-dependent recursion) — the
-    # Python twin adjudicates values; the driver records rows-only.
-    oracle_py=_bpe_oracle_py,
-    tags=("text", "tokenizer", "iterative", "scale"),
-    doc="Learn an 8-step BPE merge table from the corpus: one corpus scan "
-    "to a counted distinct-word vocab, then per round one pair-count "
-    "shuffle + a 1-row argmax collect + a literal-driven JVM rewrite fold.",
-)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _duck_word_counts(con) -> list[tuple[str, int]]:
+    return con.execute(
+        """
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS term FROM documents)
+        WHERE length(term) > 0
+        GROUP BY term
+        """
+    ).fetchall()
+
+
+def _bpe_oracle_py(con, sf_dir: str):
+    """Independent twin of text_bpe_train: DuckDB word counts + the
+    pure-Python trainer. Independent of every Spark code path — shared is
+    only the ALGORITHM, which is the thing under test."""
+    return ["step", "left", "right", "merged", "pair_cnt"], _train_py(_duck_word_counts(con))
+
+
+def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, int]]:
+    """The distributed training loop (see module docstring); returns the
+    merge table as plain tuples — bounded by the round count, so both
+    text_bpe_train (which tabulates it) and text_bpe_apply (which enters
+    it as fold literals) can share it."""
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(F.length("w") > 0)
@@ -178,6 +181,117 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.append(vocab)
     for df in kept:
         df.unpersist()
+    return merges
+
+
+@query(
+    "text_bpe_train",
+    oracle=None,  # not SQL-expressible (data-dependent recursion) — the
+    # Python twin adjudicates values; the driver records rows-only.
+    oracle_py=_bpe_oracle_py,
+    tags=("text", "tokenizer", "iterative", "scale"),
+    doc="Learn an 8-step BPE merge table from the corpus: one corpus scan "
+    "to a counted distinct-word vocab, then per round one pair-count "
+    "shuffle + a 1-row argmax collect + a literal-driven JVM rewrite fold.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_cnt bigint"
+        _train(spark, sf_dir),
+        "step int, left string, right string, merged string, pair_cnt bigint",
+    )
+
+
+def _apply_merges_py(word: str, merges) -> int:
+    """Token count of `word` under the merge table — the same
+    left-to-right non-overlapping rewrite, one pass per merge in order."""
+    syms = list(word)
+    for _step, left, right, merged, _pc in merges:
+        out: list[str] = []
+        pend: str | None = None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == left and s == right:
+                out.append(merged)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return len(syms)
+
+
+def _bpe_apply_oracle_py(con, sf_dir: str):
+    merges = _train_py(_duck_word_counts(con))
+    rows = con.execute(
+        """
+        SELECT source, term, COUNT(*) AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), ' +')) AS term
+              FROM documents)
+        WHERE length(term) > 0
+        GROUP BY source, term
+        """
+    ).fetchall()
+    out: dict[str, tuple[int, int, int]] = {}
+    for source, word, cnt in rows:
+        words, chars, toks = out.get(source, (0, 0, 0))
+        out[source] = (
+            words + cnt,
+            chars + len(word) * cnt,
+            toks + _apply_merges_py(word, merges) * cnt,
+        )
+    return ["source", "words", "chars", "bpe_tokens"], [
+        (s, w, ch, t) for s, (w, ch, t) in sorted(out.items())
+    ]
+
+
+@query(
+    "text_bpe_apply",
+    oracle=None,  # same oracle_py-only class as text_bpe_train
+    oracle_py=_bpe_apply_oracle_py,
+    tags=("text", "tokenizer", "scale"),
+    doc="Tokenize the corpus with the merge table text_bpe_train learns: "
+    "per-source word/char/BPE-token totals. Apply is a chain of "
+    "literal-driven JVM folds over the per-source distinct-word vocab — "
+    "the corpus is scanned once for word counts; no Python touches a row.",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (the same loop as text_bpe_train), then APPLY: compression
+    stats per source under the learned tokenizer — the fertility
+    measurement text_tokenizer_compression does for a FIXED regex
+    tokenizer, now for the corpus-trained one. The merge table is bounded
+    (one row per round), so entering it as fold literals is the
+    kmeans-centroid pattern, not a data collect. Real tokenizers apply
+    merges per DISTINCT word and multiply by count — exactly what the
+    vocab grain gives: the 8-fold chain runs over ~vocab rows, never the
+    corpus."""
+    merges = _train(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    words = docs.select("source", F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    vocab = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    syms = F.split(F.col("w"), "")
+    for _step, left, right, _merged, _pc in merges:
+        syms = merge_pair(syms, left, right)
+    per_word = vocab.select(
+        "source", "cnt", F.length("w").alias("n_chars"), F.size(syms).alias("n_toks")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("words"),
+            F.sum(F.col("n_chars") * F.col("cnt")).alias("chars"),
+            F.sum(F.col("n_toks") * F.col("cnt")).alias("bpe_tokens"),
+        )
+        .select(
+            "source",
+            F.col("words").cast("bigint").alias("words"),
+            F.col("chars").cast("bigint").alias("chars"),
+            F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        )
     )
