@@ -791,3 +791,41 @@ def test_random_distinct_aggregates_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:3], drows[:3]))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_scalar_subqueries_match_duckdb(spark, block):
+    """Scalar-subquery fuzz (round 7, family 17): an uncorrelated integer
+    scalar subquery (COUNT / MIN / MAX / modular SUM under a random
+    predicate) compared against a random outer integer expression —
+    exercises Spark's subquery-broadcast planning against DuckDB's direct
+    evaluation. Integer-only: AVG is excluded to keep both engines in
+    exact arithmetic."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(17000 + block * 13, 17000 + block * 13 + 13):
+        rng = random.Random(seed)
+        inner_agg = rng.choice(
+            [
+                "COUNT(*) % 997",
+                "MIN(o_orderkey) % 211",
+                "MAX(o_custkey) % 97",
+                "SUM(o_orderkey % 101) % 1009",
+            ]
+        )
+        scalar = (
+            f"(SELECT CAST({inner_agg} AS BIGINT) FROM orders WHERE {_pred(rng, 2)})"
+        )
+        outer = _int_expr(rng, 2)
+        sql = (
+            "SELECT COUNT(*) AS n, "
+            "COALESCE(CAST(SUM(o_custkey % 89) AS BIGINT), -1) AS s "
+            f"FROM orders WHERE {outer} {rng.choice(_CMP)} {scalar}"
+        )
+        srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
