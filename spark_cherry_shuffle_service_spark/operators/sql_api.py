@@ -547,3 +547,43 @@ ORDER BY p_brand
 def sql_text_intersect_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_Q_INTERSECT_CHANNELS)
+
+
+# ---------------------------------------------------------------------------
+# tpcds q70/q36 shape on the PARSER path: rank within rollup level —
+# RANK() OVER (PARTITION BY lochierarchy, CASE WHEN ... END) over a
+# GROUP BY ROLLUP with GROUPING() markers (tpcds/q70.sql:5-10). The
+# DataFrame twin is `rollup_grouping` (relational.py); this runs the SAME
+# dialect-shared text through spark.sql and DuckDB (dsum twin included).
+# ---------------------------------------------------------------------------
+from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql as _dsum_sql
+
+_Q_ROLLUP_RANK = f"""
+WITH r AS (
+  SELECT COALESCE(r_name, '(all)') AS region_name,
+         COALESCE(n_name, '(all)') AS nation_name,
+         GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+         GROUPING(n_name) AS g_nation,
+         {_dsum_sql('c_acctbal', 'total_bal')},
+         COUNT(*) AS n_cust
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP(r_name, n_name)
+)
+SELECT region_name, nation_name, lochierarchy, total_bal, n_cust,
+       RANK() OVER (PARTITION BY lochierarchy,
+                                 CASE WHEN g_nation = 0 THEN region_name END
+                    ORDER BY total_bal DESC, nation_name) AS rank_within_parent
+FROM r
+"""
+
+
+@query(
+    "sql_text_rollup_rank",
+    oracle=_Q_ROLLUP_RANK,
+    tags=("sql", "rollup", "grouping", "window", "api"),
+)
+def sql_text_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_ROLLUP_RANK)
