@@ -846,5 +846,11 @@ def test_heavy_hitters_shuffles_only_where_designed(spark):
     the fix)."""
     df = SPECS["heavy_hitters_mg"].builder(spark, SF_SMOKE)
     ops = plan_ops(df)
-    assert sum(1 for o in ops if o == "Exchange") == 4, ops
+    # <= 4: the MG input spread, the candidate DISTINCT, and at most the
+    # candidate-count + scalar-total shuffles (those two vanish entirely
+    # when the scan's partitioning already satisfies the clustering, as
+    # with single-file fixtures — the point is they are never MORE).
+    assert sum(1 for o in ops if o == "Exchange") <= 4, ops
     assert "BroadcastHashJoin" in ops, ops
+    # The one full-row exchange feeds the Python MG pass directly.
+    assert ops[ops.index("MapInPandas") - 1] == "Exchange", ops

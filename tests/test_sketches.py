@@ -37,7 +37,9 @@ _slow = settings(
 def _fold_stream(stream: list[int], capacity: int, batch: int) -> dict[int, int]:
     counters: dict[int, int] = {}
     for i in range(0, len(stream), batch):
-        counters = _mg_merge(counters, pd.Series(stream[i : i + batch]), capacity)
+        counters = _mg_merge(
+            counters, pd.Series(stream[i : i + batch]).value_counts(), capacity
+        )
     return counters
 
 
@@ -83,12 +85,29 @@ def test_heavy_hitters_partition_invariant(spark, parts):
 
 def test_candidates_bounded_and_superset(spark):
     df = spark.createDataFrame(
-        [(1,)] * 50 + [(i,) for i in range(200, 400)], "key long"
+        [(1, 1)] * 50 + [(i, 1) for i in range(200, 400)], "key long, w long"
     ).repartition(4)
     cands = {r.key for r in misra_gries_candidates(df, capacity=10).collect()}
     assert 1 in cands  # 50/250 = 20% >> 1/11
     # Each partition emits at most `capacity` keys.
     assert len(cands) <= 4 * 10
+
+
+def test_weighted_heavy_hitters_match_unit_weight_semantics(spark):
+    """weight='w' with all-ones weights must equal the unweighted path,
+    and a key that is rare by COUNT but heavy by MASS must be found."""
+    rows = [(i % 7, 1) for i in range(400)] + [(100 + i, 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    a = sorted(map(tuple, heavy_hitters_exact(df, k=20, capacity=25).collect()))
+    b = sorted(
+        map(tuple, heavy_hitters_exact(df, k=20, capacity=25, weight="w").collect())
+    )
+    assert a == b
+    # key 999 appears ONCE but carries half the total mass.
+    heavy_mass = [(i, 1) for i in range(1000)] + [(999, 1000)]
+    dfm = spark.createDataFrame(heavy_mass, "key long, w long").repartition(4)
+    got = {r.key for r in heavy_hitters_exact(dfm, k=3, capacity=16, weight="w").collect()}
+    assert got == {999}
 
 
 def test_capacity_below_k_rejected(spark):
