@@ -499,3 +499,167 @@ def test_dynamic_allocation_scales_executors_up_and_down():
     assert out["peak_execs"] == 2, f"backlog never scaled to maxExecutors: {out}"
     assert out["final_execs"] == 0, f"executors not reclaimed after idle: {out}"
     assert out["sum"] == sum(range(8)), out
+
+
+# Third scenario: executor loss during an ARROW PYTHON stage. The MG pass
+# of the heavy-hitters operator (operators/sketches.py) runs Python
+# workers via MapInPandas; killing the executor JVM also kills its
+# pyspark daemon mid-fold. Lineage must re-run the lost Arrow tasks on
+# the survivor, and — because the operator's verify pass makes the final
+# answer partition-invariant — the result must STILL equal the exact
+# oracle even though the re-run produces a different candidate set than
+# the pre-kill partitioning would have.
+_CHILD_ARROW = r"""
+import json, os, signal, subprocess, sys, threading, time
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from spark_cherry_shuffle_service_spark.operators.sketches import _CAND_SCHEMA, _mg_merge
+
+sf_dir = sys.argv[1]
+out = {"started": False, "killed_pid": None, "killed_mid_job": False,
+       "rows": None, "error": None}
+
+spark = (SparkSession.builder.master("local-cluster[2,1,1536]")
+         .appName("arrow-stage-loss-demo")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.executor.memory", "1g")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+sc = spark.sparkContext
+
+deadline = time.time() + 90
+while time.time() < deadline:
+    if sc._jsc.sc().getExecutorMemoryStatus().size() >= 3:
+        break
+    time.sleep(0.5)
+else:
+    print(json.dumps({**out, "error": "executors never registered"})); sys.exit(1)
+
+
+def backend_pids():
+    r = subprocess.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                       capture_output=True, text=True)
+    pids = []
+    for p in r.stdout.split():
+        pid = int(p)
+        if pid == os.getpid():
+            continue
+        try:
+            argv = open(f"/proc/{pid}/cmdline", "rb").read().split(b"\0")
+        except OSError:
+            continue
+        if argv and b"java" in argv[0] and any(b"CoarseGrainedExecutorBackend" in a for a in argv[1:]):
+            pids.append(pid)
+    return pids
+
+
+initial_pids = set(backend_pids())
+out["started"] = len(initial_pids) >= 2
+
+key = F.when(F.col("l_orderkey") % 10 < 8, F.lit(1).cast("long")).otherwise(
+    F.col("l_orderkey"))
+keyed = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(key.alias("key"))
+
+
+def slow_fold(batches):
+    # The 0.8 s/batch sleep widens the Arrow stage so the SIGKILL lands
+    # while Python workers hold partial MG state.
+    counters = {}
+    for pdf in batches:
+        time.sleep(0.8)
+        counters = _mg_merge(counters, pdf["key"].value_counts(), 25)
+    yield pd.DataFrame({"key": pd.Series(sorted(counters), dtype="int64")})
+
+
+cands = keyed.repartition(8).mapInPandas(slow_fold, _CAND_SCHEMA).distinct()
+total = keyed.agg(F.count(F.lit(1)).alias("n"))
+exact = keyed.join(cands, "key").groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+result = exact.crossJoin(total).filter(F.col("cnt") * 20 > F.col("n")).select("key", "cnt")
+
+state = {"result": None, "exc": None, "done": False}
+
+
+def run_job():
+    try:
+        state["result"] = sorted((r.key, r.cnt) for r in result.collect())
+    except Exception as e:
+        state["exc"] = repr(e)
+    finally:
+        state["done"] = True
+
+
+t = threading.Thread(target=run_job, daemon=True)
+t.start()
+
+tracker = sc.statusTracker()
+first_stages = None
+deadline = time.time() + 120
+while time.time() < deadline and not state["done"]:
+    active = set(tracker.getActiveStageIds())
+    if active:
+        if first_stages is None:
+            first_stages = set(active)
+        elif active - first_stages:
+            time.sleep(0.5)  # let the Arrow stage's first tasks start folding
+            break
+    time.sleep(0.05)
+
+victim = None
+for pid in backend_pids():
+    if pid in initial_pids:
+        victim = pid
+        break
+if victim is not None and not state["done"]:
+    os.kill(victim, signal.SIGKILL)
+    out["killed_pid"] = victim
+    out["killed_mid_job"] = not state["done"]
+
+t.join(timeout=240)
+if state["exc"]:
+    out["error"] = state["exc"]
+else:
+    out["rows"] = state["result"]
+spark.stop()
+print(json.dumps(out))
+"""
+
+
+def test_arrow_python_stage_survives_executor_sigkill(duck_smoke):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_ARROW, SF_SMOKE],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON from child\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+
+    assert out["started"], out
+    assert out["error"] is None, out
+    assert out["killed_pid"] is not None, f"no executor backend found to kill: {out}"
+    assert out["killed_mid_job"], f"kill landed after job completion — demo void: {out}"
+
+    expected = sorted(
+        tuple(r)
+        for r in duck_smoke.execute(
+            """
+            WITH keyed AS (
+              SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_orderkey END AS key
+              FROM lineitem
+            ), tot AS (SELECT COUNT(*) AS n FROM keyed)
+            SELECT key, COUNT(*) AS cnt FROM keyed GROUP BY key
+            HAVING COUNT(*) * 20 > (SELECT n FROM tot)
+            """
+        ).fetchall()
+    )
+    got = [tuple(r) for r in out["rows"]]
+    assert got == expected, f"result drift after Arrow-stage executor loss: {got} vs {expected}"
