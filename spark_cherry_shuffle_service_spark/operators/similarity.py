@@ -1594,3 +1594,79 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact re-ranking of ADC candidates — the final stage of the production
+# ANN pipeline (IVF prunes the corpus, PQ/ADC prunes the cell, exact
+# cosine re-orders only the surviving top-k). Composed from the
+# similarity_ivfpq result: the candidate set is |queries| x _IVF_TOPK
+# rows (SF-invariant — the query set is fixed), so the exact float math
+# touches a bounded frame and enters the corpus-scale embedding table
+# only through two broadcast hash joins keyed by vec_id. ADC's
+# quantization error re-orders candidates — the test asserts the rerank
+# actually changes some ranks on the fixtures, so the stage is exercised,
+# not a no-op.
+# ---------------------------------------------------------------------------
+_RERANK_TOPK = 2
+
+from spark_cherry_shuffle_service_spark.plans.registry import REGISTRY as _REG
+
+
+@query(
+    "similarity_ivfpq_rerank",
+    oracle=f"""
+    WITH base AS ({_REG["similarity_ivfpq"].oracle}),
+    n2 AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), rer AS (
+      SELECT b.query_id, b.neighbor_id,
+             {_SQL_DOT_AB.format(a='qe.embedding', b='ne.embedding')} / (qe.nrm * ne.nrm) AS cos
+      FROM base b
+      JOIN n2 qe ON qe.vec_id = b.query_id
+      JOIN n2 ne ON ne.vec_id = b.neighbor_id
+    ), rrk AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM rrk WHERE rnk <= {_RERANK_TOPK}
+    """,
+    tags=("similarity", "ivf", "pq", "rerank", "ann", "scale"),
+    doc="IVF->ADC->exact rerank: exact cosine re-orders the bounded ADC "
+    "candidate set (|queries| x topk rows); the corpus-scale embedding "
+    "table is only touched through broadcast joins on vec_id.",
+)
+def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = similarity_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("q_vid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("n_vid"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    rer = (
+        qe.join(F.broadcast(cands), F.col("q_vid") == F.col("query_id"))
+        .join(ne, F.col("n_vid") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rer.select("query_id", "neighbor_id", "cos", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= _RERANK_TOPK)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )

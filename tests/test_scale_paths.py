@@ -185,3 +185,25 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         a25, a75 = approx[flag]
         assert abs(a25 - e25) / e25 < 0.01, (flag, a25, e25)
         assert abs(a75 - e75) / e75 < 0.01, (flag, a75, e75)
+
+
+def test_ivfpq_rerank_actually_reorders(spark):
+    """The exact rerank must be exercised on the fixtures: for at least
+    one query, the exact-cosine order of the ADC candidate set differs
+    from the ADC order (quantization error is the whole reason the rerank
+    stage exists). If this ever degenerates to a no-op the op proves
+    nothing."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    adc = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in specs["similarity_ivfpq"].builder(spark, SF_CORRECT).collect()
+    }
+    rer = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in specs["similarity_ivfpq_rerank"].builder(spark, SF_CORRECT).collect()
+    }
+    assert rer  # non-empty
+    diffs = sum(1 for k, v in rer.items() if adc.get(k) != v)
+    assert diffs > 0, "rerank returned the ADC order verbatim — stage not exercised"
