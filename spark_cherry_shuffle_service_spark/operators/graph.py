@@ -850,3 +850,150 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, bounded rounds): each
+# node adopts the most frequent label among its NEIGHBORS, ties broken by
+# the smallest label — a fully deterministic variant of Raghavan et al.'s
+# algorithm (classic LPA breaks ties randomly; a random tiebreak can
+# never be oracle-checked, so the spec pins (count DESC, label ASC)).
+# Completes the classic iterative set: PageRank, components, BFS,
+# triangles, k-core, SSSP, LPA. Per round: one (node,label) count
+# aggregation + one per-node argmax window; per-round persist per the
+# iterative rule. Deterministic at any scale whether or not labels have
+# converged (same bounded-round contract as _CC_ITER).
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT s_node AS src, c_node AS dst FROM pairs
+      UNION ALL
+      SELECT c_node AS src, s_node AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT e.src AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ), l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label
+    """
+    )
+    return "".join(parts)
+
+
+def _lpa_oracle_py(con, sf_dir: str):
+    """numpy twin (same scale rationale as the CC/k-core/SSSP twins).
+    Per round: per-(node,label) neighbor counts via np.unique on a packed
+    key, then per-node argmax by (count DESC, label ASC) via lexsort —
+    pure integer ops, bit-identical to the SQL semantics."""
+    import numpy as np
+
+    res = con.execute(
+        """
+        SELECT DISTINCT 2 * l_suppkey AS s_node, 2 * o_custkey + 1 AS c_node
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    ).fetchnumpy()
+    s = np.asarray(res["s_node"], dtype=np.int64)
+    c = np.asarray(res["c_node"], dtype=np.int64)
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    nodes = np.unique(src)
+    n = len(nodes)
+    src_idx = np.searchsorted(nodes, src)
+    dst_idx = np.searchsorted(nodes, dst)
+    label = nodes.copy()
+    for _ in range(_LPA_ROUNDS):
+        lab_idx = np.searchsorted(nodes, label[dst_idx])  # labels are node ids
+        packed, counts = np.unique(src_idx * np.int64(n) + lab_idx, return_counts=True)
+        node_u = packed // n
+        lab_u = packed % n
+        order = np.lexsort((lab_u, -counts, node_u))
+        node_sorted = node_u[order]
+        first = np.searchsorted(node_sorted, np.arange(n))
+        label = nodes[lab_u[order][first]]
+    communities, counts = np.unique(label, return_counts=True)
+    min_node = np.full(len(communities), np.iinfo(np.int64).max, dtype=np.int64)
+    inv = np.searchsorted(communities, label)
+    np.minimum.at(min_node, inv, nodes)
+    rows = [
+        (int(comm), int(cnt), int(mn))
+        for comm, cnt, mn in zip(communities, counts, min_node)
+    ]
+    return ["community", "n_nodes", "min_node"], rows
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "communities"),
+    oracle_py=_lpa_oracle_py,
+    doc="Deterministic synchronous LPA (3 rounds, most-frequent neighbor "
+    "label, min-label tiebreak): community id, size, min node.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").repartition(par)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey")).alias("s_node"),
+            (2 * F.col("o_custkey") + 1).alias("c_node"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        .repartition(par, "dst")  # the per-round join probes on dst (CC note)
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("nd").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "label")
+            # per-round persist: see pagerank note (O(k^2) otherwise)
+            .persist()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )

@@ -219,3 +219,34 @@ def test_sssp_distances_are_sound(duck_correct):
     assert seeds <= set(dists)
     assert all(dists[n] == 0 for n in seeds)
     assert all(d > 0 for n, d in dists.items() if n not in seeds)
+
+
+def test_lpa_py_oracle_matches_sql_oracle(duck_correct):
+    spec = all_specs()["graph_label_propagation"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+    assert len(p_rows) > 0
+
+
+def test_lpa_py_oracle_matches_sql_oracle_sf01():
+    from tests.conftest import duck_connection
+
+    con = duck_connection("/root/testdata/sf0.1")
+    spec = all_specs()["graph_label_propagation"]
+    d_cols, d_rows = duck_rows(con, spec.oracle)
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, con, "/root/testdata/sf0.1")
+    assert p_cols == d_cols
+    assert p_rows == d_rows
+
+
+def test_lpa_actually_coarsens(duck_correct):
+    """After 3 rounds the label set must be strictly smaller than the node
+    set (propagation merged somebody) and every community min_node must
+    be a member candidate (min_node's community is its own label source)."""
+    spec = all_specs()["graph_label_propagation"]
+    _, rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    n_nodes_total = sum(r[2][1] for r in rows)  # cols sorted: community, min_node, n_nodes
+    assert 0 < len(rows) < n_nodes_total
