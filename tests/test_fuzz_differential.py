@@ -829,3 +829,39 @@ def test_random_scalar_subqueries_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:3], drows[:3]))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_limit_offset_pagination_match_duckdb(spark, block):
+    """Pagination fuzz (round 7, family 18): ORDER BY a unique-key-anchored
+    sort with random LIMIT/OFFSET windows, optionally under a random
+    predicate or over a grouped derived table — the result must be the
+    exact page on both engines (any off-by-one in OFFSET handling or an
+    unstable sort diverges; every sort ends with the unique key so pages
+    are well-defined)."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    mismatches = []
+    for seed in range(18000 + block * 13, 18000 + block * 13 + 13):
+        rng = random.Random(seed)
+        lim, off = rng.randint(1, 40), rng.randint(0, 60)
+        direction = rng.choice(["ASC", "DESC"])
+        if rng.random() < 0.5:
+            sql = (
+                "SELECT o_orderkey AS k, o_custkey AS c FROM orders "
+                f"WHERE {_pred(rng, 2)} "
+                f"ORDER BY o_custkey {direction}, o_orderkey "
+                f"LIMIT {lim} OFFSET {off}"
+            )
+        else:
+            sql = (
+                "SELECT c, n FROM ("
+                "  SELECT o_custkey AS c, COUNT(*) AS n FROM orders GROUP BY o_custkey"
+                f") g ORDER BY n {direction}, c LIMIT {lim} OFFSET {off}"
+            )
+        srows = [tuple(r) for r in spark.sql(sql).collect()]
+        drows = [tuple(r) for r in con.execute(sql).fetchall()]
+        if srows != drows:  # ORDER-SENSITIVE compare: pages must be identical
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
