@@ -250,6 +250,27 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Host-calibration probe (BENCH_AB_HOSTDRIFT lesson): a fixed,
+    # CODE-INDEPENDENT Spark job (generator + md5 + small shuffle) timed
+    # median-of-3. Its value moves only with host state, never with repo
+    # changes, so any future bench total can be normalized:
+    # total/calibration is comparable across host windows where raw totals
+    # are not. Reference value for the current window in BASELINE.md.
+    def _calibration_probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 16_000_000, 1, 32)
+            .selectExpr("substring(md5(cast(id AS string)), 1, 4) AS k")
+            .groupBy("k")
+            .count()
+            .selectExpr("sum(count) AS s", "count(*) AS n")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    calibration = round(_median([_calibration_probe() for _ in range(3)]), 3)
+    print(f"  [calibration: {calibration:.3f}s]", file=sys.stderr)
+
     specs = all_specs()
     timings: dict[str, float] = {}
     details: dict[str, dict] = {}
@@ -340,6 +361,7 @@ def main() -> None:
         "full_copy": "BENCH_FULL.json",
         "violations": violations,
         "n_violations": len(violations),
+        "calibration_sec": calibration,
         "value": total,
         "sf": sf,
     }
