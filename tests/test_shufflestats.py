@@ -124,3 +124,27 @@ def test_shuffle_bytes_scale_sublinearly_at_sf1():
     worst = max(ratios, key=ratios.get)
     assert ratios[worst] <= 50, (worst, ratios[worst])
     assert statistics.median(ratios.values()) <= 10
+
+
+def test_committed_r7cont_shuffle_artifact_pins_bounded_claims():
+    """The continuation-operator artifact (SHUFFLE_STATS_r7cont.json,
+    sf0.1) must keep the measured scale claims honest: heavy hitters'
+    total shuffle stays absolute-bounded (<10 MB — dominated by the
+    fixture-only MG-input repartition; candidates/verify are KB-scale,
+    never the 100k-key domain), BPE stays vocab-grain (< 5 MB), and the
+    iterative graph ops lead the table via per-round exchanges."""
+    import os
+
+    import pytest
+
+    path = "/root/repo/SHUFFLE_STATS_r7cont.json"
+    if not os.path.exists(path):
+        pytest.skip("SHUFFLE_STATS_r7cont.json not yet generated")
+    stats = json.loads(open(path).read())
+    rows = {k: v for k, v in stats.items() if not k.startswith("_")}
+    for n in ("heavy_hitters_mg", "heavy_hitters_weighted"):
+        assert rows[n]["shuffleWriteBytes"] < 10_000_000, (n, rows[n])
+    for n in ("text_bpe_train", "text_bpe_apply"):
+        assert rows[n]["shuffleWriteBytes"] < 5_000_000, (n, rows[n])
+    top = max(rows, key=lambda n: rows[n]["shuffleWriteBytes"])
+    assert top in {"graph_label_propagation", "graph_sssp_bounded", "graph_kcore"}, top
