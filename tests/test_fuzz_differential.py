@@ -865,3 +865,53 @@ def test_random_limit_offset_pagination_match_duckdb(spark, block):
         if srows != drows:  # ORDER-SENSITIVE compare: pages must be identical
             mismatches.append((seed, sql, srows[:3], drows[:3]))
     assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_rollup_cube_match_duckdb(spark, block):
+    """ROLLUP/CUBE fuzz (round 7, family 19): random grouping-column
+    subsets (categoricals + a modular integer expression) under ROLLUP or
+    CUBE, with GROUPING() level markers and COALESCE'd NULL labels —
+    locks the Expand rewrite, subtotal-row NULL semantics, and
+    GROUPING() numbering across random shapes. Keys are CAST to STRING
+    inside the COALESCE so subtotal labels compare identically.
+
+    EMPTY-INPUT divergence (found by this family's first run, seed
+    19000): on a WHERE that matches zero rows, DuckDB emits the
+    grand-total grouping-set row (COUNT=0, SUM=NULL) — the () set acts
+    like a global aggregate — while Spark's Expand+Aggregate over zero
+    rows yields an EMPTY result. That is a dialect difference, not an
+    engine bug (the curated rollup operators never aggregate an empty
+    relation), so empty-input seeds assert the divergence explicitly and
+    the value compare runs on non-empty inputs only."""
+    register_views(spark, SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'")
+    pool = ["o_orderstatus", "o_orderpriority", "(o_custkey % 10)"]
+    mismatches = []
+    for seed in range(19000 + block * 13, 19000 + block * 13 + 13):
+        rng = random.Random(seed)
+        cols = rng.sample(pool, rng.randint(2, 3))
+        op = rng.choice(["ROLLUP", "CUBE"])
+        keys = ", ".join(
+            f"COALESCE(CAST({c} AS STRING), '(all)') AS k{i}" for i, c in enumerate(cols)
+        )
+        lvl = " + ".join(f"GROUPING({c})" for c in cols)
+        pred = _pred(rng, 2)
+        sql = (
+            f"SELECT {keys}, CAST({lvl} AS BIGINT) AS lvl, COUNT(*) AS n, "
+            "CAST(SUM(o_orderkey % 97) AS BIGINT) AS s "
+            f"FROM orders WHERE {pred} "
+            f"GROUP BY {op}({', '.join(cols)})"
+        )
+        srows = sorted(tuple(r) for r in spark.sql(sql).collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        n_in = con.execute(f"SELECT COUNT(*) FROM orders WHERE {pred}").fetchone()[0]
+        if n_in == 0:
+            # pinned divergence: Spark empty, DuckDB the lone grand-total row
+            if srows != [] or len(drows) != 1 or drows[0][-2] != 0:
+                mismatches.append((seed, "empty-input contract", srows[:3], drows[:3]))
+            continue
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:3], drows[:3]))
+    assert not mismatches, mismatches[:3]
