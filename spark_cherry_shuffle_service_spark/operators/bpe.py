@@ -148,11 +148,34 @@ def _bpe_oracle_py(con, sf_dir: str):
     return ["step", "left", "right", "merged", "pair_cnt"], _train_py(_duck_word_counts(con))
 
 
+#: Merge-table memo keyed by (sf_dir, documents-file mtime): the merge
+#: table is a pure deterministic function of the corpus, so text_bpe_apply
+#: reuses text_bpe_train's result instead of paying the 8-round training
+#: loop twice per suite run (ADVICE r7). The mtime key invalidates the memo
+#: if a generated fixture dir is rewritten in-process (genscale --force).
+_TRAIN_MEMO: dict[tuple[str, float], list[tuple[int, str, str, str, int]]] = {}
+
+
+def _docs_mtime(sf_dir: str) -> float:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, int]]:
     """The distributed training loop (see module docstring); returns the
     merge table as plain tuples — bounded by the round count, so both
     text_bpe_train (which tabulates it) and text_bpe_apply (which enters
-    it as fold literals) can share it."""
+    it as fold literals) can share it. Memoized per corpus (see
+    _TRAIN_MEMO)."""
+    memo_key = (sf_dir, _docs_mtime(sf_dir))
+    cached = _TRAIN_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).filter(F.length("w") > 0)
@@ -181,6 +204,7 @@ def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, i
         kept.append(vocab)
     for df in kept:
         df.unpersist()
+    _TRAIN_MEMO[memo_key] = merges
     return merges
 
 

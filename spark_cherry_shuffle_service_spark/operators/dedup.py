@@ -509,9 +509,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT doc_a, doc_b, jaccard,
-           ROUND(list_reduce(list_prepend(0.0, list_transform(list_zip(ea.embedding, eb.embedding),
+           CAST(FLOOR(list_reduce(list_prepend(0.0, list_transform(list_zip(ea.embedding, eb.embedding),
                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), (x, y) -> x + y)
-                 / (ea.nrm * eb.nrm), 6) AS cosine
+                 / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS cosine_micro
     FROM cand
     JOIN n ea ON ea.vec_id = doc_a
     JOIN n eb ON eb.vec_id = doc_b
@@ -543,7 +543,7 @@ def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(ea), "doc_a")
         .join(F.broadcast(eb), "doc_b")
-        .select("doc_a", "doc_b", "jaccard", F.round(cos, 6).alias("cosine"))
+        .select("doc_a", "doc_b", "jaccard", F.floor(cos * 1e6).alias("cosine_micro"))
     )
 
 

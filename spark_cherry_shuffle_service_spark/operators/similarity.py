@@ -61,7 +61,7 @@ _LSH_PLANES = 8
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+    SELECT query_id, neighbor_id, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cosine_micro, rnk
     FROM ranked WHERE rnk <= {_TOPK_K}
     """,
     tags=("similarity", "topk", "ann"),
@@ -90,7 +90,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("query_id", "neighbor_id", "cos", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= _TOPK_K)
-        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+        .select(
+            "query_id", "neighbor_id", F.floor(F.col("cos") * 1e6).alias("cosine_micro"), "rnk"
+        )
     )
 
 
@@ -165,7 +167,8 @@ def lsh_cands_sql(a_name: str, b_name: str) -> str:
     ),
     {lsh_cands_sql('vec_a', 'vec_b')}
     SELECT vec_a, vec_b,
-           ROUND({_SQL_DOT_AB.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+           CAST(FLOOR({_SQL_DOT_AB.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+                      * 1000000) AS BIGINT) AS cosine_micro
     FROM cands
     JOIN n a ON a.vec_id = vec_a
     JOIN n b ON b.vec_id = vec_b
@@ -193,7 +196,7 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "vec_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _PAIR_TAU)
-        .select("vec_a", "vec_b", F.round(F.col("cos"), 6).alias("cosine"))
+        .select("vec_a", "vec_b", F.floor(F.col("cos") * 1e6).alias("cosine_micro"))
     )
 
 
@@ -307,7 +310,8 @@ _IVF_TOPK = 3
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       FROM scored
     )
-    SELECT query_id, cell, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+    SELECT query_id, cell, neighbor_id,
+           CAST(FLOOR(cos * 1000000) AS BIGINT) AS cosine_micro, rnk
     FROM ranked WHERE rnk <= {_IVF_TOPK}
     """,
     tags=("similarity", "ivf", "ann", "scale"),
@@ -356,7 +360,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= _IVF_TOPK)
-        .select("query_id", "cell", "neighbor_id", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            F.floor(F.col("cos") * 1e6).alias("cosine_micro"),
+            "rnk",
+        )
     )
 
 
@@ -684,7 +694,7 @@ _KNN_K = 3
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
       FROM scored
     )
-    SELECT src, dst, ROUND(cos, 6) AS cosine, rnk
+    SELECT src, dst, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cosine_micro, rnk
     FROM ranked WHERE rnk <= {_KNN_K}
     """,
     tags=("similarity", "knn", "graph", "lsh", "scale"),
@@ -709,7 +719,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .select("src", "dst", "cos", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= _KNN_K)
-        .select("src", "dst", F.round(F.col("cos"), 6).alias("cosine"), "rnk")
+        .select("src", "dst", F.floor(F.col("cos") * 1e6).alias("cosine_micro"), "rnk")
     )
 
 
@@ -1630,7 +1640,8 @@ from spark_cherry_shuffle_service_spark.plans.registry import REGISTRY as _REG
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       FROM rer
     )
-    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    SELECT query_id, neighbor_id,
+           CAST(FLOOR(cos * 1000000) AS BIGINT) AS cosine_micro, CAST(rnk AS BIGINT) AS rnk
     FROM rrk WHERE rnk <= {_RERANK_TOPK}
     """,
     tags=("similarity", "ivf", "pq", "rerank", "ann", "scale"),
@@ -1668,5 +1679,5 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rer.select("query_id", "neighbor_id", "cos", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= _RERANK_TOPK)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+        .select("query_id", "neighbor_id", F.floor(F.col("cos") * 1e6).alias("cosine_micro"), "rnk")
     )

@@ -50,6 +50,14 @@ def test_cli_bench_subset(spark, capsys):
     assert main(["--sf-dir", SF_SMOKE, "bench", "--queries", "join_inner,top_revenue"]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rec["queries"]) == {"join_inner", "top_revenue"}
+    # The CLI bench must run bench.py's protocol, not a cold single shot —
+    # round 7's verdict flagged the single-run form as an adjudication trap
+    # (isolated cold runs read 3-10x the warm-median baselines).
+    assert rec["protocol"]["stat"] == "median"
+    assert rec["protocol"]["runs_per_query"] == 3
+    assert all(len(runs) == 3 for runs in rec["runs"].values())
+    for name, t in rec["queries"].items():
+        assert t == sorted(rec["runs"][name])[1], (name, t, rec["runs"][name])
 
 
 def test_cli_explain_shows_pushed_filters(spark, capsys):

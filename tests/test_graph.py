@@ -161,8 +161,11 @@ def test_kcore_py_oracle_matches_sql_oracle_sf01():
 
 def test_kcore_actually_peels(duck_correct):
     """The fixture graph must exercise the peel: some nodes die (the
-    output is a strict subset of the node set) and nothing survives the
-    FINAL degree count with degree 0 (edge deletion is symmetric)."""
+    output is a strict subset of the node set), and edge deletion is
+    SYMMETRIC — the src-derived degree map (the query's output) must be
+    identical to the dst-derived degree map over the surviving edge set.
+    (A degree >= 1 check is vacuous here: a GROUP BY over the edge table
+    can never emit a zero-count group — ADVICE r7.)"""
     spec = all_specs()["graph_kcore"]
     _, rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
     n_all = duck_correct.execute(
@@ -175,9 +178,18 @@ def test_kcore_actually_peels(duck_correct):
         """
     ).fetchone()[0]
     assert 0 < len(rows) < n_all
-    # cols sorted: (degree, node); cells are ("i", value)-tagged by the
-    # harness normalizer.
-    assert all(r[0][1] >= 1 for r in rows)
+    # Symmetry: rerun the SQL oracle with its final GROUP BY flipped from
+    # src to dst. Undirected peeling must make the two maps identical.
+    flipped_sql = spec.oracle.replace(
+        "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree",
+        "SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS degree",
+    )
+    flipped_sql = flipped_sql[: flipped_sql.rfind("GROUP BY src")] + "GROUP BY dst\n    "
+    assert "GROUP BY dst" in flipped_sql and "SELECT dst AS node" in flipped_sql
+    _, src_rows = duck_rows(duck_correct, spec.oracle)
+    _, dst_rows = duck_rows(duck_correct, flipped_sql)
+    assert src_rows == dst_rows, "k-core peel is not symmetric in src/dst"
+    assert sorted(rows) == sorted(src_rows)
 
 
 def test_sssp_py_oracle_matches_sql_oracle(duck_correct):

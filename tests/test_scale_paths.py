@@ -110,7 +110,7 @@ def test_lsh_pair_results_subset_of_exact_pairs(spark):
     from spark_cherry_shuffle_service_spark.functions.vectors import dot, norm
 
     lsh = {
-        (r["vec_a"], r["vec_b"]): r["cosine"]
+        (r["vec_a"], r["vec_b"]): r["cosine_micro"]
         for r in SPECS["similarity_pairs"].builder(spark, SF_CORRECT).collect()
     }
     emb = table(spark, SF_CORRECT, "embeddings").select(
