@@ -229,6 +229,33 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def drift_factor(cal_now: float | None, cal_base: float | None) -> float:
+    """Host-window drift multiplier for the stall gate (VERDICT r7 item 2).
+
+    The calibration probe is code-independent, so cal_now/cal_base measures
+    pure host-state drift between the baseline epoch's window and this run's
+    window. Baselines are scaled UP by it in a slower window (so uniform VM
+    slowness stops flagging sub-second queries as 2x violations — BENCH_r07
+    carried 4 such phantoms) but never DOWN in a faster one (a genuinely
+    faster window must not mask a real regression)."""
+    if not cal_now or not cal_base:
+        return 1.0
+    return max(1.0, cal_now / cal_base)
+
+
+def is_violation(
+    t: float, base: float | None, drift: float, factor: float = STALL_FACTOR,
+    abs_slack: float = STALL_ABS_SLACK,
+) -> bool:
+    """The single stall/violation predicate (shared by the in-run re-time
+    trigger and the artifact's violations list; unit-tested against a
+    synthetic uniformly-slowed window in tests/test_bench_contract.py)."""
+    if base is None:
+        return False
+    eff = base * drift
+    return t > factor * eff and t - eff > abs_slack
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -238,9 +265,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     baselines: dict[str, float] = {}
+    cal_base: float | None = None
     try:
         with open(BASELINE_FILE) as fh:
-            baselines = {k: float(v) for k, v in json.load(fh)["queries"].items()}
+            base_doc = json.load(fh)
+        baselines = {k: float(v) for k, v in base_doc["queries"].items()}
+        cal_base = float(base_doc["calibration_sec"]) if "calibration_sec" in base_doc else None
     except (OSError, KeyError, ValueError):
         pass
 
@@ -269,7 +299,12 @@ def main() -> None:
         return time.perf_counter() - t0
 
     calibration = round(_median([_calibration_probe() for _ in range(3)]), 3)
-    print(f"  [calibration: {calibration:.3f}s]", file=sys.stderr)
+    drift = round(drift_factor(calibration, cal_base), 3)
+    print(
+        f"  [calibration: {calibration:.3f}s; baseline epoch "
+        f"{cal_base if cal_base is not None else 'n/a'}; drift x{drift:.3f}]",
+        file=sys.stderr,
+    )
 
     specs = all_specs()
     timings: dict[str, float] = {}
@@ -290,7 +325,7 @@ def main() -> None:
         t = _median(runs)
         base = baselines.get(name)
         retimed = False
-        if base is not None and t > STALL_FACTOR * base and t - base > STALL_ABS_SLACK:
+        if is_violation(t, base, drift):
             # Stall suspect: re-time in the same process and keep the best
             # observed run — a genuine plan regression stays slow across
             # all runs; a host stall does not.
@@ -334,9 +369,7 @@ def main() -> None:
             "retimed": details[n]["retimed"],
         }
         for n, t in timings.items()
-        if n in baselines
-        and t > STALL_FACTOR * baselines[n]
-        and t - baselines[n] > STALL_ABS_SLACK
+        if is_violation(t, baselines.get(n), drift)
     ]
     # Key order matters: the driver's BENCH_r{N}.json keeps only the TAIL
     # of stdout, so the bulky details/queries maps go FIRST and the compact
@@ -362,6 +395,8 @@ def main() -> None:
         "violations": violations,
         "n_violations": len(violations),
         "calibration_sec": calibration,
+        "calibration_baseline_sec": cal_base,
+        "drift_factor": drift,
         "value": total,
         "sf": sf,
     }

@@ -22,3 +22,4 @@ import spark_cherry_shuffle_service_spark.operators.warehouse_extras  # noqa: F4
 import spark_cherry_shuffle_service_spark.operators.monitoring  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.sketches  # noqa: F401
 import spark_cherry_shuffle_service_spark.operators.bpe  # noqa: F401
+import spark_cherry_shuffle_service_spark.operators.tpcds  # noqa: F401

@@ -1,0 +1,213 @@
+"""Verbatim TPC-DS execution — the reference's ACTUAL benchmark surface.
+
+The reference benchmarks by reading TPC-DS v1.4 .sql files and running
+them through `spark.sql(queryString)` over parquet temp views
+(/root/reference/spark-code/code/sql/core/src/test/scala/org/apache/spark/
+sql/execution/benchmark/TPCDSQueryBenchmark.scala:69-100,120-137; its
+headline pair is q2 + q5, /root/reference/README.md:125-126). This module
+does literally that: each `sql_text_tpcds_*` query registers the star
+slice (sources/tpcds_star.py) as temp views and executes the UNMODIFIED
+text from operators/tpcds_texts.py.
+
+Oracle strategy: the DuckDB oracle reads the SAME parquet the Spark side
+wrote (read_parquet over /root/repo/.tpcds/sf0.01 — committed to the repo
+so the grading driver can evaluate the oracle regardless of execution
+order; plans/differential.py::adapt_oracle rewrites the tag when `compare`
+runs at another SF). Two dialect-honest adaptations happen on the ORACLE
+side only — the Spark text stays verbatim:
+
+- Output columns are re-aliased positionally (`AS tpcds_result(<spark
+  names>)`) because unaliased expressions get engine-specific auto-names
+  and the driver hashes by sorted column name. tests/test_tpcds.py pins
+  the recorded Spark names against live df.columns.
+- q2's `round(x/y, 2)` ratios are computed in exact HUGEINT fixed-point
+  (`(a*200 + b) // (2b)` over cents = HALF_UP at 2dp): DuckDB divides
+  DECIMALs in binary DOUBLE where Spark divides exactly in DECIMAL, the
+  documented ROUND-tie class (CLAUDE.md). Spark's own double-rounding
+  (scale-20 quotient, then 2dp) equals direct HALF_UP for every
+  denominator below ~1e18 cents, so the integer form matches it exactly.
+
+Result-stability audit (the LIMIT/tiebreak hard rule, applied to texts we
+cannot edit): every LIMITed query either orders by a key chain that is
+unique per output row (q3/q15/q19/q45/q52/q55/q68/q7: the full group key
+or a unique ticket/zip appears in the ORDER BY) or cannot reach its LIMIT
+(q5: 3 channels x {12 stores, 20 pages, 12 sites} + rollup rows = 48 < 100
+by dimension-size construction; q42: <= 10 categories; q43: <= 12 stores;
+q88/q96: single row). q2/q34/q73 carry no LIMIT and the differential is
+order-insensitive.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_cherry_shuffle_service_spark.operators.tpcds_texts import TPCDS_TEXTS
+from spark_cherry_shuffle_service_spark.plans.registry import query
+from spark_cherry_shuffle_service_spark.sources.tpcds_star import (
+    ORACLE_TAG,
+    STAR_ROOT,
+    TPCDS_TABLES,
+    register_star_views,
+)
+
+#: Spark 4.1 output column names per query, captured from live runs and
+#: pinned by tests/test_tpcds.py::test_spark_output_columns_match_pinned.
+#: The oracle wrapper re-aliases DuckDB's output to these names
+#: positionally, so the driver's sorted-by-name hash compares apples to
+#: apples even for unaliased expressions.
+SPARK_COLS: dict[str, tuple[str, ...]] = {
+    "q2": (
+        "d_week_seq1",
+        "round((sun_sales1 / sun_sales2), 2)",
+        "round((mon_sales1 / mon_sales2), 2)",
+        "round((tue_sales1 / tue_sales2), 2)",
+        "round((wed_sales1 / wed_sales2), 2)",
+        "round((thu_sales1 / thu_sales2), 2)",
+        "round((fri_sales1 / fri_sales2), 2)",
+        "round((sat_sales1 / sat_sales2), 2)",
+    ),
+    "q3": ("d_year", "brand_id", "brand", "sum_agg"),
+    "q5": ("channel", "id", "sales", "returns", "profit"),
+    "q7": ("i_item_id", "agg1", "agg2", "agg3", "agg4"),
+    "q15": ("ca_zip", "sum(cs_sales_price)"),
+    "q19": ("brand_id", "brand", "i_manufact_id", "i_manufact", "ext_price"),
+    "q34": (
+        "c_last_name",
+        "c_first_name",
+        "c_salutation",
+        "c_preferred_cust_flag",
+        "ss_ticket_number",
+        "cnt",
+    ),
+    "q42": ("d_year", "i_category_id", "i_category", "sum(ss_ext_sales_price)"),
+    "q43": (
+        "s_store_name",
+        "s_store_id",
+        "sun_sales",
+        "mon_sales",
+        "tue_sales",
+        "wed_sales",
+        "thu_sales",
+        "fri_sales",
+        "sat_sales",
+    ),
+    "q45": ("ca_zip", "ca_city", "sum(ws_sales_price)"),
+    "q52": ("d_year", "brand_id", "brand", "ext_price"),
+    "q55": ("brand_id", "brand", "ext_price"),
+    "q68": (
+        "c_last_name",
+        "c_first_name",
+        "ca_city",
+        "bought_city",
+        "ss_ticket_number",
+        "extended_price",
+        "extended_tax",
+        "list_price",
+    ),
+    "q73": (
+        "c_last_name",
+        "c_first_name",
+        "c_salutation",
+        "c_preferred_cust_flag",
+        "ss_ticket_number",
+        "cnt",
+    ),
+    "q88": (
+        "h8_30_to_9",
+        "h9_to_9_30",
+        "h9_30_to_10",
+        "h10_to_10_30",
+        "h10_30_to_11",
+        "h11_to_11_30",
+        "h11_30_to_12",
+        "h12_to_12_30",
+    ),
+    "q96": ("count(1)",),
+}
+
+#: avg(DECIMAL(7,2)) columns per query: Spark computes the exact decimal
+#: sum and divides once with HALF_UP at scale 6; DuckDB's AVG over DECIMAL
+#: accumulates binary doubles (order-sensitive at the ulp). The oracle
+#: rewrites those aggregates to the same exact integer form
+#: (micro-units = (cents*10^4*2 + n) // (2n), non-negative inputs).
+_Q7_AVG_DECIMALS = ("ss_list_price", "ss_coupon_amt", "ss_sales_price")
+
+
+def _exact_ratio_2dp(a: str, b: str) -> str:
+    """HALF_UP(a/b, 2dp) in HUGEINT over cents; NULL-propagating, exact."""
+    ac = f"CAST({a} * 100 AS HUGEINT)"
+    bc = f"CAST({b} * 100 AS HUGEINT)"
+    return f"CAST(({ac} * 200 + {bc}) // (2 * {bc}) AS DECIMAL(38,0)) * 0.01"
+
+
+def _exact_avg_dec2(col: str) -> str:
+    """HALF_UP(avg(col), 6dp) for a non-negative DECIMAL(7,2) column, as
+    exact HUGEINT micro-units re-expressed as DECIMAL — value-identical to
+    Spark's avg(DECIMAL(7,2)) -> DECIMAL(11,6)."""
+    cents = f"CAST(SUM({col}) * 100 AS HUGEINT)"
+    n = f"COUNT({col})"
+    return f"CAST(({cents} * 10000 * 2 + {n}) // (2 * {n}) AS DECIMAL(38,0)) * 0.000001"
+
+
+def _oracle_text(qname: str) -> str:
+    """The query text as the DUCKDB oracle runs it (dialect-honest
+    adaptations documented in the module docstring)."""
+    text = TPCDS_TEXTS[qname]
+    if qname == "q2":
+        text = re.sub(
+            r"round\((\w+) / (\w+), 2\)",
+            lambda m: _exact_ratio_2dp(m.group(1), m.group(2)),
+            text,
+        )
+    if qname == "q7":
+        text = text.replace("avg(ss_quantity) agg1", "CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(ss_quantity) agg1")
+        for i, col in enumerate(_Q7_AVG_DECIMALS, start=2):
+            text = text.replace(f"avg({col}) agg{i}", f"{_exact_avg_dec2(col)} agg{i}")
+    return text
+
+
+def _referenced_tables(text: str) -> list[str]:
+    return [t for t in TPCDS_TABLES if re.search(rf"\b{t}\b", text)]
+
+
+def tpcds_oracle(qname: str) -> str:
+    """Self-contained DuckDB oracle: star tables as read_parquet CTEs over
+    the committed sf0.01 slice, the (adapted) verbatim body spliced in,
+    and Spark's output column names applied positionally."""
+    text = _oracle_text(qname)
+    prelude = ",\n".join(
+        f"{t} AS (SELECT * FROM read_parquet('{STAR_ROOT}/{ORACLE_TAG}/{t}.parquet/*.parquet'))"
+        for t in _referenced_tables(text)
+    )
+    body = text.lstrip()
+    if body[:4].upper() == "WITH":
+        spliced = "WITH " + prelude + ",\n" + body[4:].lstrip()
+    else:
+        spliced = "WITH " + prelude + "\n" + body
+    cols = ", ".join('"' + c.replace('"', '""') + '"' for c in SPARK_COLS[qname])
+    return f"SELECT * FROM (\n{spliced}\n) AS tpcds_result({cols})"
+
+
+def _make_builder(qname: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_star_views(spark, sf_dir)
+        return spark.sql(TPCDS_TEXTS[qname])
+
+    run.__name__ = f"sql_text_tpcds_{qname}"
+    run.__doc__ = (
+        f"TPC-DS {qname} VERBATIM (tpcds_texts.py) over the generated star "
+        "slice — the reference's spark.sql(queryString) execution path "
+        "(TPCDSQueryBenchmark.scala:100)."
+    )
+    return run
+
+
+for _qname in sorted(SPARK_COLS):
+    query(
+        f"sql_text_tpcds_{_qname}",
+        oracle=tpcds_oracle(_qname),
+        tags=("sql-text", "tpcds", "star", "verbatim"),
+        doc=f"Verbatim TPC-DS {_qname} through spark.sql over the star slice.",
+    )(_make_builder(_qname))

@@ -73,6 +73,24 @@ def duck_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, sorted(rows, key=repr)
 
 
+def adapt_oracle(sql: str, sf_dir: str) -> str:
+    """Re-point TPC-DS star-slice oracle paths at `sf_dir`'s star dir.
+
+    TPC-DS oracles are self-contained read_parquet SQL over the COMMITTED
+    sf0.01 star slice (the grading driver runs oracle strings verbatim at
+    sf0.01, so that path must be literal). When `compare` runs at another
+    SF, the Spark side generates/uses .tpcds/<tag>/ — this rewrites the
+    oracle to read the same tag. No-op for every non-TPC-DS oracle."""
+    import os
+
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import ORACLE_TAG, STAR_ROOT
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag == ORACLE_TAG:
+        return sql
+    return sql.replace(f"{STAR_ROOT}/{ORACLE_TAG}/", f"{STAR_ROOT}/{tag}/")
+
+
 def duck_connection(sf_dir: str):
     import os
 
@@ -154,7 +172,7 @@ def compare_queries(
                 results[name] = "match (py-oracle)"
                 continue
             try:
-                d_cols, d_rows = duck_rows(con, spec.oracle)
+                d_cols, d_rows = duck_rows(con, adapt_oracle(spec.oracle, sf_dir))
             except Exception as ex:  # noqa: BLE001
                 # SQL-oracle resource failure (NOT a value mismatch). If an
                 # independent Python oracle is registered — proven ≡ the SQL

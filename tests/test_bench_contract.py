@@ -70,6 +70,47 @@ def test_baseline_queries_file_matches_headline():
     assert all(v > 0 for v in base.values())
 
 
+def test_calibration_normalized_gate_absorbs_uniform_slowdown():
+    """VERDICT r7 item 2: a uniformly 1.5x-slowed host window (every query
+    1.5x its baseline AND the code-independent calibration probe 1.5x its
+    baseline-epoch value) must yield ZERO violations under the normalized
+    gate — BENCH_r07 carried 4 phantom violations from exactly this class.
+    A real regression (one query 3x while the window is clean) must still
+    flag, and a faster window must never relax the gate below raw."""
+    import json
+
+    from bench import drift_factor, is_violation
+
+    with open("/root/repo/BASELINE_QUERIES.json") as fh:
+        doc = json.load(fh)
+    baselines = {k: float(v) for k, v in doc["queries"].items()}
+    cal_base = float(doc["calibration_sec"])  # the gate requires the epoch probe
+
+    # Uniformly slowed window: zero violations.
+    drift = drift_factor(1.5 * cal_base, cal_base)
+    assert abs(drift - 1.5) < 1e-9
+    slowed = {n: 1.5 * b for n, b in baselines.items()}
+    assert not any(is_violation(t, baselines[n], drift) for n, t in slowed.items())
+    # Without normalization the same table WOULD flag (the phantom class):
+    big = [n for n, b in baselines.items() if 1.5 * b - b > 0.5 and 1.5 > 2.0]
+    assert big == []  # 1.5x never breaches the 2x factor alone...
+    worse = {n: 2.5 * b for n, b in baselines.items() if b > 1.0}
+    assert any(is_violation(t, baselines[n], 1.0) for n, t in worse.items())
+    assert not any(is_violation(t, baselines[n], 2.5) for n, t in worse.items())
+
+    # A real regression still flags in a clean window (drift 1.0) and in a
+    # mildly drifted one.
+    name = max(baselines, key=baselines.get)
+    assert is_violation(10 * baselines[name] + 1.0, baselines[name], 1.0)
+    assert is_violation(10 * baselines[name] + 1.0, baselines[name], 1.2)
+
+    # A faster window never tightens below the raw baseline.
+    assert drift_factor(0.5 * cal_base, cal_base) == 1.0
+    # Missing probe values degrade to the raw gate, never crash.
+    assert drift_factor(None, cal_base) == 1.0
+    assert drift_factor(1.0, None) == 1.0
+
+
 def test_sf1_bench_artifact_scales_sublinearly():
     """BENCH_sf1.json (full headline bench on the generated ~sf1
     fixtures, 10x the sf0.1 fact tables) is the committed scaling

@@ -1,0 +1,185 @@
+"""Verbatim TPC-DS slice (VERDICT r7 item 1): texts byte-identical to the
+reference's shipped .sql files, pinned Spark output schemas, non-empty
+results on the committed star fixtures, and star-generator invariants the
+query predicates depend on. Value correctness rides the auto-parametrized
+differential (tests/test_oracle_parity.py picks every sql_text_tpcds_*
+oracle up at sf0.01) plus the committed two-SF compare artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from spark_cherry_shuffle_service_spark.operators.tpcds import SPARK_COLS, tpcds_oracle
+from spark_cherry_shuffle_service_spark.operators.tpcds_texts import TPCDS_TEXTS
+from spark_cherry_shuffle_service_spark.plans.differential import adapt_oracle, duck_rows
+from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+from spark_cherry_shuffle_service_spark.sources.tpcds_star import (
+    MANIFEST,
+    TPCDS_TABLES,
+    register_star_views,
+    star_dir,
+)
+from tests.conftest import SF_CORRECT
+
+_REF_SQL_DIR = (
+    "/root/reference/spark-code/code/sql/core/src/test/resources/tpcds"
+)
+
+
+def test_texts_cover_the_query_set():
+    assert set(TPCDS_TEXTS) == set(SPARK_COLS)
+    assert len(TPCDS_TEXTS) == 16
+    # The reference's headline pair (README.md:125-126) must be present.
+    assert {"q2", "q5"} <= set(TPCDS_TEXTS)
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_SQL_DIR), reason="reference checkout not mounted")
+@pytest.mark.parametrize("qname", sorted(TPCDS_TEXTS))
+def test_texts_are_verbatim(qname):
+    """The whole point of this module: the Spark-side text is the
+    reference's .sql file byte-for-byte (modulo outer whitespace from the
+    embedding). Any 'adaptation' belongs on the oracle side only."""
+    with open(os.path.join(_REF_SQL_DIR, f"{qname}.sql")) as fh:
+        ref = fh.read()
+    assert TPCDS_TEXTS[qname].strip("\n") == ref.strip("\n")
+
+
+@pytest.mark.parametrize("qname", sorted(TPCDS_TEXTS))
+def test_spark_output_columns_match_pinned(spark, qname):
+    """The oracle re-aliases DuckDB output to Spark's names positionally —
+    so the pinned name tuples must track the live Spark version exactly."""
+    register_star_views(spark, SF_CORRECT)
+    df = spark.sql(TPCDS_TEXTS[qname])
+    assert tuple(df.columns) == SPARK_COLS[qname], qname
+
+
+@pytest.mark.parametrize("qname", sorted(TPCDS_TEXTS))
+def test_oracle_is_nonempty_on_committed_fixtures(duck_correct, qname):
+    """Every verbatim query must exercise real rows on the committed
+    sf0.01 star slice — an accidentally-empty differential would be a
+    vacuous pass (every literal the predicates probe has matching
+    generated rows by construction, sources/tpcds_star.py)."""
+    cols, rows = duck_rows(duck_correct, tpcds_oracle(qname))
+    assert len(rows) > 0, qname
+    assert sorted(cols) == sorted(SPARK_COLS[qname])
+
+
+def test_q5_rollup_stays_under_its_limit(duck_correct):
+    """q5 LIMIT 100 must never bind (its ORDER BY has engine-divergent
+    NULL placement over the rollup subtotal rows): 3 channels x {12
+    stores, 20 pages, 12 sites} + subtotals caps the result by dimension
+    construction."""
+    _, rows = duck_rows(duck_correct, tpcds_oracle("q5"))
+    assert len(rows) < 100
+
+
+def test_star_generation_is_idempotent(spark):
+    """Second call must be manifest-short-circuited (no rewrite): the
+    committed sf0.01 slice is the driver's oracle substrate and must not
+    churn."""
+    out = star_dir(SF_CORRECT)
+    register_star_views(spark, SF_CORRECT)
+    with open(os.path.join(out, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    mtimes = {
+        t: os.path.getmtime(os.path.join(out, f"{t}.parquet")) for t in TPCDS_TABLES
+    }
+    register_star_views(spark, SF_CORRECT)
+    assert manifest == json.load(open(os.path.join(out, MANIFEST)))
+    assert mtimes == {
+        t: os.path.getmtime(os.path.join(out, f"{t}.parquet")) for t in TPCDS_TABLES
+    }
+
+
+def test_adapt_oracle_rewrites_star_tag_only():
+    sql = tpcds_oracle("q3")
+    assert "/.tpcds/sf0.01/" in sql
+    adapted = adapt_oracle(sql, "/root/testdata/sf0.1")
+    assert "/.tpcds/sf0.1/" in adapted and "/.tpcds/sf0.01/" not in adapted
+    assert adapt_oracle(sql, "/root/testdata/sf0.01") == sql
+    # Non-TPC-DS oracles are untouched.
+    other = all_specs()["pricing_summary"].oracle
+    assert adapt_oracle(other, "/root/testdata/sf0.1") == other
+
+
+def test_star_fixture_invariants(duck_correct):
+    """The generator contracts the verbatim predicates rely on:
+    1-based sks, FK closure into the dims, channel partition of lineitem,
+    ticket-level visit consistency, and literal coverage ('ese',
+    'Williamson County', month-start skew)."""
+    import duckdb
+
+    con = duckdb.connect()
+    d = star_dir(SF_CORRECT)
+    for t in TPCDS_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'")
+    one = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
+
+    # Channel split partitions lineitem.
+    n_lines = duck_correct.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    n_facts = one(
+        "SELECT (SELECT COUNT(*) FROM store_sales) + (SELECT COUNT(*) FROM catalog_sales)"
+        " + (SELECT COUNT(*) FROM web_sales)"
+    )
+    assert n_facts == n_lines
+
+    # FK closure: every fact sk resolves (no dangling joins -> the
+    # verbatim inner joins never silently drop rows).
+    assert one(
+        "SELECT COUNT(*) FROM store_sales LEFT JOIN date_dim ON ss_sold_date_sk = d_date_sk"
+        " WHERE d_date_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM store_sales LEFT JOIN item ON ss_item_sk = i_item_sk"
+        " WHERE i_item_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM store_returns LEFT JOIN date_dim ON sr_returned_date_sk = d_date_sk"
+        " WHERE d_date_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM web_returns LEFT JOIN web_sales ON wr_item_sk = ws_item_sk"
+        " AND wr_order_number = ws_order_number WHERE ws_item_sk IS NULL"
+    ) == 0
+
+    # Tickets are visit-consistent: one customer/store/date per ticket.
+    assert one(
+        "SELECT COALESCE(MAX(n), 0) FROM (SELECT COUNT(DISTINCT ss_customer_sk"
+        " || '/' || ss_store_sk || '/' || ss_sold_date_sk) AS n"
+        " FROM store_sales GROUP BY ss_ticket_number)"
+    ) == 1
+
+    # Literal coverage the queries filter on.
+    assert one("SELECT COUNT(*) FROM store WHERE s_store_name = 'ese'") >= 2
+    assert one("SELECT COUNT(*) FROM store WHERE s_county = 'Williamson County'") >= 1
+    assert one("SELECT COUNT(*) FROM store WHERE s_gmt_offset = -5") >= 1
+    assert one(
+        "SELECT COUNT(*) FROM household_demographics WHERE hd_buy_potential = '>10000'"
+    ) == 50
+    assert one(
+        "SELECT COUNT(*) FROM customer_demographics WHERE cd_gender = 'M'"
+        " AND cd_marital_status = 'S' AND cd_education_status = 'College'"
+    ) == 1
+    assert one("SELECT COUNT(DISTINCT i_manufact_id) FROM item") == min(
+        1000, one("SELECT COUNT(*) FROM item")
+    )
+    # Month-start skew keeps d_dom BETWEEN 1 AND 3 well-populated (q34).
+    dom123 = one(
+        "SELECT COUNT(*) FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk"
+        " WHERE d_dom BETWEEN 1 AND 3"
+    )
+    assert dom123 > 0.25 * one("SELECT COUNT(*) FROM store_sales")
+
+    # Week sequencing consistent with day names: every d_week_seq covers
+    # at most 7 days and every Sunday starts a new week.
+    assert one(
+        "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM date_dim GROUP BY d_week_seq)"
+    ) == 7
+    assert one(
+        "SELECT COUNT(*) FROM date_dim a JOIN date_dim b ON b.d_date_sk = a.d_date_sk + 1"
+        " WHERE b.d_day_name = 'Sunday' AND b.d_week_seq <> a.d_week_seq + 1"
+    ) == 0
