@@ -349,30 +349,81 @@ def agg_percentiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNBOUNDED (double) domains, where the count-by-value histogram above
 # stops applying: `approx_percentile` keeps a fixed-size mergeable sketch
 # per group (single pass, map-side combined), so per-group state is O(1)
-# regardless of how many distinct values flow in. Registered rows-only
-# (no DuckDB oracle — the sketch is engine-specific by design, the HLL
-# approx-distinct precedent); tests/test_semantics.py instead brackets
-# every output between exact neighboring quantiles, the accuracy contract
-# approx_percentile documents. Scale twin target for dq_outlier_iqr /
-# events_anomaly_mad (exact fences/medians over arbitrary doubles).
+# regardless of how many distinct values flow in.
+#
+# Output contract (round 8, VERDICT r7 item 4): the RAW sketch estimates
+# are merge-order- and therefore PARALLELISM-dependent once a group
+# exceeds the sketch capacity (measured: p50 34.86 on local[4] vs 34.88
+# on local[32] at sf0.1), so they cannot be a comparable output of a
+# deterministic engine. The query instead outputs, per group, the EXACT
+# quantiles (parallelism-invariant, the values a consumer actually wants)
+# plus the sketch's accuracy-contract verdicts: each approx_percentile
+# estimate bracketed between the exact quantiles at q ± 0.001 (10x the
+# nominal 1/accuracy GK rank tolerance — the bound established by
+# tests/test_semantics.py). The sketch still runs inside the query — a
+# contract violation flips a boolean and fails the differential. The
+# numpy/DuckDB twin (_tdigest_oracle_py) recomputes the exact quantiles
+# via quantile_cont and asserts the verdicts all-true, so the compare
+# harness adjudicates this spec as "match (py-oracle)" instead of
+# rows-only.
 # ---------------------------------------------------------------------------
+_TDIGEST_QS = (0.25, 0.5, 0.75)
+_TDIGEST_EPS = 0.001  # rank tolerance of the bracketing (test_semantics bound)
+
+
+def _tdigest_oracle_py(con, sf_dir: str):
+    """Exact-quantile twin: DuckDB quantile_cont (proven bit-identical to
+    Spark `percentile` on this data class by agg_percentiles) + the
+    accuracy-contract verdicts asserted TRUE — if Spark's sketch ever
+    leaves its documented bound, its FALSE mismatches this row."""
+    rows = con.execute(
+        """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25_exact,
+               quantile_cont(value, 0.5) AS p50_exact,
+               quantile_cont(value, 0.75) AS p75_exact,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+        """
+    ).fetchall()
+    cols = [
+        "event_type", "p25_exact", "p50_exact", "p75_exact",
+        "sketch_ok_p25", "sketch_ok_p50", "sketch_ok_p75", "n",
+    ]
+    return cols, [
+        (et, p25, p50, p75, True, True, True, n) for et, p25, p50, p75, n in rows
+    ]
+
+
 @query(
     "agg_percentiles_tdigest",
-    oracle=None,
+    oracle=None,  # sketch internals are engine-specific; the py-oracle
+    # twin adjudicates the exact quantiles + contract verdicts.
+    oracle_py=_tdigest_oracle_py,
     tags=("agg", "percentile", "sketch", "scale-path"),
 )
 def agg_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.expr("approx_percentile(value, 0.25, 10000)").alias("p25_approx"),
-            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-            F.expr("approx_percentile(value, 0.75, 10000)").alias("p75_approx"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
-    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in _TDIGEST_QS:
+        tag = f"p{int(q * 100)}"
+        aggs += [
+            F.expr(f"approx_percentile(value, {q}, 10000)").alias(f"{tag}_approx"),
+            F.percentile("value", q).alias(f"{tag}_exact"),
+            F.percentile("value", max(q - _TDIGEST_EPS, 0.0)).alias(f"{tag}_lo"),
+            F.percentile("value", min(q + _TDIGEST_EPS, 1.0)).alias(f"{tag}_hi"),
+        ]
+    per_group = ev.groupBy("event_type").agg(*aggs)
+    cols = [F.col("event_type")]
+    cols += [F.col(f"p{int(q * 100)}_exact") for q in _TDIGEST_QS]
+    cols += [
+        F.col(f"p{int(q * 100)}_approx")
+        .between(F.col(f"p{int(q * 100)}_lo"), F.col(f"p{int(q * 100)}_hi"))
+        .alias(f"sketch_ok_p{int(q * 100)}")
+        for q in _TDIGEST_QS
+    ]
+    cols.append(F.col("n"))
+    return per_group.select(*cols).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -1412,6 +1412,180 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF nprobe sweep (round 8, VERDICT r7 item 5): a production ANN layout
+# is tuned on the recall/cost curve, not at nprobe=1. For nprobe in
+# {1,2,4} each query probes its nprobe NEAREST cells (by query->centroid
+# cosine rank — nprobe=1 is exactly similarity_ivf's cell), searches only
+# those cells, and recall@k is measured against the brute-force ground
+# truth (the similarity_ann_recall machinery). Recall is reported in
+# integer BASIS POINTS via non-negative integer division — no float
+# ratio ever reaches the output. Scale shape: the corpus is touched once
+# per nprobe through a cell-equi-join against the bounded probe list
+# (|queries| x nprobe rows, broadcast); candidates stay bounded by cell
+# size, never a cross product. The measured curve lives in SCALE.md.
+# ---------------------------------------------------------------------------
+_NPROBES = (1, 2, 4)
+
+
+@query(
+    "similarity_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < {_IVF_K}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell, embedding, nrm
+      FROM (
+        SELECT n.vec_id, c.cent_id, n.embedding, n.nrm,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 {_SQL_DOT_AB.format(a='n.embedding', b='c.ce')} / (n.nrm * c.cn) DESC,
+                 c.cent_id) AS rn
+        FROM n CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      FROM n WHERE vec_id >= {_IVF_NQ_LO} AND vec_id < {_IVF_NQ_HI}
+    ), cell_rank AS (
+      SELECT q.query_id, c.cent_id AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+               {_SQL_DOT_AB.format(a='q.qe', b='c.ce')} / (q.qn * c.cn) DESC,
+               c.cent_id) AS crn
+      FROM q CROSS JOIN c
+    ), probes AS (
+      SELECT np.nprobe, r.query_id, r.cell
+      FROM (VALUES {', '.join(f'({p})' for p in _NPROBES)}) np(nprobe)
+      JOIN cell_rank r ON r.crn <= np.nprobe
+    ), cand AS (
+      SELECT p.nprobe, p.query_id, a.vec_id AS neighbor_id,
+             {_SQL_DOT_AB.format(a='q.qe', b='a.embedding')} / (q.qn * a.nrm) AS cos
+      FROM probes p
+      JOIN assigned a ON a.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ), topk AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= {_IVF_TOPK}
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_SQL_DOT_AB.format(a='q.qe', b='n.embedding')} / (q.qn * n.nrm) DESC,
+                 n.vec_id) AS rnk
+        FROM q JOIN n ON n.vec_id <> q.query_id
+      ) WHERE rnk <= {_IVF_TOPK}
+    ), sweep AS (
+      SELECT np.nprobe,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM topk k JOIN truth t
+                ON k.nprobe = np.nprobe AND k.query_id = t.query_id
+               AND k.neighbor_id = t.neighbor_id) AS n_hits
+      FROM (VALUES {', '.join(f'({p})' for p in _NPROBES)}) np(nprobe)
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((10000 * n_hits) // n_truth AS BIGINT) AS recall_bp
+    FROM sweep
+    """,
+    tags=("similarity", "ivf", "ann", "recall", "evaluation", "scale"),
+)
+def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .persist()  # centroid pick + assignment + truth corpus
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
+    cos_to_cent = dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cos_c", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding", "nrm")
+    )
+    q = emb.filter((F.col("vec_id") >= _IVF_NQ_LO) & (F.col("vec_id") < _IVF_NQ_HI)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    # Rank every cell per query, keep the nprobe-prefix per sweep point.
+    qc_cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w_cell = W.partitionBy("query_id").orderBy(F.col("qc_cos").desc(), F.col("cent_id"))
+    cell_rank = (
+        F.broadcast(q)
+        .join(F.broadcast(cents))
+        .withColumn("qc_cos", qc_cos)
+        .withColumn("crn", F.row_number().over(w_cell))
+        .select("query_id", F.col("cent_id").alias("cell"), "crn")
+    )
+    probes = cell_rank.select(
+        "query_id",
+        "cell",
+        "crn",
+        F.explode(F.array(*[F.lit(p) for p in _NPROBES])).alias("nprobe"),
+    ).filter(F.col("crn") <= F.col("nprobe"))
+    qcos = dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))
+    w_rank = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        F.broadcast(probes.join(q, "query_id"))
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "nprobe", "query_id", F.col("vec_id").alias("neighbor_id"), qcos.alias("cos")
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    w_truth = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    truth = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), qcos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w_truth))
+        .filter(F.col("rnk") <= _IVF_TOPK)
+        .select(F.col("query_id").alias("t_query"), F.col("neighbor_id").alias("t_neighbor"))
+    )
+    n_truth = truth.count()  # bounded: |queries| x k (SF-invariant)
+    sweep = (
+        spark.createDataFrame([(p,) for p in _NPROBES], "nprobe int")
+        .join(
+            topk.join(
+                truth,
+                (topk.query_id == truth.t_query) & (topk.neighbor_id == truth.t_neighbor),
+            )
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).alias("n_hits")),
+            "nprobe",
+            "left",
+        )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.lit(n_truth).cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"CAST((10000 * coalesce(n_hits, 0)) DIV {n_truth} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+    )
+    return sweep
+
+
+# ---------------------------------------------------------------------------
 # Truncated-embedding ranking fidelity (the Matryoshka question): if ANN
 # ran on only the first 16 of 64 dims (4x memory/compute cut), how much
 # of each query's full-precision top-10 survives? Reported as exact

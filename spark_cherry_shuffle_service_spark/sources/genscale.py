@@ -28,9 +28,10 @@ Design rules:
 - **Fixture-faithful domains**: event types / priorities / flags / key
   ranges / value distributions match the sf0.1 profile (FIXTURES.md), so
   every registered query's predicates select comparable fractions at any
-  scale. Dimension tables (region..part, documents, embeddings) are
-  SF-invariant in the driver's design and are copied from the source
-  fixture dir.
+  scale. region/nation/documents/embeddings are SF-invariant in the
+  driver's design and are copied from the source fixture dir;
+  customer/supplier/part are GENERATED at sqrt(scale) entity counts
+  (round 8 — see entity_counts) with fixture-faithful value domains.
 - **Physical types match the r2 driver fixtures**: timestamp[us] NTZ
   (written from TimestampNTZType; session TZ pinned UTC during
   generation), int64 keys, int32 l_linenumber, double money — so
@@ -56,20 +57,44 @@ BASE_ROWS = {"orders": 150_000, "events": 100_000}
 MEAN_LINES_PER_ORDER = 4  # lineitem ~= 4x orders, matching the fixture
 
 #: SF-invariant tables copied verbatim from the source fixture dir.
+#: region/nation are fixed-25/5-row reference dims; documents/embeddings
+#: are SF-invariant in the driver's design. customer/supplier/part moved
+#: to the GENERATED set in round 8 (entity scaling below).
 COPIED_TABLES = (
     "region",
     "nation",
-    "customer",
-    "supplier",
-    "part",
     "documents",
     "embeddings",
 )
 
-_N_CUSTOMERS = 15_000
-_N_PARTS = 20_000
-_N_SUPPLIERS = 1_000
-_N_USERS = 1_500
+#: Entity-domain sizes at scale=1.0 (the sf0.1 fixture profile).
+_BASE_ENTITIES = {
+    "customers": 15_000,
+    "parts": 20_000,
+    "suppliers": 1_000,
+    "users": 1_500,
+}
+
+
+def entity_counts(scale: float) -> dict[str, int]:
+    """Entity domains grow with sqrt(scale) past the sf0.1 anchor
+    (VERDICT r7 item 3): with FIXED entity tables, per-entity degree grows
+    linearly with the fact data and every pairs-within-block oracle
+    (er_blocked_linkage, graph_common_neighbors, graph_jaccard_ppm)
+    explodes quadratically — ~2500x at 50x data, the COMPARE_sf5
+    exclusions. entities ∝ sqrt(rows) keeps degree ∝ sqrt(rows), so total
+    candidate pairs grow ~rows^1.5 instead of rows^2: the sf5 oracle load
+    lands at ~3.5x the (passing) fixed-entity sf1 level instead of 25x.
+    Density still GROWS with scale — the graph families get genuinely
+    harder, not watered down to constant degree. Below scale=1 the
+    domains clamp to the fixture profile so small generated sets keep the
+    driver fixtures' selectivities (FIXTURES.md)."""
+    import math
+
+    f = math.sqrt(max(1.0, scale))
+    return {k: int(v * f) for k, v in _BASE_ENTITIES.items()}
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 _ORDER_STATUS = ("O", "P", "F")
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -81,7 +106,7 @@ _EVENTS_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
 _EVENTS_SPAN_DAYS = 30
 
 MANIFEST = "_GENSCALE.json"
-_GENERATOR_VERSION = 1
+_GENERATOR_VERSION = 2
 
 
 def _u(tag: str, *cols: Column) -> Column:
@@ -112,12 +137,15 @@ def _orderdate(orderkey: Column) -> Column:
     return F.date_add(F.lit(_ORDERS_EPOCH), days).cast("timestamp_ntz")
 
 
-def gen_orders(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+def gen_orders(
+    spark: SparkSession, n: int, n_customers: int = _BASE_ENTITIES["customers"],
+    partitions: int = 32,
+) -> DataFrame:
     ids = spark.range(0, n, 1, partitions)
     k = F.col("id")
     return ids.select(
         k.alias("o_orderkey"),
-        _uint(_u("o_custkey", k), _N_CUSTOMERS).alias("o_custkey"),
+        _uint(_u("o_custkey", k), n_customers).alias("o_custkey"),
         _pick(_u("o_orderstatus", k), _ORDER_STATUS).alias("o_orderstatus"),
         F.round(F.lit(1000.0) + _u("o_totalprice", k) * 499_000.0, 2).alias("o_totalprice"),
         _orderdate(k).alias("o_orderdate"),
@@ -125,7 +153,10 @@ def gen_orders(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     )
 
 
-def gen_lineitem(spark: SparkSession, n_orders: int, partitions: int = 32) -> DataFrame:
+def gen_lineitem(
+    spark: SparkSession, n_orders: int, n_parts: int = _BASE_ENTITIES["parts"],
+    n_suppliers: int = _BASE_ENTITIES["suppliers"], partitions: int = 32,
+) -> DataFrame:
     """1..7 lines per order (mean 4, the fixture's shape) via a per-order
     explode — no shuffle, and l_shipdate = o_orderdate + 1..95 days holds
     by construction because both sides derive the date from the key."""
@@ -144,8 +175,8 @@ def gen_lineitem(spark: SparkSession, n_orders: int, partitions: int = 32) -> Da
     return lines.select(
         ok.alias("l_orderkey"),
         ln.cast("int").alias("l_linenumber"),
-        _uint(_u("l_partkey", ok, ln), _N_PARTS).alias("l_partkey"),
-        _uint(_u("l_suppkey", ok, ln), _N_SUPPLIERS).alias("l_suppkey"),
+        _uint(_u("l_partkey", ok, ln), n_parts).alias("l_partkey"),
+        _uint(_u("l_suppkey", ok, ln), n_suppliers).alias("l_suppkey"),
         qty.alias("l_quantity"),
         F.round(qty * unit_price, 2).alias("l_extendedprice"),
         F.round(_uint(_u("l_discount", ok, ln), 11).cast("double") / 100.0, 2).alias("l_discount"),
@@ -156,7 +187,9 @@ def gen_lineitem(spark: SparkSession, n_orders: int, partitions: int = 32) -> Da
     )
 
 
-def gen_events(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+def gen_events(
+    spark: SparkSession, n: int, n_users: int = _BASE_ENTITIES["users"], partitions: int = 32
+) -> DataFrame:
     """Strictly ts-increasing event stream over a 30-day window (the
     fixture property sessionization/as-of queries rely on): each event gets
     a fixed slot `id * gap` plus jitter < gap. Values are Exp(mean=50) to
@@ -173,12 +206,60 @@ def gen_events(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     return ids.select(
         k.alias("event_id"),
         F.timestamp_micros(ts_us).cast("timestamp_ntz").alias("ts"),
-        _uint(_u("user_id", k), _N_USERS).alias("user_id"),
+        _uint(_u("user_id", k), n_users).alias("user_id"),
         _pick(_u("event_type", k), _EVENT_TYPES).alias("event_type"),
         value.alias("value"),
         F.concat(F.lit('{"k": '), _uint(_u("props", k), 100).cast("string"), F.lit("}")).alias(
             "props"
         ),
+    )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_PART_ADJS = ("blue", "cold", "hot", "large", "new", "old", "red", "small")
+_PART_NOUNS = ("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+_PART_TYPES = ("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+
+def gen_customer(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """customer at entity scale — fixture-faithful domains (FIXTURES.md:
+    Customer#%09d names, nation 0-24, acctbal ~[-1000, 10000] 2dp, the 5
+    TPC-H market segments)."""
+    k = F.col("id")
+    return spark.range(0, n, 1, partitions).select(
+        k.alias("c_custkey"),
+        F.format_string("Customer#%09d", k).alias("c_name"),
+        _uint(_u("c_nation", k), 25).cast("int").alias("c_nationkey"),
+        F.round(F.lit(-1000.0) + _u("c_acctbal", k) * 11_000.0, 2).alias("c_acctbal"),
+        _pick(_u("c_mktsegment", k), _SEGMENTS).alias("c_mktsegment"),
+    )
+
+
+def gen_supplier(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    k = F.col("id")
+    return spark.range(0, n, 1, partitions).select(
+        k.alias("s_suppkey"),
+        F.format_string("Supplier#%09d", k).alias("s_name"),
+        _uint(_u("s_nation", k), 25).cast("int").alias("s_nationkey"),
+        F.round(F.lit(-1000.0) + _u("s_acctbal", k) * 11_000.0, 2).alias("s_acctbal"),
+    )
+
+
+def gen_part(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """part at entity scale — the fixture's 8x8 adj/noun name vocabulary,
+    Brand#1-25, 6 types, size 1-50, retailprice 900 + (key % 1000)/10."""
+    k = F.col("id")
+    return spark.range(0, n, 1, partitions).select(
+        k.alias("p_partkey"),
+        F.concat(
+            _pick(_u("p_adj", k), _PART_ADJS), F.lit(" "), _pick(_u("p_noun", k), _PART_NOUNS)
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"), (_uint(_u("p_brand", k), 25) + 1).cast("string")).alias(
+            "p_brand"
+        ),
+        _pick(_u("p_type", k), _PART_TYPES).alias("p_type"),
+        (_uint(_u("p_size", k), 50) + 1).cast("int").alias("p_size"),
+        F.round(F.lit(900.0) + (k % 1000).cast("double") / 10.0, 1).alias("p_retailprice"),
     )
 
 
@@ -198,12 +279,14 @@ def generate_scaled_fixtures(
     single-file fixtures scan as ONE partition, BASELINE.md's 206s→5.5s
     lesson); `plans/differential.py::duck_connection` globs directories."""
     manifest_path = os.path.join(out_dir, MANIFEST)
+    entities = entity_counts(scale)
     want = {
         "version": _GENERATOR_VERSION,
         "scale": scale,
         "orders": int(BASE_ROWS["orders"] * scale),
         "events": int(BASE_ROWS["events"] * scale),
         "src_sf_dir": src_sf_dir,
+        "entities": entities,
     }
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
@@ -216,9 +299,14 @@ def generate_scaled_fixtures(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     n_orders, n_events = want["orders"], want["events"]
     frames = {
-        "orders": gen_orders(spark, n_orders, partitions),
-        "lineitem": gen_lineitem(spark, n_orders, partitions),
-        "events": gen_events(spark, n_events, partitions),
+        "orders": gen_orders(spark, n_orders, entities["customers"], partitions),
+        "lineitem": gen_lineitem(
+            spark, n_orders, entities["parts"], entities["suppliers"], partitions
+        ),
+        "events": gen_events(spark, n_events, entities["users"], partitions),
+        "customer": gen_customer(spark, entities["customers"]),
+        "supplier": gen_supplier(spark, entities["suppliers"]),
+        "part": gen_part(spark, entities["parts"]),
     }
     counts: dict[str, int] = {}
     for name, df in frames.items():
