@@ -215,7 +215,15 @@ def cmd_shufflestats(args) -> int:
         shuffle_partitions=args.parallelism,
         extra_conf={"spark.ui.enabled": "true"},
     )
-    names = [_resolve(n) for n in args.queries.split(",")] if args.queries else None
+    if args.queries:
+        names = [_resolve(n) for n in args.queries.split(",")]
+    else:
+        # Default to bench.py's HEADLINE protocol (the committed
+        # SHUFFLE_STATS artifacts are headline-scoped); measuring the whole
+        # registry serially at a generated SF is hours of wall-clock.
+        import bench
+
+        names = list(bench.HEADLINE)
     results = measure_queries(spark, args.sf_dir, names)
     payload = {"_sf_dir": args.sf_dir, "_summary": summarize(results), **results}
     with open(args.out, "w") as fh:

@@ -29,12 +29,21 @@ side only — the Spark text stays verbatim:
 
 Result-stability audit (the LIMIT/tiebreak hard rule, applied to texts we
 cannot edit): every LIMITed query either orders by a key chain that is
-unique per output row (q3/q15/q19/q45/q52/q55/q68/q7: the full group key
-or a unique ticket/zip appears in the ORDER BY) or cannot reach its LIMIT
-(q5: 3 channels x {12 stores, 20 pages, 12 sites} + rollup rows = 48 < 100
-by dimension-size construction; q42: <= 10 categories; q43: <= 12 stores;
-q88/q96: single row). q2/q34/q73 carry no LIMIT and the differential is
-order-insensitive.
+unique per output row (q3/q10/q15/q19/q26/q45/q52/q55/q60/q68/q7: the
+full group key or a unique ticket/zip appears in the ORDER BY) or cannot
+reach its LIMIT (q5: 3 channels x {12 stores, 20 pages, 12 sites} +
+rollup rows = 48 < 100 by dimension-size construction; q33: <= 100
+Electronics manufacts by the manufact<->category congruence in
+gen_item; q42: <= 10 categories; q43: <= 12 stores; q88/q96: single
+row). q2/q34/q73 carry no LIMIT and the differential is
+order-insensitive. Two queries carry a RESIDUAL boundary-tie exposure
+when their result exceeds the LIMIT: q56 (ORDER BY a decimal sum —
+a rank-100 boundary tie needs two single-sale items with identical
+qty x price, ~3e-6 on these fixtures) and q79 (ORDER BY name/city/
+profit without the ticket — needs a full name+city+exact-profit
+collision at the boundary, ~1e-7); both are dialect-identical exact
+DECIMAL comparisons, so any tie would still order identically unless it
+straddles rank 100 exactly.
 """
 
 from __future__ import annotations
@@ -125,14 +134,46 @@ SPARK_COLS: dict[str, tuple[str, ...]] = {
         "h12_to_12_30",
     ),
     "q96": ("count(1)",),
+    "q10": (
+        "cd_gender",
+        "cd_marital_status",
+        "cd_education_status",
+        "cnt1",
+        "cd_purchase_estimate",
+        "cnt2",
+        "cd_credit_rating",
+        "cnt3",
+        "cd_dep_count",
+        "cnt4",
+        "cd_dep_employed_count",
+        "cnt5",
+        "cd_dep_college_count",
+        "cnt6",
+    ),
+    "q26": ("i_item_id", "agg1", "agg2", "agg3", "agg4"),
+    "q33": ("i_manufact_id", "total_sales"),
+    "q56": ("i_item_id", "total_sales"),
+    "q60": ("i_item_id", "total_sales"),
+    "q79": (
+        "c_last_name",
+        "c_first_name",
+        "substr(s_city, 1, 30)",
+        "ss_ticket_number",
+        "amt",
+        "profit",
+    ),
 }
 
-#: avg(DECIMAL(7,2)) columns per query: Spark computes the exact decimal
-#: sum and divides once with HALF_UP at scale 6; DuckDB's AVG over DECIMAL
-#: accumulates binary doubles (order-sensitive at the ulp). The oracle
-#: rewrites those aggregates to the same exact integer form
-#: (micro-units = (cents*10^4*2 + n) // (2n), non-negative inputs).
-_Q7_AVG_DECIMALS = ("ss_list_price", "ss_coupon_amt", "ss_sales_price")
+#: avg(...) rewrites per query (q7 store / q26 catalog): Spark computes
+#: the exact decimal sum and divides once with HALF_UP at scale 6;
+#: DuckDB's AVG over DECIMAL accumulates binary doubles (order-sensitive
+#: at the ulp). The oracle rewrites decimal avgs to the same exact
+#: integer form (micro-units = (cents*10^4*2 + n) // (2n), non-negative
+#: inputs) and the int avg to exact-sum / count.
+_AVG_REWRITES = {
+    "q7": ("ss_quantity", ("ss_list_price", "ss_coupon_amt", "ss_sales_price")),
+    "q26": ("cs_quantity", ("cs_list_price", "cs_coupon_amt", "cs_sales_price")),
+}
 
 
 def _exact_ratio_2dp(a: str, b: str) -> str:
@@ -161,9 +202,13 @@ def _oracle_text(qname: str) -> str:
             lambda m: _exact_ratio_2dp(m.group(1), m.group(2)),
             text,
         )
-    if qname == "q7":
-        text = text.replace("avg(ss_quantity) agg1", "CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(ss_quantity) agg1")
-        for i, col in enumerate(_Q7_AVG_DECIMALS, start=2):
+    if qname in _AVG_REWRITES:
+        int_col, dec_cols = _AVG_REWRITES[qname]
+        text = text.replace(
+            f"avg({int_col}) agg1",
+            f"CAST(SUM({int_col}) AS DOUBLE) / COUNT({int_col}) agg1",
+        )
+        for i, col in enumerate(dec_cols, start=2):
             text = text.replace(f"avg({col}) agg{i}", f"{_exact_avg_dec2(col)} agg{i}")
     return text
 

@@ -153,10 +153,15 @@ def compare_queries(
     "match (py-oracle)" either way."""
     from spark_cherry_shuffle_service_spark.plans.registry import all_specs
 
+    import sys
+    import time
+
     specs = all_specs()
     con = duck_connection(sf_dir)
     results: dict[str, str] = {}
     for name in names or sorted(n for n, s in specs.items() if s.oracle or s.oracle_py):
+        t_start = time.perf_counter()
+        print(f"  [compare] {name} ...", file=sys.stderr, flush=True)
         spec = specs[name]
         if spec.oracle is None and spec.oracle_py is None:
             results[name] = "SKIP: no oracle (rows-only)"
@@ -194,4 +199,10 @@ def compare_queries(
             # build; release after the action so a full compare run ends
             # with zero net-new cache blocks (VERDICT r6 item 4).
             release_persisted()
+            print(
+                f"  [compare] {name}: {results.get(name, '?')} "
+                f"({time.perf_counter() - t_start:.1f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
     return results

@@ -87,9 +87,19 @@ def measure_queries(
     results: dict[str, dict] = {}
     seen = {_stage_key(s) for s in _rest(base, "/stages")}
     for name in names or sorted(specs):
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        print(f"  [shufflestats] {name} ...", file=sys.stderr, flush=True)
         df = specs[name].builder(spark, sf_dir)
         static = plan_exchange_counts(df)
         write_noop(df)
+        print(
+            f"  [shufflestats] {name} done in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
         stages = _rest(base, "/stages")
         new = [
             s

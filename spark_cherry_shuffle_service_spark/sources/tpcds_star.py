@@ -61,7 +61,7 @@ STAR_ROOT = "/root/repo/.tpcds"
 #: at another SF).
 ORACLE_TAG = "sf0.01"
 
-_GENERATOR_VERSION = 1
+_GENERATOR_VERSION = 2  # v2: ca-county + color vocab for the q10/q26/q33/q56/q60/q79 batch
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -108,7 +108,14 @@ _STORE_NAMES = (
     "cally", "anti", "ese", "n st", "pri", "ese",
 )
 _CITIES = ("Midway", "Fairview", "Pleasant Hill", "Five Points", "Oak Grove", "Centerville")
+#: Store counties: exactly q73's IN-list (all stores match q73; 1/4 match
+#: q34's Williamson-only list).
 _COUNTIES = ("Williamson County", "Franklin Parish", "Bronx County", "Orange County")
+#: Address counties: the store cycle PLUS q10's five (ca_county is a
+#: different column than s_county — q10 filters addresses, q34/q73 stores).
+_CA_COUNTIES = _COUNTIES + (
+    "Rush County", "Toole County", "Jefferson County", "Dona Ana County", "La Porte County",
+)
 _STATES = (
     "CA", "WA", "GA", "TX", "NY", "FL", "IL", "OH", "PA", "MI",
     "NC", "NJ", "VA", "AZ", "MA", "TN", "IN", "MO", "MD", "WI",
@@ -412,7 +419,11 @@ def gen_item(part: DataFrame) -> DataFrame:
         F.concat(F.lit("manufact#"), manufact.cast("string")).alias("i_manufact"),
         F.concat(F.col("p_size").cast("string"), F.lit("in")).alias("i_size"),
         F.lit(None).cast("string").alias("i_formulation"),
-        _cycle(("red", "blue", "green", "white", "black", "ivory"), k).alias("i_color"),
+        _cycle(
+            ("red", "blue", "green", "white", "black", "ivory",
+             "slate", "blanched", "burnished"),  # q56's color triple included
+            k,
+        ).alias("i_color"),
         _cycle(("Each", "Dozen", "Case"), k).alias("i_units"),
         _cycle(("Unknown",), k).alias("i_container"),
         (k % 100 + 1).cast("int").alias("i_manager_id"),
@@ -466,7 +477,7 @@ def gen_customer_address(cust: DataFrame) -> DataFrame:
             "ca_suite_number"
         ),
         _pick(_u("ca_city", k), _CITIES).alias("ca_city"),
-        _pick(_u("ca_county", k), _COUNTIES).alias("ca_county"),
+        _pick(_u("ca_county", k), _CA_COUNTIES).alias("ca_county"),
         _pick(_u("ca_state", k), _STATES).alias("ca_state"),
         _pick(_u("ca_zip", k), _ZIPS).alias("ca_zip"),
         F.lit("United States").alias("ca_country"),

@@ -98,11 +98,11 @@ def test_committed_shuffle_stats_artifact_is_coherent():
 def test_shuffle_bytes_scale_sublinearly_at_sf1():
     """Byte-scaling alarm over the committed sf0.1 and ~sf1 artifacts: a
     genuinely quadratic pair/candidate generator would shuffle ~100x the
-    bytes at 10x fact data even where wall-clock noise hides it. Known
-    super-10x ratios are the genscale densification effect (facts scale,
-    entity tables don't, so degree grows 10x and entity-pair operators
-    densify ~degree^2 — SCALE.md); the alarm bounds every ratio at 50x
-    and the median at 10x."""
+    bytes at 10x fact data even where wall-clock noise hides it. Residual
+    super-10x ratios are the genscale densification effect (degree grows
+    ~sqrt(10) with v2's sqrt-entity scaling — was 10x with v1's fixed
+    entity tables — so entity-pair operators densify ~degree^2, SCALE.md);
+    the alarm bounds every ratio at 50x and the median at 10x."""
     import os
     import statistics
 

@@ -32,7 +32,7 @@ _REF_SQL_DIR = (
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 16
+    assert len(TPCDS_TEXTS) == 22
     # The reference's headline pair (README.md:125-126) must be present.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
 
