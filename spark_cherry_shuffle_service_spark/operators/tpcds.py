@@ -162,7 +162,61 @@ SPARK_COLS: dict[str, tuple[str, ...]] = {
         "amt",
         "profit",
     ),
+    # --- TPC-DS v2.7 variants (tpcds-v2.7.0/*.sql), run verbatim too ---
+    "q5a": ("channel", "id", "sales", "returns", "profit"),
+    "q10a": (
+        "cd_gender",
+        "cd_marital_status",
+        "cd_education_status",
+        "cnt1",
+        "cd_purchase_estimate",
+        "cnt2",
+        "cd_credit_rating",
+        "cnt3",
+        "cd_dep_count",
+        "cnt4",
+        "cd_dep_employed_count",
+        "cnt5",
+        "cd_dep_college_count",
+        "cnt6",
+    ),
+    "q18a": (
+        "i_item_id",
+        "ca_country",
+        "ca_state",
+        "ca_county",
+        "agg1",
+        "agg2",
+        "agg3",
+        "agg4",
+        "agg5",
+        "agg6",
+        "agg7",
+    ),
+    "q35a": (
+        "ca_state",
+        "cd_gender",
+        "cd_marital_status",
+        "cd_dep_count",
+        "cnt1",
+        "avg(cd_dep_count)",
+        "max(cd_dep_count)",
+        "sum(cd_dep_count)",
+        "cd_dep_employed_count",
+        "cnt2",
+        "avg(cd_dep_employed_count)",
+        "max(cd_dep_employed_count)",
+        "sum(cd_dep_employed_count)",
+        "cd_dep_college_count",
+        "cnt3",
+        "avg(cd_dep_college_count)",
+        "max(cd_dep_college_count)",
+        "sum(cd_dep_college_count)",
+    ),
 }
+
+#: Queries whose verbatim text lives in the v2.7 resource dir.
+V27_QUERIES = frozenset({"q5a", "q10a", "q18a", "q35a"})
 
 #: avg(...) rewrites per query (q7 store / q26 catalog): Spark computes
 #: the exact decimal sum and divides once with HALF_UP at scale 6;
@@ -192,6 +246,18 @@ def _exact_avg_dec2(col: str) -> str:
     return f"CAST(({cents} * 10000 * 2 + {n}) // (2 * {n}) AS DECIMAL(38,0)) * 0.000001"
 
 
+def _exact_avg_dec2_signed(col: str) -> str:
+    """Sign-safe variant for scale-2 decimal columns that can be NEGATIVE
+    (q18a's agg5 averages cs_net_profit): HALF_UP in Java/Spark rounds
+    ties AWAY FROM ZERO, so compute on |sum| and re-apply the sign —
+    DuckDB's // floors, which would round negative ties the wrong way."""
+    cents = f"CAST(SUM({col}) * 100 AS HUGEINT)"
+    n = f"COUNT({col})"
+    mag = f"((ABS({cents}) * 10000 * 2 + {n}) // (2 * {n}))"
+    sign = f"(CASE WHEN {cents} < 0 THEN -1 ELSE 1 END)"
+    return f"CAST({sign} * {mag} AS DECIMAL(38,0)) * 0.000001"
+
+
 def _oracle_text(qname: str) -> str:
     """The query text as the DUCKDB oracle runs it (dialect-honest
     adaptations documented in the module docstring)."""
@@ -210,6 +276,20 @@ def _oracle_text(qname: str) -> str:
         )
         for i, col in enumerate(dec_cols, start=2):
             text = text.replace(f"avg({col}) agg{i}", f"{_exact_avg_dec2(col)} agg{i}")
+    if qname == "q18a":
+        # 7 avg(DECIMAL(12,2)) aggregates repeated across the 4 grouping
+        # levels; agg5 (net profit) can be negative -> sign-safe form.
+        for i in range(1, 8):
+            text = text.replace(f"avg(agg{i}) agg{i}", f"{_exact_avg_dec2_signed(f'agg{i}')} agg{i}")
+        # Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST, and
+        # q18a's LIMIT 100 binds at sf0.1 over rollup-style NULL rows —
+        # make Spark's semantics explicit in the oracle.
+        text = text.replace(
+            "order by\n  ca_country,\n  ca_state,\n  ca_county,\n  i_item_id",
+            "order by\n  ca_country NULLS FIRST,\n  ca_state NULLS FIRST,\n"
+            "  ca_county NULLS FIRST,\n  i_item_id NULLS FIRST",
+        )
+        assert "NULLS FIRST" in text, "q18a ORDER BY rewrite did not anchor"
     return text
 
 
@@ -227,6 +307,11 @@ def tpcds_oracle(qname: str) -> str:
         for t in _referenced_tables(text)
     )
     body = text.lstrip()
+    # v2.7 texts open with a `-- new in v2.7` comment line; drop leading
+    # comment lines so the WITH-splice sees the statement head (the Spark
+    # side keeps the comment — the text there stays verbatim).
+    while body.startswith("--"):
+        body = body.split("\n", 1)[1].lstrip()
     if body[:4].upper() == "WITH":
         spliced = "WITH " + prelude + ",\n" + body[4:].lstrip()
     else:

@@ -61,7 +61,7 @@ STAR_ROOT = "/root/repo/.tpcds"
 #: at another SF).
 ORACLE_TAG = "sf0.01"
 
-_GENERATOR_VERSION = 2  # v2: ca-county + color vocab for the q10/q26/q33/q56/q60/q79 batch
+_GENERATOR_VERSION = 3  # v3: q10a's (v2.7) extra ca-county vocabulary
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -111,10 +111,12 @@ _CITIES = ("Midway", "Fairview", "Pleasant Hill", "Five Points", "Oak Grove", "C
 #: Store counties: exactly q73's IN-list (all stores match q73; 1/4 match
 #: q34's Williamson-only list).
 _COUNTIES = ("Williamson County", "Franklin Parish", "Bronx County", "Orange County")
-#: Address counties: the store cycle PLUS q10's five (ca_county is a
-#: different column than s_county — q10 filters addresses, q34/q73 stores).
+#: Address counties: the store cycle PLUS q10's five PLUS q10a's (v2.7)
+#: other four (ca_county is a different column than s_county — q10/q10a
+#: filter addresses, q34/q73 stores).
 _CA_COUNTIES = _COUNTIES + (
     "Rush County", "Toole County", "Jefferson County", "Dona Ana County", "La Porte County",
+    "Walker County", "Richland County", "Gaines County", "Douglas County",
 )
 _STATES = (
     "CA", "WA", "GA", "TX", "NY", "FL", "IL", "OH", "PA", "MI",

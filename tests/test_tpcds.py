@@ -13,7 +13,11 @@ import os
 
 import pytest
 
-from spark_cherry_shuffle_service_spark.operators.tpcds import SPARK_COLS, tpcds_oracle
+from spark_cherry_shuffle_service_spark.operators.tpcds import (
+    SPARK_COLS,
+    V27_QUERIES,
+    tpcds_oracle,
+)
 from spark_cherry_shuffle_service_spark.operators.tpcds_texts import TPCDS_TEXTS
 from spark_cherry_shuffle_service_spark.plans.differential import adapt_oracle, duck_rows
 from spark_cherry_shuffle_service_spark.plans.registry import all_specs
@@ -28,13 +32,16 @@ from tests.conftest import SF_CORRECT
 _REF_SQL_DIR = (
     "/root/reference/spark-code/code/sql/core/src/test/resources/tpcds"
 )
+_REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 22
-    # The reference's headline pair (README.md:125-126) must be present.
+    assert len(TPCDS_TEXTS) == 26
+    # The reference's headline pair (README.md:125-126) must be present,
+    # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
+    assert V27_QUERIES <= set(TPCDS_TEXTS)
 
 
 @pytest.mark.skipif(not os.path.isdir(_REF_SQL_DIR), reason="reference checkout not mounted")
@@ -43,7 +50,8 @@ def test_texts_are_verbatim(qname):
     """The whole point of this module: the Spark-side text is the
     reference's .sql file byte-for-byte (modulo outer whitespace from the
     embedding). Any 'adaptation' belongs on the oracle side only."""
-    with open(os.path.join(_REF_SQL_DIR, f"{qname}.sql")) as fh:
+    d = _REF_SQL_DIR_V27 if qname in V27_QUERIES else _REF_SQL_DIR
+    with open(os.path.join(d, f"{qname}.sql")) as fh:
         ref = fh.read()
     assert TPCDS_TEXTS[qname].strip("\n") == ref.strip("\n")
 
