@@ -334,10 +334,19 @@ def _make_builder(qname: str):
     return run
 
 
+#: Queries whose output carries DECIMAL money columns on BOTH engines
+#: (everything except the pure count/demographic reports) — the
+#: 'decimal-native' tag tells the oracle-schema guard the decimals are
+#: the contract, not an uncast integer SUM.
+_COUNT_ONLY = frozenset({"q10", "q10a", "q34", "q73", "q88", "q96"})
+
 for _qname in sorted(SPARK_COLS):
+    _tags = ("sql-text", "tpcds", "star", "verbatim")
+    if _qname not in _COUNT_ONLY:
+        _tags += ("decimal-native",)
     query(
         f"sql_text_tpcds_{_qname}",
         oracle=tpcds_oracle(_qname),
-        tags=("sql-text", "tpcds", "star", "verbatim"),
+        tags=_tags,
         doc=f"Verbatim TPC-DS {_qname} through spark.sql over the star slice.",
     )(_make_builder(_qname))
