@@ -298,7 +298,14 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
-    calibration = round(_median([_calibration_probe() for _ in range(3)]), 3)
+    # Statistic is MIN of 3 probes, matching BASELINE_QUERIES.json's
+    # calibration_sec which pins the baseline window's FASTEST probe — a
+    # median-vs-fastest mismatch made drift_factor systematically >1 on an
+    # unchanged host, silently widening the 2x gate (ADVICE r8, medium).
+    # min is also the right estimator of unloaded host speed: probe noise
+    # is one-sided (scheduling stalls only ever add time).
+    cal_probes = [round(_calibration_probe(), 3) for _ in range(3)]
+    calibration = min(cal_probes)
     drift = round(drift_factor(calibration, cal_base), 3)
     print(
         f"  [calibration: {calibration:.3f}s; baseline epoch "
@@ -395,6 +402,8 @@ def main() -> None:
         "violations": violations,
         "n_violations": len(violations),
         "calibration_sec": calibration,
+        "calibration_probes": cal_probes,
+        "calibration_stat": "min",
         "calibration_baseline_sec": cal_base,
         "drift_factor": drift,
         "value": total,

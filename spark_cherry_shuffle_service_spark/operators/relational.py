@@ -397,8 +397,27 @@ def _tdigest_oracle_py(con, sf_dir: str):
 
 @query(
     "agg_percentiles_tdigest",
-    oracle=None,  # sketch internals are engine-specific; the py-oracle
-    # twin adjudicates the exact quantiles + contract verdicts.
+    # The output is a CONTRACT (exact quantiles + sketch-accuracy verdicts),
+    # so it admits a plain SQL oracle: DuckDB quantile_cont is proven
+    # bit-identical to Spark `percentile` on this data class by
+    # agg_percentiles, and the sketch_ok_* booleans are asserted TRUE — if
+    # Spark's sketch ever leaves its documented rank bound, its FALSE
+    # mismatches the literal and the differential fails (VERDICT r8 task 3:
+    # makes the driver's oracle_sql()-only harness green after 8 rounds of
+    # `err: no_oracle`). The py-oracle twin stays as the stricter check.
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25_exact,
+           quantile_cont(value, 0.5) AS p50_exact,
+           quantile_cont(value, 0.75) AS p75_exact,
+           TRUE AS sketch_ok_p25,
+           TRUE AS sketch_ok_p50,
+           TRUE AS sketch_ok_p75,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     oracle_py=_tdigest_oracle_py,
     tags=("agg", "percentile", "sketch", "scale-path"),
 )

@@ -263,24 +263,32 @@ def _oracle_text(qname: str) -> str:
     adaptations documented in the module docstring)."""
     text = TPCDS_TEXTS[qname]
     if qname == "q2":
-        text = re.sub(
+        # Anchor the rewrite count (ADVICE r8): a formatting drift in the
+        # verbatim text would otherwise silently no-op the substitution and
+        # the oracle would fall back to DuckDB's binary-double ROUND — the
+        # documented ROUND-tie divergence class.
+        text, n_sub = re.subn(
             r"round\((\w+) / (\w+), 2\)",
             lambda m: _exact_ratio_2dp(m.group(1), m.group(2)),
             text,
         )
+        assert n_sub == 7, f"q2 round() rewrite anchored {n_sub} of 7 ratios"
     if qname in _AVG_REWRITES:
         int_col, dec_cols = _AVG_REWRITES[qname]
         text = text.replace(
             f"avg({int_col}) agg1",
             f"CAST(SUM({int_col}) AS DOUBLE) / COUNT({int_col}) agg1",
         )
+        assert f"avg({int_col})" not in text, f"{qname} agg1 avg rewrite did not anchor"
         for i, col in enumerate(dec_cols, start=2):
             text = text.replace(f"avg({col}) agg{i}", f"{_exact_avg_dec2(col)} agg{i}")
+            assert f"avg({col})" not in text, f"{qname} agg{i} avg rewrite did not anchor"
     if qname == "q18a":
         # 7 avg(DECIMAL(12,2)) aggregates repeated across the 4 grouping
         # levels; agg5 (net profit) can be negative -> sign-safe form.
         for i in range(1, 8):
             text = text.replace(f"avg(agg{i}) agg{i}", f"{_exact_avg_dec2_signed(f'agg{i}')} agg{i}")
+        assert "avg(agg" not in text, "q18a avg(agg_i) rewrites did not anchor"
         # Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST, and
         # q18a's LIMIT 100 binds at sf0.1 over rollup-style NULL rows —
         # make Spark's semantics explicit in the oracle.

@@ -800,12 +800,27 @@ def gen_web_returns(base: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 # Orchestration
 # --------------------------------------------------------------------------
+#: Validated (sf_dir, lineitem mtime) -> manifest. register_star_views is
+#: called inside every TPC-DS builder, and without this memo each call
+#: re-ran three count() actions just to re-check an unchanged manifest —
+#: ~78+ extra Spark jobs per compare/bench sweep (ADVICE r8). Keyed on the
+#: source lineitem's mtime so a driver regeneration still invalidates,
+#: same convention as bpe.py's _TRAIN_MEMO.
+_STAR_MEMO: dict[tuple[str, float], dict] = {}
+
+
 def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Write the 17-table star slice for `sf_dir`'s fixtures; idempotent
     via manifest (same shape as sources/genscale.py). Facts are multi-file
     parquet dirs (scan parallelism); dims are single-file."""
     out_dir = star_dir(sf_dir)
     manifest_path = os.path.join(out_dir, MANIFEST)
+    try:
+        memo_key = (os.path.realpath(sf_dir), os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
+    except OSError:
+        memo_key = None
+    if not force and memo_key is not None and memo_key in _STAR_MEMO:
+        return _STAR_MEMO[memo_key]
     from spark_cherry_shuffle_service_spark.sources.catalog import table
 
     lineitem = table(spark, sf_dir, "lineitem")
@@ -825,7 +840,23 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
         with open(manifest_path) as fh:
             have = json.load(fh)
         if {k: have.get(k) for k in want} == want:
+            if memo_key is not None:
+                _STAR_MEMO[memo_key] = have
             return have
+        # Basename-collision guard (ADVICE r8): star_dir keys by basename,
+        # so a DIFFERENT fixture dir that happens to share one (e.g. any
+        # regenerated dir also named sf0.01) would silently overwrite this
+        # slice — and if that slice is the committed ORACLE_TAG substrate,
+        # a concurrent DuckDB oracle read could momentarily see different
+        # data than the Spark side. Refuse; force=True overrides.
+        have_src = have.get("sf_dir")
+        if have_src and os.path.realpath(have_src) != os.path.realpath(sf_dir):
+            raise RuntimeError(
+                f"star dir {out_dir} was generated from {have_src!r} but "
+                f"{sf_dir!r} now requests it (basename collision) — refusing "
+                "to overwrite; pass force=True or use a distinctly-named "
+                "fixture dir"
+            )
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     par = spark.sparkContext.defaultParallelism
@@ -861,6 +892,8 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
     manifest = dict(want, row_counts=counts)
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, indent=1)
+    if memo_key is not None:
+        _STAR_MEMO[memo_key] = manifest
     return manifest
 
 

@@ -91,9 +91,12 @@ def test_calibration_normalized_gate_absorbs_uniform_slowdown():
     assert abs(drift - 1.5) < 1e-9
     slowed = {n: 1.5 * b for n, b in baselines.items()}
     assert not any(is_violation(t, baselines[n], drift) for n, t in slowed.items())
-    # Without normalization the same table WOULD flag (the phantom class):
-    big = [n for n, b in baselines.items() if 1.5 * b - b > 0.5 and 1.5 > 2.0]
-    assert big == []  # 1.5x never breaches the 2x factor alone...
+    # The real counterfactual (ADVICE r8: the previous form carried a
+    # constant-false `1.5 > 2.0` that made the check vacuous): a 1.5x table
+    # never flags even UN-normalized (2x factor alone absorbs it), while a
+    # 2.5x table at drift 1.0 does flag — that's the phantom class the
+    # normalization exists for, exercised below.
+    assert not any(is_violation(1.5 * b, b, 1.0) for b in baselines.values())
     worse = {n: 2.5 * b for n, b in baselines.items() if b > 1.0}
     assert any(is_violation(t, baselines[n], 1.0) for n, t in worse.items())
     assert not any(is_violation(t, baselines[n], 2.5) for n, t in worse.items())
