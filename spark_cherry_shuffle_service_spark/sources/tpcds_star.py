@@ -8,7 +8,8 @@ The reference's executable surface is TPC-DS v1.4 query files run through
 sql/execution/benchmark/TPCDSQueryBenchmark.scala:69-100); schemas are
 TPCDSBase.scala:52-270. The reference also GENERATES its data
 programmatically before querying (tpc-ds-gen/TPCDSPreparation.scala:17-25)
-— this module plays that role, deriving a 17-table star slice from the
+— this module plays that role, deriving the full 24-table star schema
+(TPCDSQueryBenchmark.scala:63-67) from the
 driver fixtures at whatever SF the caller is running:
 
 - **One scan, no joins, no shuffles**: every fact column is either carried
@@ -61,7 +62,17 @@ STAR_ROOT = "/root/repo/.tpcds"
 #: at another SF).
 ORACLE_TAG = "sf0.01"
 
-_GENERATOR_VERSION = 3  # v3: q10a's (v2.7) extra ca-county vocabulary
+# v4 (round 9): the 7 remaining benchmark tables (inventory, warehouse,
+# call_center, reason, ship_mode, income_band, web_page —
+# TPCDSQueryBenchmark.scala:63-67), d_month_seq/d_quarter_seq re-anchored
+# at 1900 so the corpus's `d_month_seq BETWEEN 1200 AND 1211` spans year
+# 2000, TPC-DS-style item class/brand vocabulary (per-category class
+# lists, syllable manufacturer names) and a 0.99..99.99 i_current_price,
+# and ~4% NULL ss_addr_sk (q44's `ss_addr_sk IS NULL` cohort).
+# v5: variable 2..61-day ship lag (q72/q16/q95 ship-window predicates).
+# v6: GA/IL-weighted address states + 15% web return rate (q16/q95
+# non-vacuous at sf0.01).
+_GENERATOR_VERSION = 7
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -71,10 +82,17 @@ TPCDS_TABLES = (
     "catalog_returns",
     "web_sales",
     "web_returns",
+    "inventory",
     "date_dim",
     "time_dim",
     "item",
     "store",
+    "warehouse",
+    "call_center",
+    "reason",
+    "ship_mode",
+    "income_band",
+    "web_page",
     "customer",
     "customer_address",
     "customer_demographics",
@@ -101,6 +119,23 @@ _N_PROMO = 18
 _N_CATALOG_PAGE = 20
 _N_WEB_SITE = 12
 _N_WEB_PAGE = 30
+#: Cardinalities locked to the fact-side FK functions already emitted
+#: since v1: cs/ws_warehouse_sk = ok%3+1, cs_call_center_sk = ok%4+1,
+#: *_ship_mode_sk = ok%5+1, *_reason_sk = ok%7+1, hd_income_band_sk =
+#: i%20+1 — the v4 dims materialize those domains.
+_N_WAREHOUSE = 3
+_N_CALL_CENTER = 4
+_N_SHIP_MODE = 5
+_N_REASON = 7
+_N_INCOME_BAND = 20
+#: Inventory: weekly (item x warehouse) snapshots over the 1999-2001
+#: window every inventory query in the corpus probes (q72 d_year 1999,
+#: q21 2000-03+-30d, q22 month_seq 1200-1211, q37/q82-class 2000-2001).
+#: Snapshot grain = items x weeks x warehouses, exactly how dsdgen
+#: scales inventory; bounding the week span to the probed window keeps
+#: the committed sf0.01 slice proportionate (157 weeks x n_items x 3).
+_INV_WEEKS = 157
+_INV_WEEK0_OFFSET = 361  # 1998-12-28, a Monday (one week before 1999)
 _TICKET_ORDERS = 6  # orders merged per store visit -> ~24 lines/ticket
 
 _STORE_NAMES = (
@@ -122,6 +157,14 @@ _STATES = (
     "CA", "WA", "GA", "TX", "NY", "FL", "IL", "OH", "PA", "MI",
     "NC", "NJ", "VA", "AZ", "MA", "TN", "IN", "MO", "MD", "WI",
 )
+#: Address states: the base cycle with the two states the verbatim
+#: ship-window queries probe (q16 'GA', q95 'IL') over-represented
+#: (~15% each) — their predicates conjoin a 60-day ship window, a
+#: 1-in-3 company/county filter AND the state, and a uniform 1/20 state
+#: share left q95 with ZERO qualifying orders at sf0.01 (a vacuous
+#: differential). Same plant-by-construction device as the county/zip
+#: vocabularies above.
+_STATES_ADDR = _STATES + ("GA", "IL", "GA", "IL", "GA", "IL", "IL", "IL")
 #: Includes the 9 zips q15/q45 probe with substr(ca_zip,1,5) IN (...).
 _ZIPS = (
     "85669", "86197", "88274", "83405", "86475", "85392", "85460", "80348", "81792",
@@ -153,7 +196,54 @@ _CATEGORIES = (
     "Books", "Home", "Electronics", "Jewelry", "Men",
     "Music", "Shoes", "Sports", "Women", "Children",
 )
-_CLASSES = ("accent", "bathroom", "bedding", "blinds", "curtains", "decor", "flatware", "glassware")
+#: Per-category class vocabulary (v4), aligned 1:1 with _CATEGORIES and
+#: drawn from the real TPC-DS class names so the corpus's
+#: (category, class) predicates — q53/q63 'personal/portable/reference/
+#: self-help' + 'accessories/classical/fragrances/pants', q89
+#: 'computers/stereo/football' + 'shirts/birdal/dresses' — all have
+#: matching items by construction (class is an md5 pick per item, so
+#: every combo within a category is populated at any SF).
+_CATEGORY_CLASSES = (
+    ("arts", "business", "computers", "cooking", "entertainments", "fiction",
+     "history", "home repair", "mystery", "parenting", "reference", "romance",
+     "science", "self-help", "sports", "travel"),  # Books
+    ("accent", "bathroom", "bedding", "blinds/shades", "curtains/drapes", "decor",
+     "flatware", "furniture", "glassware", "kitchen", "lighting", "mattresses",
+     "paint", "rugs", "tables", "wallpaper"),  # Home
+    ("audio", "automotive", "camcorders", "cameras", "disk drives",
+     "dvd/vcr players", "karoke", "memory", "monitors", "musical", "personal",
+     "portable", "scanners", "stereo", "televisions", "wireless"),  # Electronics
+    ("birdal", "costume", "custom", "diamonds", "earings", "gold",
+     "jewelry boxes", "loose stones", "mens watch", "pendants", "rings",
+     "semi-precious", "womens watch"),  # Jewelry
+    ("accessories", "pants", "shirts", "sports-apparel"),  # Men
+    ("classical", "country", "pop", "rock"),  # Music
+    ("athletic", "kids", "mens", "womens"),  # Shoes
+    ("archery", "athletic shoes", "baseball", "basketball", "camping", "fishing",
+     "fitness", "football", "golf", "guns", "hockey", "optics", "outdoor",
+     "pools", "sailing", "tennis"),  # Sports
+    ("dresses", "fragrances", "maternity", "swimwear"),  # Women
+    ("infants", "newborn", "school-uniforms", "toddlers"),  # Children
+)
+#: dsdgen-style manufacturer-name syllables, one per digit (verified
+#: against the corpus's literal brand strings: 'scholaramalgamalg' = 511,
+#: 'exportiunivamalg' = 391, 'edu packscholar' = 25, 'amalgimporto' = 14).
+_MANUFACT_SYL = (
+    "nameless", "amalg", "edu pack", "exporti", "importo",
+    "scholar", "corp", "brand", "maxi", "univ",
+)
+#: Planted brands (v4): the corpus probes brand IN (<literal name list>)
+#: conjoined with category+class lists (q53/q63 families A and B). Brand
+#: number and class are md5 picks, so a specific (manufact, #n, class)
+#: triple is not otherwise guaranteed at small SF; these three manufacts
+#: get a FIXED brand number + class instead — each consistent with the
+#: category its k-residue implies (m=511/391 -> k%10==0 -> Books;
+#: m=25 -> k%10==4 -> Men) — so every disjunct of q53/q63's predicate
+#: matches rows at every SF: m=511 'scholaramalgamalg #14' ('reference',
+#: q53-A), m=391 'exportiunivamalg #9' ('self-help', q53-A AND q63-A —
+#: the only family-A class shared with q63's verbatim 'refernece' typo
+#: list), m=25 'edu packscholar #1' ('pants', both family B).
+_PLANTED_ITEMS = {511: (14, "reference"), 391: (9, "self-help"), 25: (1, "pants")}
 
 
 def star_dir(sf_dir: str) -> str:
@@ -180,18 +270,21 @@ def gen_date_dim(spark: SparkSession) -> DataFrame:
         (F.lit(_EPOCH_SK) + F.col("id")).cast("int").alias("d_date_sk"),
         _id16("AAAAAAAA", F.lit(_EPOCH_SK) + F.col("id")).alias("d_date_id"),
         d.alias("d_date"),
-        ((F.year(d) - 1990) * 12 + F.month(d) - 1).cast("int").alias("d_month_seq"),
+        # 1900 anchor: d_month_seq 1200 = 2000-01, the exact window the
+        # benchmark corpus probes with `d_month_seq BETWEEN 1200 AND 1211`
+        # (q22/q38/q51/q53/q63/q67/q70/q87 and kin).
+        ((F.year(d) - 1900) * 12 + F.month(d) - 1).cast("int").alias("d_month_seq"),
         (F.floor(F.datediff(d, F.lit(_WEEK_ANCHOR).cast("date")) / 7) + 5200)
         .cast("int")
         .alias("d_week_seq"),
-        ((F.year(d) - 1990) * 4 + F.quarter(d) - 1).cast("int").alias("d_quarter_seq"),
+        ((F.year(d) - 1900) * 4 + F.quarter(d) - 1).cast("int").alias("d_quarter_seq"),
         F.year(d).cast("int").alias("d_year"),
         dow.alias("d_dow"),
         F.month(d).cast("int").alias("d_moy"),
         F.dayofmonth(d).cast("int").alias("d_dom"),
         F.quarter(d).cast("int").alias("d_qoy"),
         F.year(d).cast("int").alias("d_fy_year"),
-        ((F.year(d) - 1990) * 4 + F.quarter(d) - 1).cast("int").alias("d_fy_quarter_seq"),
+        ((F.year(d) - 1900) * 4 + F.quarter(d) - 1).cast("int").alias("d_fy_quarter_seq"),
         (F.floor(F.datediff(d, F.lit(_WEEK_ANCHOR).cast("date")) / 7) + 5200)
         .cast("int")
         .alias("d_fy_week_seq"),
@@ -389,36 +482,216 @@ def gen_web_site(spark: SparkSession) -> DataFrame:
     )
 
 
+def gen_warehouse(spark: SparkSession) -> DataFrame:
+    """3 warehouses — the domain cs/ws_warehouse_sk (= ok%3+1) has drawn
+    from since v1 (schema: TPCDSBase.scala 'warehouse')."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_WAREHOUSE, 1, 1).select(
+        sk.alias("w_warehouse_sk"),
+        _id16("AAAAAAAA", sk).alias("w_warehouse_id"),
+        F.concat(F.lit("Warehouse "), _cycle(("Conventional childr", "Important issues liv", "Doors canno"), i)).alias("w_warehouse_name"),
+        (500_000 + i * 97_000).cast("int").alias("w_warehouse_sq_ft"),
+        (i + 300).cast("string").alias("w_street_number"),
+        _cycle(_STREETS, i + 1).alias("w_street_name"),
+        _cycle(_STREET_TYPES, i + 1).alias("w_street_type"),
+        F.concat(F.lit("Suite "), (i % 9 * 10).cast("string")).alias("w_suite_number"),
+        _cycle(_CITIES, i + 1).alias("w_city"),
+        _cycle(_COUNTIES, i + 1).alias("w_county"),
+        _cycle(_STATES, i + 1).alias("w_state"),
+        _cycle(_ZIPS, i + 1).alias("w_zip"),
+        F.lit("United States").alias("w_country"),
+        F.lit("-5.00").cast("decimal(5,2)").alias("w_gmt_offset"),
+    )
+
+
+def gen_call_center(spark: SparkSession) -> DataFrame:
+    """4 call centers (cs_call_center_sk = ok%4+1); cc_county cycles the
+    store county list so exactly one matches q16's 'Williamson County'."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_CALL_CENTER, 1, 1).select(
+        sk.alias("cc_call_center_sk"),
+        _id16("AAAAAAAA", sk).alias("cc_call_center_id"),
+        F.lit("1998-01-01").cast("date").alias("cc_rec_start_date"),
+        F.lit(None).cast("date").alias("cc_rec_end_date"),
+        F.lit(None).cast("int").alias("cc_closed_date_sk"),
+        (F.lit(_EPOCH_SK) - 200 + i * 30).cast("int").alias("cc_open_date_sk"),
+        _cycle(("NY Metro", "Mid Atlantic", "North Midwest", "California"), i).alias("cc_name"),
+        _cycle(("large", "medium", "small"), i).alias("cc_class"),
+        (200 + i * 111).cast("int").alias("cc_employees"),
+        (15_000 + i * 3_500).cast("int").alias("cc_sq_ft"),
+        F.lit("8AM-8PM").alias("cc_hours"),
+        _cycle(_FIRST_NAMES, i + 5).alias("cc_manager"),
+        (i % 6 + 1).cast("int").alias("cc_mkt_id"),
+        F.lit("Unknown").alias("cc_mkt_class"),
+        F.lit("call center market description").alias("cc_mkt_desc"),
+        _cycle(_LAST_NAMES, i + 5).alias("cc_market_manager"),
+        (i % 2 + 1).cast("int").alias("cc_division"),
+        F.lit("Unknown").alias("cc_division_name"),
+        (i % 3 + 1).cast("int").alias("cc_company"),
+        F.lit("Unknown").alias("cc_company_name"),
+        (i + 400).cast("string").alias("cc_street_number"),
+        _cycle(_STREETS, i + 2).alias("cc_street_name"),
+        _cycle(_STREET_TYPES, i + 2).alias("cc_street_type"),
+        F.concat(F.lit("Suite "), (i % 9 * 10).cast("string")).alias("cc_suite_number"),
+        _cycle(_CITIES, i + 3).alias("cc_city"),
+        _cycle(_COUNTIES, i).alias("cc_county"),
+        _cycle(_STATES, i + 3).alias("cc_state"),
+        _cycle(_ZIPS, i + 3).alias("cc_zip"),
+        F.lit("United States").alias("cc_country"),
+        F.lit("-5.00").cast("decimal(5,2)").alias("cc_gmt_offset"),
+        F.lit("0.11").cast("decimal(5,2)").alias("cc_tax_percentage"),
+    )
+
+
+def gen_reason(spark: SparkSession) -> DataFrame:
+    """7 return reasons (sr/cr/wr_reason_sk = ok%7+1)."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_REASON, 1, 1).select(
+        sk.alias("r_reason_sk"),
+        _id16("AAAAAAAA", sk).alias("r_reason_id"),
+        _cycle(
+            ("Package was damaged", "Stopped working", "Did not get it on time",
+             "Not the product that was ordred", "Parts missing",
+             "Does not work with a product that I have", "Gift exchange"),
+            i,
+        ).alias("r_reason_desc"),
+    )
+
+
+def gen_ship_mode(spark: SparkSession) -> DataFrame:
+    """5 ship modes (cs/ws_ship_mode_sk = ok%5+1)."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_SHIP_MODE, 1, 1).select(
+        sk.alias("sm_ship_mode_sk"),
+        _id16("AAAAAAAA", sk).alias("sm_ship_mode_id"),
+        _cycle(("EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"), i).alias("sm_type"),
+        _cycle(("AIR", "SURFACE", "SEA"), i).alias("sm_code"),
+        _cycle(("UPS", "FEDEX", "AIRBORNE", "USPS", "DHL"), i).alias("sm_carrier"),
+        F.concat(F.lit("contract_"), i.cast("string")).alias("sm_contract"),
+    )
+
+
+def gen_income_band(spark: SparkSession) -> DataFrame:
+    """20 income bands (hd_income_band_sk = i%20+1), 10k-wide."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_INCOME_BAND, 1, 1).select(
+        sk.alias("ib_income_band_sk"),
+        (i * 10_000 + 1).cast("int").alias("ib_lower_bound"),
+        ((i + 1) * 10_000).cast("int").alias("ib_upper_bound"),
+    )
+
+
+def gen_web_page(spark: SparkSession) -> DataFrame:
+    """30 web pages (ws_web_page_sk domain); wp_char_count spans
+    4000..6900 so the q90-class BETWEEN 5000 AND 5200 window matches."""
+    i = F.col("id")
+    sk = (i + 1).cast("int")
+    return spark.range(0, _N_WEB_PAGE, 1, 1).select(
+        sk.alias("wp_web_page_sk"),
+        _id16("AAAAAAAA", sk).alias("wp_web_page_id"),
+        F.lit("1997-09-03").cast("date").alias("wp_rec_start_date"),
+        F.lit(None).cast("date").alias("wp_rec_end_date"),
+        (F.lit(_EPOCH_SK) - 300 + i).cast("int").alias("wp_creation_date_sk"),
+        (F.lit(_EPOCH_SK) + i * 10).cast("int").alias("wp_access_date_sk"),
+        F.when(i % 2 == 0, "0").otherwise("1").alias("wp_autogen_flag"),
+        F.lit(None).cast("int").alias("wp_customer_sk"),
+        F.concat(F.lit("http://www.foo.com/page_"), i.cast("string")).alias("wp_url"),
+        _cycle(("general", "order", "welcome", "protected", "dynamic", "feedback"), i).alias("wp_type"),
+        (4000 + i * 100).cast("int").alias("wp_char_count"),
+        (i % 25 + 2).cast("int").alias("wp_link_count"),
+        (i % 7 + 1).cast("int").alias("wp_image_count"),
+        (i % 4 + 1).cast("int").alias("wp_max_ad_count"),
+    )
+
+
+def gen_inventory(spark: SparkSession, n_item: int) -> DataFrame:
+    """Weekly (item x warehouse) snapshots, 1998-12-28 .. 2001-12-24
+    (_INV_WEEKS) — pure range-decode: id -> (week, item, warehouse), the
+    quantity an md5 uniform of the triple, so the table is bit-identical
+    at any parallelism and scales as items x weeks x warehouses exactly
+    like dsdgen's inventory. One range scan, zero joins/shuffles."""
+    n_rows = _INV_WEEKS * n_item * _N_WAREHOUSE
+    par = max(4, spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    week = (i / (n_item * _N_WAREHOUSE)).cast("int")
+    item = ((i / _N_WAREHOUSE).cast("long") % n_item).cast("int")
+    wh = (i % _N_WAREHOUSE).cast("int")
+    return spark.range(0, n_rows, 1, par).select(
+        (F.lit(_EPOCH_SK) + _INV_WEEK0_OFFSET + week * 7).cast("int").alias("inv_date_sk"),
+        (item + 1).alias("inv_item_sk"),
+        (wh + 1).alias("inv_warehouse_sk"),
+        _uint(_u("inv_qoh", week, item, wh), 1000).cast("int").alias("inv_quantity_on_hand"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fixture-derived dims
 # --------------------------------------------------------------------------
+def _manufact_name(m: Column) -> Column:
+    """dsdgen-style syllable name from the decimal digits of the
+    manufacturer id (1..1000): 511 -> 'scholaramalgamalg'."""
+    def syl(d: Column) -> Column:
+        return F.element_at(F.array(*[F.lit(v) for v in _MANUFACT_SYL]), d.cast("int") + 1)
+
+    digit = lambda p: ((m / p).cast("int") % 10)  # noqa: E731
+    return F.concat(
+        F.when(m >= 1000, syl(digit(1000))).otherwise(F.lit("")),
+        F.when(m >= 100, syl(digit(100))).otherwise(F.lit("")),
+        F.when(m >= 10, syl(digit(10))).otherwise(F.lit("")),
+        syl(m % 10),
+    )
+
+
 def gen_item(part: DataFrame) -> DataFrame:
     """item <- part: i_item_sk = p_partkey + 1 (1-based, so q45's literal
     sk list 2..29 resolves); manufact/brand/category/class/manager ids are
     pure functions of the key with the densities the verbatim predicates
-    probe (1000 manufacts, 5 brands per manufact, 100 managers, 10
-    categories)."""
+    probe (1000 manufacts, up to 16 brands per manufact, 100 managers, 10
+    categories, per-category class lists; three planted brand/class
+    triples cover q53/q63's literal brand lists — _PLANTED_ITEMS)."""
     k = F.col("p_partkey")
     sk = (k + 1).cast("int")
     manufact = (k % 1000 + 1).cast("int")
-    brand = (manufact * 1000 + k % 5 + 1).cast("int")
     cat = (k % 10 + 1).cast("int")
+    mname = _manufact_name(manufact)
+
+    bnum = _uint(_u("i_brandnum", k), 16).cast("int") + 1
+    class_idx = None  # 0-based index into the category's class list
+    for mp, (pb, pc) in _PLANTED_ITEMS.items():
+        bnum = F.when(manufact == mp, pb).otherwise(bnum)
+    for ci, classes in enumerate(_CATEGORY_CLASSES, start=1):
+        idx = _uint(_u("i_class", k), len(classes)).cast("int")
+        class_idx = idx if class_idx is None else F.when(cat == ci, idx).otherwise(class_idx)
+    for mp, (pb, pc) in _PLANTED_ITEMS.items():
+        planted_cat = _CATEGORY_CLASSES[(mp - 1) % 10]  # k%10 == (mp-1)%10
+        class_idx = F.when(manufact == mp, planted_cat.index(pc)).otherwise(class_idx)
+    all_classes = F.array(*[F.array(*[F.lit(c) for c in cl]) for cl in _CATEGORY_CLASSES])
+    class_name = F.element_at(F.element_at(all_classes, cat), class_idx + 1)
+    brand_id = (manufact * 1000 + bnum).cast("int")
     return part.select(
         sk.alias("i_item_sk"),
         _id16("AAAAAAAA", sk).alias("i_item_id"),
         F.lit("1997-10-27").cast("date").alias("i_rec_start_date"),
         F.lit(None).cast("date").alias("i_rec_end_date"),
         F.concat(F.lit("item description "), F.col("p_name")).alias("i_item_desc"),
-        F.round(F.col("p_retailprice") / 20, 2).cast("decimal(7,2)").alias("i_current_price"),
+        # TPC-DS-style uniform price in [0.99, 99.99] (v4): q21's BETWEEN
+        # 0.99 AND 1.49 and the q37/q82-class range predicates all select
+        # a real ~SF-proportional slice.
+        F.round(_u("i_price", k) * 99 + 0.99, 2).cast("decimal(7,2)").alias("i_current_price"),
         F.round(F.col("p_retailprice") / 40, 2).cast("decimal(7,2)").alias("i_wholesale_cost"),
-        brand.alias("i_brand_id"),
-        F.concat(F.lit("Brand#"), brand.cast("string")).alias("i_brand"),
-        (k % 8 + 1).cast("int").alias("i_class_id"),
-        _cycle(_CLASSES, k).alias("i_class"),
+        brand_id.alias("i_brand_id"),
+        F.concat(mname, F.lit(" #"), bnum.cast("string")).alias("i_brand"),
+        (class_idx + 1).cast("int").alias("i_class_id"),
+        class_name.alias("i_class"),
         cat.alias("i_category_id"),
         F.element_at(F.array(*[F.lit(v) for v in _CATEGORIES]), cat).alias("i_category"),
         manufact.alias("i_manufact_id"),
-        F.concat(F.lit("manufact#"), manufact.cast("string")).alias("i_manufact"),
+        mname.alias("i_manufact"),
         F.concat(F.col("p_size").cast("string"), F.lit("in")).alias("i_size"),
         F.lit(None).cast("string").alias("i_formulation"),
         _cycle(
@@ -480,7 +753,7 @@ def gen_customer_address(cust: DataFrame) -> DataFrame:
         ),
         _pick(_u("ca_city", k), _CITIES).alias("ca_city"),
         _pick(_u("ca_county", k), _CA_COUNTIES).alias("ca_county"),
-        _pick(_u("ca_state", k), _STATES).alias("ca_state"),
+        _pick(_u("ca_state", k), _STATES_ADDR).alias("ca_state"),
         _pick(_u("ca_zip", k), _ZIPS).alias("ca_zip"),
         F.lit("United States").alias("ca_country"),
         (F.lit(-5.0) - _uint(_u("ca_gmt", k), 4))
@@ -564,6 +837,10 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         (net_paid + ext_ship).cast("decimal(7,2)").alias("net_paid_inc_ship"),
         (net_paid + ext_ship + ext_tax).cast("decimal(7,2)").alias("net_paid_inc_ship_tax"),
         (net_paid - ext_wholesale).cast("decimal(7,2)").alias("net_profit"),
+        # Ship lag 2..61 days (dsdgen-style): q72's `d3.d_date >
+        # d1.d_date + 5 days` and q16/q95's 60-day ship windows all
+        # select real slices (a constant lag made q72 vacuously empty).
+        (date_sk + 2 + _uint(_u("shipdelta", ok, ln), 60)).cast("int").alias("ship_date_sk"),
         _u("ret", ok, ln).alias("u_return"),
         (date_sk + 1 + _uint(_u("retdelta", ok, ln), 60)).cast("int").alias("ret_date_sk"),
         (F.lit(28_800) + _uint(_u("rettime", ok, ln), 50_400)).cast("int").alias("ret_time_sk"),
@@ -593,6 +870,11 @@ def _returns_money(df: DataFrame) -> DataFrame:
 
 def gen_store_sales(base: DataFrame) -> DataFrame:
     b = base.filter(F.col("u_channel") < 0.55)
+    # ~4% line-grain NULL addresses, dsdgen-style (v4): q44's comparison
+    # cohort is `ss_store_sk = 4 AND ss_addr_sk IS NULL`.
+    addr = F.when(_u("ss_addrnull", F.col("ok"), F.col("ln")) < 0.04, F.lit(None)).otherwise(
+        F.col("addr_sk")
+    ).cast("int")
     return b.select(
         F.col("date_sk").alias("ss_sold_date_sk"),
         F.col("time_sk").alias("ss_sold_time_sk"),
@@ -600,7 +882,7 @@ def gen_store_sales(base: DataFrame) -> DataFrame:
         F.col("cust_sk").alias("ss_customer_sk"),
         F.col("cdemo_sk").alias("ss_cdemo_sk"),
         F.col("hdemo_sk").alias("ss_hdemo_sk"),
-        F.col("addr_sk").alias("ss_addr_sk"),
+        addr.alias("ss_addr_sk"),
         F.col("store_sk").alias("ss_store_sk"),
         F.col("promo_sk").alias("ss_promo_sk"),
         F.col("ticket").cast("int").alias("ss_ticket_number"),
@@ -651,7 +933,7 @@ def gen_catalog_sales(base: DataFrame) -> DataFrame:
     return b.select(
         F.col("date_sk").alias("cs_sold_date_sk"),
         F.col("time_sk").alias("cs_sold_time_sk"),
-        (F.col("date_sk") + 3).cast("int").alias("cs_ship_date_sk"),
+        F.col("ship_date_sk").alias("cs_ship_date_sk"),
         F.col("cust_sk").alias("cs_bill_customer_sk"),
         F.col("cdemo_sk").alias("cs_bill_cdemo_sk"),
         F.col("hdemo_sk").alias("cs_bill_hdemo_sk"),
@@ -728,7 +1010,7 @@ def gen_web_sales(base: DataFrame) -> DataFrame:
     return b.select(
         F.col("date_sk").alias("ws_sold_date_sk"),
         F.col("time_sk").alias("ws_sold_time_sk"),
-        (F.col("date_sk") + 2).cast("int").alias("ws_ship_date_sk"),
+        F.col("ship_date_sk").alias("ws_ship_date_sk"),
         F.col("item_sk").alias("ws_item_sk"),
         F.col("cust_sk").alias("ws_bill_customer_sk"),
         F.col("cdemo_sk").alias("ws_bill_cdemo_sk"),
@@ -767,8 +1049,10 @@ def gen_web_returns(base: DataFrame) -> DataFrame:
     """wr_item_sk/wr_order_number match the web_sales rows they return, so
     q5's `web_returns LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
     AND wr_order_number = ws_order_number)` resolves the originating
-    site."""
-    b = _returns_money(base.filter((F.col("u_channel") >= 0.80) & (F.col("u_return") < 0.1)))
+    site. Web return rate is 15% (vs 10% store/catalog) — realistic, and
+    it keeps q95's `order IN (returned orders)` conjunction non-vacuous
+    at sf0.01 (~54% of ~5-line web orders have >=1 return)."""
+    b = _returns_money(base.filter((F.col("u_channel") >= 0.80) & (F.col("u_return") < 0.15)))
     return b.select(
         F.col("ret_date_sk").cast("bigint").alias("wr_returned_date_sk"),
         F.col("ret_time_sk").cast("bigint").alias("wr_returned_time_sk"),
@@ -810,7 +1094,7 @@ _STAR_MEMO: dict[tuple[str, float], dict] = {}
 
 
 def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
-    """Write the 17-table star slice for `sf_dir`'s fixtures; idempotent
+    """Write the 24-table star slice for `sf_dir`'s fixtures; idempotent
     via manifest (same shape as sources/genscale.py). Facts are multi-file
     parquet dirs (scan parallelism); dims are single-file."""
     out_dir = star_dir(sf_dir)
@@ -864,6 +1148,7 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
     # to the repo for the driver's oracle), bigger SFs get real scan
     # parallelism.
     fact_files = max(1, min(par, n_lines // 250_000 + 1))
+    inv_files = max(1, min(par, _INV_WEEKS * n_part * _N_WAREHOUSE // 1_000_000 + 1))
     base = _fact_base(lineitem.repartition(par), n_cust)
     frames: dict[str, tuple[DataFrame, int]] = {
         "store_sales": (gen_store_sales(base), fact_files),
@@ -872,10 +1157,17 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
         "catalog_returns": (gen_catalog_returns(base), 1),
         "web_sales": (gen_web_sales(base), fact_files),
         "web_returns": (gen_web_returns(base), 1),
+        "inventory": (gen_inventory(spark, n_part), inv_files),
         "date_dim": (gen_date_dim(spark), 1),
         "time_dim": (gen_time_dim(spark), 1),
         "item": (gen_item(part), 1),
         "store": (gen_store(spark), 1),
+        "warehouse": (gen_warehouse(spark), 1),
+        "call_center": (gen_call_center(spark), 1),
+        "reason": (gen_reason(spark), 1),
+        "ship_mode": (gen_ship_mode(spark), 1),
+        "income_band": (gen_income_band(spark), 1),
+        "web_page": (gen_web_page(spark), 1),
         "customer": (gen_customer(cust), 1),
         "customer_address": (gen_customer_address(cust), 1),
         "customer_demographics": (gen_customer_demographics(spark), 1),

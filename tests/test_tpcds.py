@@ -37,7 +37,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 26
+    assert len(TPCDS_TEXTS) == 41
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
@@ -191,3 +191,70 @@ def test_star_fixture_invariants(duck_correct):
         "SELECT COUNT(*) FROM date_dim a JOIN date_dim b ON b.d_date_sk = a.d_date_sk + 1"
         " WHERE b.d_day_name = 'Sunday' AND b.d_week_seq <> a.d_week_seq + 1"
     ) == 0
+
+    # --- v4 invariants (round 9) ---
+    # d_month_seq anchored at 1900: the corpus's BETWEEN 1200 AND 1211
+    # window is exactly calendar year 2000.
+    assert one(
+        "SELECT COUNT(DISTINCT d_year) FROM date_dim WHERE d_month_seq BETWEEN 1200 AND 1211"
+    ) == 1
+    assert one(
+        "SELECT MIN(d_year) FROM date_dim WHERE d_month_seq BETWEEN 1200 AND 1211"
+    ) == 2000
+    # Inventory FK closure + snapshot grain: every inv sk resolves, one
+    # row per (date, item, warehouse), and the weekly snapshots span the
+    # probed 1999-2001 window (q72 d_year 1999 .. q39-class 2001).
+    assert one(
+        "SELECT COUNT(*) FROM inventory LEFT JOIN date_dim ON inv_date_sk = d_date_sk"
+        " WHERE d_date_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM inventory LEFT JOIN item ON inv_item_sk = i_item_sk"
+        " WHERE i_item_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM inventory LEFT JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk"
+        " WHERE w_warehouse_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM inventory"
+        " GROUP BY inv_date_sk, inv_item_sk, inv_warehouse_sk)"
+    ) == 1
+    assert one(
+        "SELECT COUNT(DISTINCT d_year) FROM inventory JOIN date_dim ON inv_date_sk = d_date_sk"
+        " WHERE d_year IN (1999, 2000, 2001)"
+    ) == 3
+    # cs-side FK closure into the three v4 dims q16/q72 join through.
+    assert one(
+        "SELECT COUNT(*) FROM catalog_sales LEFT JOIN call_center"
+        " ON cs_call_center_sk = cc_call_center_sk WHERE cc_call_center_sk IS NULL"
+    ) == 0
+    assert one(
+        "SELECT COUNT(*) FROM catalog_sales LEFT JOIN warehouse"
+        " ON cs_warehouse_sk = w_warehouse_sk WHERE w_warehouse_sk IS NULL"
+    ) == 0
+    assert one("SELECT COUNT(*) FROM call_center WHERE cc_county = 'Williamson County'") >= 1
+    # Planted brand/class triples (q53/q63's literal brand lists) and the
+    # q21 price band.
+    assert one(
+        "SELECT COUNT(*) FROM item WHERE i_brand = 'scholaramalgamalg #14'"
+        " AND i_class = 'reference' AND i_category = 'Books'"
+    ) >= 1
+    assert one(
+        "SELECT COUNT(*) FROM item WHERE i_brand = 'exportiunivamalg #9'"
+        " AND i_class = 'self-help' AND i_category = 'Books'"
+    ) >= 1
+    assert one(
+        "SELECT COUNT(*) FROM item WHERE i_brand = 'edu packscholar #1'"
+        " AND i_class = 'pants' AND i_category = 'Men'"
+    ) >= 1
+    assert one(
+        "SELECT COUNT(*) FROM item WHERE i_current_price BETWEEN 0.99 AND 1.49"
+    ) >= 1
+    # q44's comparison cohort: NULL-address store-4 rows exist, and the
+    # NULL rate stays a small minority of store_sales.
+    n_null = one("SELECT COUNT(*) FROM store_sales WHERE ss_store_sk = 4 AND ss_addr_sk IS NULL")
+    assert n_null >= 1
+    assert one("SELECT COUNT(*) FROM store_sales WHERE ss_addr_sk IS NULL") < 0.1 * one(
+        "SELECT COUNT(*) FROM store_sales"
+    )
