@@ -1001,3 +1001,119 @@ def test_random_correlated_subqueries_match_duckdb(spark, block):
         if (srow["n"], srow["s"]) != (drow[0], drow[1]):
             mismatches.append((seed, sql, (srow["n"], srow["s"]), tuple(drow)))
     assert not mismatches, mismatches[:3]
+
+
+# ---------------------------------------------------------------------------
+# Family 21 (round 9): random star-schema join + ROLLUP trees — the exact
+# shape the verbatim TPC-DS corpus is built from (channel UNION ALL ->
+# dim joins -> GROUP BY ROLLUP with SUM(CASE WHEN)), fuzzed over the
+# generated star slice so the generator's invariants (FK closure, label
+# domains, month_seq anchor) are guarded against future regenerations.
+# Integer-only aggregates (COUNT + CAST(SUM(int) AS BIGINT)); one shared
+# SQL text on both engines.
+# ---------------------------------------------------------------------------
+_STAR_CHANNELS = {
+    "store": ("store_sales", "ss_sold_date_sk", "ss_item_sk", "ss_customer_sk", "ss_quantity"),
+    "catalog": ("catalog_sales", "cs_sold_date_sk", "cs_item_sk", "cs_bill_customer_sk", "cs_quantity"),
+    "web": ("web_sales", "ws_sold_date_sk", "ws_item_sk", "ws_bill_customer_sk", "ws_quantity"),
+}
+_STAR_CATEGORIES = [
+    "'Books'", "'Home'", "'Electronics'", "'Jewelry'", "'Men'",
+    "'Music'", "'Shoes'", "'Sports'", "'Women'", "'Children'",
+]
+_STAR_STATES = ["'CA'", "'GA'", "'IL'", "'TX'", "'NY'", "'WA'", "'FL'", "'MI'"]
+
+
+def _star_fuzz_sql(rng: random.Random) -> str:
+    chans = rng.sample(sorted(_STAR_CHANNELS), rng.randint(1, 3))
+    branches = [
+        f"SELECT '{c}' AS channel, {d} AS date_sk, {i} AS item_sk,"
+        f" {cu} AS cust_sk, {q} AS qty FROM {t}"
+        for c, (t, d, i, cu, q) in ((c, _STAR_CHANNELS[c]) for c in chans)
+    ]
+    union = "\nUNION ALL\n".join(branches)
+
+    dims, filters, group_pool = [], [], ["channel"]
+    # date_dim always joins (every TPC-DS tree does); random window kind.
+    dims.append("JOIN date_dim ON date_sk = d_date_sk")
+    k = rng.randrange(3)
+    if k == 0:
+        filters.append(f"d_year = {rng.randint(1998, 2003)}")
+    elif k == 1:
+        m = rng.randint(1176, 1236)
+        filters.append(f"d_month_seq BETWEEN {m} AND {m} + {rng.randint(0, 11)}")
+    else:
+        filters.append(f"d_moy = {rng.randint(1, 12)}")
+    group_pool.append(rng.choice(["d_year", "d_moy", "d_qoy"]))
+    if rng.random() < 0.8:
+        dims.append("JOIN item ON item_sk = i_item_sk")
+        fk = rng.randrange(3)
+        if fk == 0:
+            subset = rng.sample(_STAR_CATEGORIES, rng.randint(1, 4))
+            filters.append(f"i_category IN ({', '.join(subset)})")
+        elif fk == 1:
+            filters.append(f"i_manager_id <= {rng.randint(5, 100)}")
+        else:
+            lo = rng.randint(1, 80)
+            filters.append(f"i_current_price BETWEEN {lo} AND {lo + rng.randint(2, 19)}")
+        group_pool.append(rng.choice(["i_category", "i_class_id", "i_manager_id"]))
+    if rng.random() < 0.5:
+        dims.append(
+            "JOIN customer ON cust_sk = c_customer_sk "
+            "JOIN customer_address ON c_current_addr_sk = ca_address_sk"
+        )
+        if rng.random() < 0.6:
+            subset = rng.sample(_STAR_STATES, rng.randint(1, 4))
+            filters.append(f"ca_state IN ({', '.join(subset)})")
+        group_pool.append("ca_state")
+    gcols = rng.sample(group_pool, rng.randint(1, min(3, len(group_pool))))
+    t = rng.randint(5, 40)
+    return (
+        f"SELECT {', '.join(gcols)}, COUNT(*) AS n,"
+        f" CAST(SUM(CASE WHEN qty > {t} THEN qty ELSE 0 END) AS BIGINT) AS sq\n"
+        f"FROM ({union}) f\n" + "\n".join(dims) + "\nWHERE " + " AND ".join(filters)
+        + f"\nGROUP BY ROLLUP ({', '.join(gcols)})"
+    ), " AND ".join(filters), union, "\n".join(dims)
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_star_rollup_trees_match_duckdb(spark, block):
+    """Family 21: 26 seeds of channel-union -> dim-join -> ROLLUP trees
+    over the star slice, full result-set compare. The empty-input ROLLUP
+    dialect split (family 19's finding: DuckDB emits the grand-total row,
+    Spark returns nothing) is pinned as an asserted invariant instead of
+    being dodged."""
+    import os
+
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import (
+        register_star_views,
+        star_dir,
+    )
+
+    register_star_views(spark, SF_SMOKE)
+    d = star_dir(SF_SMOKE)
+    con = duckdb.connect()
+    for t in ("store_sales", "catalog_sales", "web_sales", "date_dim", "item",
+              "customer", "customer_address"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(d, t)}.parquet/*.parquet')"
+        )
+    mismatches, n_empty = [], 0
+    for seed in range(21000 + block * 13, 21000 + block * 13 + 13):
+        rng = random.Random(seed)
+        sql, where, union, joins = _star_fuzz_sql(rng)
+        inner_n = con.execute(
+            f"SELECT COUNT(*) FROM ({union}) f {joins} WHERE {where}"
+        ).fetchone()[0]
+        srows = sorted([tuple(r) for r in spark.sql(sql).collect()], key=repr)
+        drows = sorted([tuple(r) for r in con.execute(sql).fetchall()], key=repr)
+        if inner_n == 0:
+            # The documented dialect difference, asserted exactly.
+            n_empty += 1
+            ok = srows == [] and len(drows) == 1 and drows[0][-2:] == (0, None)
+            if not ok:
+                mismatches.append((seed, sql, "EMPTY-ROLLUP PIN", srows, drows))
+            continue
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:2], drows[:2]))
+    assert not mismatches, mismatches[:2]
