@@ -194,6 +194,12 @@ HEADLINE = [
     "corpus_novelty",
     "dq_pk_uniqueness",
     "events_top_paths",
+    # Round-9: the reference's OWN headline pair, benchmarked exactly as
+    # its README does (README.md:125-126 names TPC-DS q2+q5 at
+    # parallelism 100; TPCDSQueryBenchmark.scala:100 runs the verbatim
+    # text through spark.sql + noop) — raising the headline set to 140.
+    "sql_text_tpcds_q2",
+    "sql_text_tpcds_q5",
 ]
 
 
