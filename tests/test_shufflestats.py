@@ -152,3 +152,52 @@ def test_committed_r7cont_shuffle_artifact_pins_bounded_claims():
         assert rows[n]["shuffleWriteBytes"] < 5_000_000, (n, rows[n])
     top = max(rows, key=lambda n: rows[n]["shuffleWriteBytes"])
     assert top in {"graph_label_propagation", "graph_sssp_bounded", "graph_kcore"}, top
+
+
+def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
+    """Round-9 (VERDICT r8 item 8): the verbatim TPC-DS surface gets the
+    same measured-shuffle evidence as the fixture queries.
+
+    SHUFFLE_STATS_tpcds.json (all 41 texts, sf0.1 star) invariants:
+    - full coverage, and every query's bytes are accounted (no negative /
+      missing fields);
+    - q67 (8-column ROLLUP over the year-2000 store slice — the 9x
+      grouping-set expansion) leads the table, absolute-bounded < 60 MB;
+    - q72, the reference's notorious join, shuffles < 1 MB at sf0.1: its
+      nine dims broadcast (>= 8 broadcast exchanges in-plan) so the
+      item-grain inventory fan-out stays map-side — the structural answer
+      to the q72 blowup class;
+    - the whole 41-query sweep stays < 150 MB total shuffle write.
+
+    SHUFFLE_STATS_tpcds_sf1.json (the headline pair q2+q5 at the
+    generated ~sf1 star, 10x facts): each query's shuffle bytes grow
+    SUB-LINEARLY (< 10x its sf0.1 measurement) — the week-grain (q2) and
+    rollup-grain (q5) aggregates bound what reaches the exchanges."""
+    import os
+
+    import pytest
+
+    p01 = "/root/repo/SHUFFLE_STATS_tpcds.json"
+    p1 = "/root/repo/SHUFFLE_STATS_tpcds_sf1.json"
+    if not (os.path.exists(p01) and os.path.exists(p1)):
+        pytest.skip("TPC-DS shuffle artifacts not yet generated")
+    from spark_cherry_shuffle_service_spark.operators.tpcds import SPARK_COLS
+
+    stats = json.loads(open(p01).read())
+    rows = {k: v for k, v in stats.items() if not k.startswith("_")}
+    assert set(rows) == {f"sql_text_tpcds_{q}" for q in SPARK_COLS}
+    assert all(r["shuffleWriteBytes"] >= 0 and r["stages"] > 0 for r in rows.values())
+    top = max(rows, key=lambda n: rows[n]["shuffleWriteBytes"])
+    assert top == "sql_text_tpcds_q67", top
+    assert rows[top]["shuffleWriteBytes"] < 60_000_000
+    q72 = rows["sql_text_tpcds_q72"]
+    assert q72["shuffleWriteBytes"] < 1_000_000, q72
+    assert q72["plan_broadcast_exchanges"] >= 8, q72
+    assert sum(r["shuffleWriteBytes"] for r in rows.values()) < 150_000_000
+
+    sf1 = json.loads(open(p1).read())
+    for q in ("sql_text_tpcds_q2", "sql_text_tpcds_q5"):
+        base = rows[q]["shuffleWriteBytes"]
+        scaled = sf1[q]["shuffleWriteBytes"]
+        assert base > 0 and scaled > 0
+        assert scaled < 10 * base, (q, base, scaled)
