@@ -72,7 +72,9 @@ ORACLE_TAG = "sf0.01"
 # v5: variable 2..61-day ship lag (q72/q16/q95 ship-window predicates).
 # v6: GA/IL-weighted address states + 15% web return rate (q16/q95
 # non-vacuous at sf0.01).
-_GENERATOR_VERSION = 7
+# v8: 35 reasons w/ synthetic tail descs (q93), 'Edgewood' city (q84),
+# 2..90-day ship lag (q62/q99 buckets).
+_GENERATOR_VERSION = 8
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -121,12 +123,12 @@ _N_WEB_SITE = 12
 _N_WEB_PAGE = 30
 #: Cardinalities locked to the fact-side FK functions already emitted
 #: since v1: cs/ws_warehouse_sk = ok%3+1, cs_call_center_sk = ok%4+1,
-#: *_ship_mode_sk = ok%5+1, *_reason_sk = ok%7+1, hd_income_band_sk =
-#: i%20+1 — the v4 dims materialize those domains.
+#: *_ship_mode_sk = ok%5+1, *_reason_sk = ok%35+1 (v8), hd_income_band_sk
+#: = i%20+1 — the v4 dims materialize those domains.
 _N_WAREHOUSE = 3
 _N_CALL_CENTER = 4
 _N_SHIP_MODE = 5
-_N_REASON = 7
+_N_REASON = 35  # v8: dsdgen-style synthetic tail descs; q93 probes 'reason 28'
 _N_INCOME_BAND = 20
 #: Inventory: weekly (item x warehouse) snapshots over the 1999-2001
 #: window every inventory query in the corpus probes (q72 d_year 1999,
@@ -142,7 +144,8 @@ _STORE_NAMES = (
     "ought", "able", "ese", "ation", "eing", "bar",
     "cally", "anti", "ese", "n st", "pri", "ese",
 )
-_CITIES = ("Midway", "Fairview", "Pleasant Hill", "Five Points", "Oak Grove", "Centerville")
+#: Includes q84's 'Edgewood' (address-city literal coverage).
+_CITIES = ("Midway", "Fairview", "Pleasant Hill", "Five Points", "Oak Grove", "Centerville", "Edgewood")
 #: Store counties: exactly q73's IN-list (all stores match q73; 1/4 match
 #: q34's Williamson-only list).
 _COUNTIES = ("Williamson County", "Franklin Parish", "Bronx County", "Orange County")
@@ -546,18 +549,21 @@ def gen_call_center(spark: SparkSession) -> DataFrame:
 
 
 def gen_reason(spark: SparkSession) -> DataFrame:
-    """7 return reasons (sr/cr/wr_reason_sk = ok%7+1)."""
+    """35 return reasons (sr/cr/wr_reason_sk = ok%35+1): dsdgen seeds the
+    first few with English phrases and fills the tail with synthetic
+    'reason N' descs — which is exactly what the benchmark's literal
+    predicates probe (q93: r_reason_desc = 'reason 28')."""
     i = F.col("id")
     sk = (i + 1).cast("int")
+    phrases = ("Package was damaged", "Stopped working", "Did not get it on time",
+               "Not the product that was ordred", "Parts missing",
+               "Does not work with a product that I have", "Gift exchange")
     return spark.range(0, _N_REASON, 1, 1).select(
         sk.alias("r_reason_sk"),
         _id16("AAAAAAAA", sk).alias("r_reason_id"),
-        _cycle(
-            ("Package was damaged", "Stopped working", "Did not get it on time",
-             "Not the product that was ordred", "Parts missing",
-             "Does not work with a product that I have", "Gift exchange"),
-            i,
-        ).alias("r_reason_desc"),
+        F.when(sk <= len(phrases), _cycle(phrases, i))
+        .otherwise(F.concat(F.lit("reason "), sk.cast("string")))
+        .alias("r_reason_desc"),
     )
 
 
@@ -837,10 +843,12 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         (net_paid + ext_ship).cast("decimal(7,2)").alias("net_paid_inc_ship"),
         (net_paid + ext_ship + ext_tax).cast("decimal(7,2)").alias("net_paid_inc_ship_tax"),
         (net_paid - ext_wholesale).cast("decimal(7,2)").alias("net_profit"),
-        # Ship lag 2..61 days (dsdgen-style): q72's `d3.d_date >
-        # d1.d_date + 5 days` and q16/q95's 60-day ship windows all
-        # select real slices (a constant lag made q72 vacuously empty).
-        (date_sk + 2 + _uint(_u("shipdelta", ok, ln), 60)).cast("int").alias("ship_date_sk"),
+        # Ship lag 2..90 days (dsdgen-style): q72's `d3.d_date >
+        # d1.d_date + 5 days`, q16/q94/q95's 60-day ship windows, and
+        # q62/q99's 31-60/61-90 day buckets all select real slices (a
+        # constant lag made q72 vacuously empty; a 61-day cap left
+        # q62/q99's 61-90 bucket near-empty).
+        (date_sk + 2 + _uint(_u("shipdelta", ok, ln), 89)).cast("int").alias("ship_date_sk"),
         _u("ret", ok, ln).alias("u_return"),
         (date_sk + 1 + _uint(_u("retdelta", ok, ln), 60)).cast("int").alias("ret_date_sk"),
         (F.lit(28_800) + _uint(_u("rettime", ok, ln), 50_400)).cast("int").alias("ret_time_sk"),
@@ -913,7 +921,7 @@ def gen_store_returns(base: DataFrame) -> DataFrame:
         F.col("hdemo_sk").cast("bigint").alias("sr_hdemo_sk"),
         F.col("addr_sk").cast("bigint").alias("sr_addr_sk"),
         F.col("store_sk").cast("bigint").alias("sr_store_sk"),
-        (F.col("ok") % 7 + 1).cast("bigint").alias("sr_reason_sk"),
+        (F.col("ok") % _N_REASON + 1).cast("bigint").alias("sr_reason_sk"),
         F.col("ticket").cast("bigint").alias("sr_ticket_number"),
         F.col("ret_qty").alias("sr_return_quantity"),
         F.col("r_amt").alias("sr_return_amt"),
@@ -990,7 +998,7 @@ def gen_catalog_returns(base: DataFrame) -> DataFrame:
         F.col("page_sk").alias("cr_catalog_page_sk"),
         (F.col("ok") % 5 + 1).cast("int").alias("cr_ship_mode_sk"),
         (F.col("ok") % 3 + 1).cast("int").alias("cr_warehouse_sk"),
-        (F.col("ok") % 7 + 1).cast("int").alias("cr_reason_sk"),
+        (F.col("ok") % _N_REASON + 1).cast("int").alias("cr_reason_sk"),
         F.col("ticket").cast("int").alias("cr_order_number"),
         F.col("ret_qty").alias("cr_return_quantity"),
         F.col("r_amt").alias("cr_return_amount"),
@@ -1066,7 +1074,7 @@ def gen_web_returns(base: DataFrame) -> DataFrame:
         F.col("hdemo_sk").cast("bigint").alias("wr_returning_hdemo_sk"),
         F.col("addr_sk").cast("bigint").alias("wr_returning_addr_sk"),
         F.col("wpage_sk").cast("bigint").alias("wr_web_page_sk"),
-        (F.col("ok") % 7 + 1).cast("bigint").alias("wr_reason_sk"),
+        (F.col("ok") % _N_REASON + 1).cast("bigint").alias("wr_reason_sk"),
         F.col("ticket").cast("bigint").alias("wr_order_number"),
         F.col("ret_qty").alias("wr_return_quantity"),
         F.col("r_amt").alias("wr_return_amt"),
