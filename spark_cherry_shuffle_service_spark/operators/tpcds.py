@@ -92,6 +92,28 @@ correlated thresholds; q66's twelve sales-per-sq-foot columns divide
 DECIMAL(28,2) by int at Spark's derived scale 12 in HUGEINT
 fixed-point; BIGINT casts on integer sums (q29/q48/q50/q97).
 
+Batch-6 audit (q4 q11 q12 q18 q20 q23a q31 q59 q61 q74 q77 q80 q98 —
+the exact-decimal-ratio family): Spark rounds every decimal quotient
+HALF_UP at its type-derived scale while DuckDB divides in binary
+double, so each division site is rewritten to the HUGEINT count form
+(_ratio_counts / _ratio_dec): q12/q20/q98's revenueratio (scale 17),
+q59's seven week-over-week ratios and q31's four quarter-over-quarter
+ratios (scale 20, count-compared in q31's WHERE since both sides share
+the scale), q61's promo ratio (scale-20 quotient, then *100 as an
+exact shift to (38,19)), q11/q74's year-over-year growth comparisons
+(scale 20), and q4's (scale 14 over scale-6 sums, whose per-row
+half-profit division is itself rounded at scale 6 before summing).
+q18 reuses the q18a sign-safe exact-avg + rollup NULLS FIRST
+treatment; q23a's (50/100.0)* threshold becomes the exact DECIMAL
+literal 0.5*. LIMIT stability: q4/q74 order by the unique customer_id
+(one year_total row per customer at fixed year+type); q11's only
+output column IS its sort key (boundary ties are identical rows);
+q12/q20 order by (category, class, i_item_id, ...) with i_item_id
+unique per item row (generator invariant, pinned below); q59 orders by
+the unique (store, week) chain; q18/q77/q80 rollup key chains are
+unique per grouping-set row (NULLS FIRST pinned); q23a/q61 are
+single-row; q31/q98 carry no LIMIT.
+
 Deliberately NOT registered (and why): q85's conjunction (cd marital x
 education pairs x a 100-150 sales-price band x ca_state triples over
 d_year-2000 web returns) expects ~0.07 matching rows on these fixture
@@ -477,6 +499,83 @@ SPARK_COLS: dict[str, tuple[str, ...]] = {
     ),
     "q92": ("Excess Discount Amount ",),
     "q97": ("store_only", "catalog_only", "store_and_catalog"),
+    # --- round-9 batch 6: the exact-decimal-ratio family ---
+    "q4": (
+        "customer_id",
+        "customer_first_name",
+        "customer_last_name",
+        "customer_preferred_cust_flag",
+        "customer_birth_country",
+        "customer_login",
+        "customer_email_address",
+    ),
+    "q11": ("customer_preferred_cust_flag",),
+    "q12": (
+        "i_item_desc",
+        "i_category",
+        "i_class",
+        "i_current_price",
+        "itemrevenue",
+        "revenueratio",
+    ),
+    "q18": (
+        "i_item_id",
+        "ca_country",
+        "ca_state",
+        "ca_county",
+        "agg1",
+        "agg2",
+        "agg3",
+        "agg4",
+        "agg5",
+        "agg6",
+        "agg7",
+    ),
+    "q20": (
+        "i_item_desc",
+        "i_category",
+        "i_class",
+        "i_current_price",
+        "itemrevenue",
+        "revenueratio",
+    ),
+    "q23a": ("sum(sales)",),
+    "q31": (
+        "ca_county",
+        "d_year",
+        "web_q1_q2_increase",
+        "store_q1_q2_increase",
+        "web_q2_q3_increase",
+        "store_q2_q3_increase",
+    ),
+    "q59": (
+        "s_store_name1",
+        "s_store_id1",
+        "d_week_seq1",
+        "(sun_sales1 / sun_sales2)",
+        "(mon_sales1 / mon_sales2)",
+        "(tue_sales1 / tue_sales2)",
+        "(wed_sales1 / wed_sales2)",
+        "(thu_sales1 / thu_sales2)",
+        "(fri_sales1 / fri_sales2)",
+        "(sat_sales1 / sat_sales2)",
+    ),
+    "q61": (
+        "promotions",
+        "total",
+        "((CAST(promotions AS DECIMAL(15,4)) / CAST(total AS DECIMAL(15,4))) * 100)",
+    ),
+    "q74": ("customer_id", "customer_first_name", "customer_last_name"),
+    "q77": ("channel", "id", "sales", "returns", "profit"),
+    "q80": ("channel", "id", "sales", "returns", "profit"),
+    "q98": (
+        "i_item_desc",
+        "i_category",
+        "i_class",
+        "i_current_price",
+        "itemrevenue",
+        "revenueratio",
+    ),
 }
 
 #: Queries whose verbatim text lives in the v2.7 resource dir.
@@ -535,6 +634,28 @@ def _exact_div_dec2_by_int(numer: str, denom: str, scale: int) -> str:
         f"CAST(({num} * 2 + {denom}) // (2 * CAST({denom} AS HUGEINT)) "
         f"AS DECIMAL(38,0)) * {unit}"
     )
+
+
+def _ratio_counts(num: str, den: str, scale: int, in_scale: int = 2) -> str:
+    """HUGEINT count of HALF_UP(num/den, `scale` dp) for scale-`in_scale`
+    DECIMAL operands — mirrors Spark's decimal division exactly: Spark
+    computes the exact rational and rounds HALF_UP (away from zero, Java
+    BigDecimal) at the type-derived result scale. NULL-propagates on NULL
+    or zero denominators (Spark's non-ANSI decimal division yields NULL
+    on /0). Two counts at the same scale compare exactly like the
+    decimals they represent, so comparison sites can use the raw counts."""
+    k = 10**in_scale
+    n = f"CAST({num} * {k} AS HUGEINT)"
+    d = f"CAST({den} * {k} AS HUGEINT)"
+    mag = f"((ABS({n}) * {10 ** scale} * 2 + ABS({d})) // (2 * ABS(NULLIF({d}, 0))))"
+    sign = f"(CASE WHEN ({n} < 0) != ({d} < 0) THEN -1 ELSE 1 END)"
+    return f"({sign} * {mag})"
+
+
+def _ratio_dec(num: str, den: str, scale: int, in_scale: int = 2) -> str:
+    """The DECIMAL-output twin of _ratio_counts (value = count * 10^-scale)."""
+    unit = "0." + "0" * (scale - 1) + "1"
+    return f"CAST({_ratio_counts(num, den, scale, in_scale)} AS DECIMAL(38,0)) * {unit}"
 
 
 def _windowed_exact_avg(expr: str, partition: str) -> str:
@@ -733,6 +854,148 @@ def _oracle_text(qname: str) -> str:
             flags=re.S,
         )
         assert n_sub == 3, f"q97 counter casts anchored {n_sub} of 3"
+    if qname in ("q12", "q20", "q98"):
+        # revenueratio = sum(price)*100 / windowed sum-of-sums: Spark
+        # divides the exact decimals and rounds HALF_UP at the derived
+        # scale 17; DuckDB's / over decimals is binary double.
+        col = {"q12": "ws", "q20": "cs", "q98": "ss"}[qname]
+        pat = (
+            rf"sum\({col}_ext_sales_price\) \* 100 / sum\(sum\({col}_ext_sales_price\)\)"
+            rf"\s*OVER\s*\(PARTITION BY i_class\) AS revenueratio"
+        )
+        num = f"(sum({col}_ext_sales_price) * 100)"
+        den = f"sum(sum({col}_ext_sales_price)) OVER (PARTITION BY i_class)"
+        text, n_sub = re.subn(pat, f"{_ratio_dec(num, den, 17)} AS revenueratio", text, flags=re.S)
+        assert n_sub == 1, f"{qname} revenueratio rewrite anchored {n_sub} of 1"
+    if qname == "q59":
+        # Seven unrounded week-over-week ratios at Spark's derived
+        # DECIMAL(37,20); NULL day-sums propagate through the count form.
+        text, n_sub = re.subn(
+            r"(\w{3})_sales1 / \1_sales2",
+            lambda m: _ratio_dec(f"{m.group(1)}_sales1", f"{m.group(1)}_sales2", 20),
+            text,
+        )
+        assert n_sub == 7, f"q59 ratio rewrite anchored {n_sub} of 7"
+    if qname == "q61":
+        # DECIMAL(15,4)/DECIMAL(15,4) -> scale-20 HALF_UP quotient, then
+        # *100 (an exact left shift: final type DECIMAL(38,19), value =
+        # count20 * 10^-18).
+        old = "cast(promotions AS DECIMAL(15, 4)) / cast(total AS DECIMAL(15, 4)) * 100"
+        assert text.count(old) == 1
+        text = text.replace(
+            old,
+            f"CAST({_ratio_counts('promotions', 'total', 20)} AS DECIMAL(38,0))"
+            " * 0.000000000000000001",
+        )
+    if qname == "q31":
+        # Four quarter-over-quarter ratio OUTPUTS (decimal form) and the
+        # same four quotients in the WHERE comparisons (raw counts —
+        # both sides share scale 20, so count comparison == decimal
+        # comparison; the CASE >0 guards plus NULLIF keep /0 NULL).
+        for num_a, den_a, alias in (
+            ("ws2.web_sales", "ws1.web_sales", "web_q1_q2_increase"),
+            ("ss2.store_sales", "ss1.store_sales", "store_q1_q2_increase"),
+            ("ws3.web_sales", "ws2.web_sales", "web_q2_q3_increase"),
+            ("ss3.store_sales", "ss2.store_sales", "store_q2_q3_increase"),
+        ):
+            old = f"{num_a} / {den_a} {alias}"
+            assert text.count(old) == 1, f"q31 select site {alias}"
+            text = text.replace(old, f"{_ratio_dec(num_a, den_a, 20)} {alias}")
+        text, n_sub = re.subn(
+            r"(\w+\d)\.(web|store)_sales / (\w+\d)\.(web|store)_sales",
+            lambda m: _ratio_counts(
+                f"{m.group(1)}.{m.group(2)}_sales", f"{m.group(3)}.{m.group(4)}_sales", 20
+            ),
+            text,
+        )
+        assert n_sub == 4, f"q31 where-quotient rewrite anchored {n_sub} of 4"
+    if qname in ("q11", "q74"):
+        # Year-over-year growth comparison: both sides are Spark scale-20
+        # HALF_UP quotients — compare the exact HUGEINT counts.
+        text, n_sub = re.subn(
+            r"t_(\w)_secyear\.year_total / t_(\w)_firstyear\.year_total",
+            lambda m: _ratio_counts(
+                f"t_{m.group(1)}_secyear.year_total",
+                f"t_{m.group(2)}_firstyear.year_total",
+                20,
+            ),
+            text,
+        )
+        assert n_sub == 2, f"{qname} quotient rewrite anchored {n_sub} of 2"
+    if qname == "q4":
+        # year_total sums a per-row DECIMAL division by 2 (Spark rounds
+        # each quotient HALF_UP at derived scale 6 BEFORE the sum), and
+        # the growth comparison divides DECIMAL(24,6) sums at derived
+        # scale 14.
+        pat = (
+            r"\(\((\w\w)_ext_list_price - \1_ext_wholesale_cost - \1_ext_discount_amt\) \+"
+            r"\s*\1_ext_sales_price\) /\s*2"
+        )
+
+        def _half(m):
+            c = m.group(1)
+            expr = (
+                f"(({c}_ext_list_price - {c}_ext_wholesale_cost - "
+                f"{c}_ext_discount_amt) + {c}_ext_sales_price)"
+            )
+            n = f"CAST({expr} * 1000000 AS HUGEINT)"
+            return (
+                f"CAST((CASE WHEN {n} < 0 THEN -1 ELSE 1 END) * ((ABS({n}) + 1) // 2) "
+                f"AS DECIMAL(38,0)) * 0.000001"
+            )
+
+        text, n_sub = re.subn(pat, _half, text)
+        assert n_sub == 3, f"q4 half-profit rewrite anchored {n_sub} of 3"
+        text, n_sub = re.subn(
+            r"t_(\w)_secyear\.year_total / t_(\w)_firstyear\.year_total",
+            lambda m: _ratio_counts(
+                f"t_{m.group(1)}_secyear.year_total",
+                f"t_{m.group(2)}_firstyear.year_total",
+                14,
+                in_scale=6,
+            ),
+            text,
+        )
+        assert n_sub == 4, f"q4 quotient rewrite anchored {n_sub} of 4"
+    if qname == "q18":
+        # v1.4 twin of q18a: 7 avg(cast(col AS DECIMAL(12,2))) aggregates
+        # (agg5 nets can be negative -> sign-safe form) + the rollup
+        # NULLS FIRST pin (LIMIT 100 binds past sf0.01).
+        text, n_sub = re.subn(
+            r"avg\((cast\([\w\.]+ AS DECIMAL\(12, 2\)\))\) (agg\d)",
+            lambda m: f"{_exact_avg_dec2_signed(m.group(1))} {m.group(2)}",
+            text,
+        )
+        assert n_sub == 7, f"q18 avg rewrite anchored {n_sub} of 7"
+        old = "ORDER BY ca_country, ca_state, ca_county, i_item_id"
+        assert text.count(old) == 1
+        text = text.replace(
+            old,
+            "ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST, "
+            "ca_county NULLS FIRST, i_item_id NULLS FIRST",
+        )
+    if qname == "q23a":
+        # (50 / 100.0) * max: Spark evaluates the literal division and
+        # the multiply exactly in DECIMAL; DuckDB's int/decimal division
+        # is binary double — 0.5 is an exact DECIMAL(2,1) literal in both.
+        old = "(50 / 100.0) *"
+        assert text.count(old) == 1
+        text = text.replace(old, "0.5 *")
+    if qname == "q77":
+        # DuckDB refuses `returns` as an IMPLICIT alias (soft keyword);
+        # the explicit-AS form parses in both engines.
+        old = "coalesce(returns, 0) returns,"
+        assert text.count(old) == 1
+        text = text.replace(old, "coalesce(returns, 0) AS returns,")
+    if qname in ("q77", "q80"):
+        # ROLLUP subtotal labels under LIMIT 100: pin Spark's ASC NULLS
+        # FIRST (q5a/q14a precedent); the (channel, id) key chain is
+        # unique per rollup row, so the bound subset is deterministic.
+        old = "ORDER BY channel, id\nLIMIT 100"
+        assert text.count(old) == 1
+        text = text.replace(
+            old, "ORDER BY channel NULLS FIRST, id NULLS FIRST\nLIMIT 100"
+        )
     if qname in ("q62", "q99", "q50"):
         # Five SUM(CASE ... THEN 1 ELSE 0) day-bucket counters per query:
         # Spark BIGINT vs DuckDB HUGEINT — cast each (backticks already
@@ -836,7 +1099,9 @@ _COUNT_ONLY = frozenset(
      "q62", "q99", "q84",
      # batch 5: q6/q35/q97 counts, q29/q48 BIGINT quantity sums, q50
      # BIGINT day buckets, q32 a literal INT 1 per matching row.
-     "q6", "q29", "q32", "q35", "q48", "q50", "q97"}
+     "q6", "q29", "q32", "q35", "q48", "q50", "q97",
+     # batch 6: q4/q11/q74 output customer strings only.
+     "q4", "q11", "q74"}
 )
 
 for _qname in sorted(SPARK_COLS):

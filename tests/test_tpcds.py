@@ -37,7 +37,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 67
+    assert len(TPCDS_TEXTS) == 80
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
@@ -160,6 +160,10 @@ def test_star_fixture_invariants(duck_correct):
         " || '/' || ss_store_sk || '/' || ss_sold_date_sk) AS n"
         " FROM store_sales GROUP BY ss_ticket_number)"
     ) == 1
+
+    # i_item_id is unique per item row: q12/q20's ORDER BY (category,
+    # class, i_item_id, ...) under a binding LIMIT relies on it.
+    assert one("SELECT COUNT(*) - COUNT(DISTINCT i_item_id) FROM item") == 0
 
     # Literal coverage the queries filter on.
     assert one("SELECT COUNT(*) FROM store WHERE s_store_name = 'ese'") >= 2
