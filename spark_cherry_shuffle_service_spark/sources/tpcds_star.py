@@ -74,7 +74,23 @@ ORACLE_TAG = "sf0.01"
 # non-vacuous at sf0.01).
 # v8: 35 reasons w/ synthetic tail descs (q93), 'Edgewood' city (q84),
 # 2..90-day ship lag (q62/q99 buckets).
-_GENERATOR_VERSION = 8
+# v9 (round 9, batch 8 unlock): dsdgen-style i_size/i_units vocabularies +
+# q41's attribute-combo plant on manufacts 738-778; 30-color wheel (adds
+# pale/chiffon/purple/maroon/powder/khaki/... for q24/q54/q64/q41);
+# unique i_item_desc (q65's ORDER BY tie); s_market_id spans 1-8 + a TN
+# store + a '24128' store zip (q24/q1/q27/q36/q8); q8's audited zip
+# triple in the address vocabulary; c_birth_country upper-cased to match
+# `= upper(ca_country)` (q24); hd 'Unknown' buy potential (q91); ~6%
+# store-only customers (q69's channel anti-join); ~2% NULL ss_store_sk /
+# cs_ship_addr_sk / ws_ship_customer_sk (q76); 25x December-2001 return
+# amounts (q49's >10000 band); and two planted ticket cohorts — A
+# (tk%31==0, dated 2000-01-03 / 2000-02-01) giving 5 items exactly
+# channel-balanced revenue in the q58 week, >4-a-day sale frequency
+# (q23's frequent_ss_items), Feb-2000 catalog/web purchases (q23a/b) and
+# no-return cross-channel (customer, item) pairs (q78); B (tk%31==7,
+# dated 2000-06-15, returns forced on 2000-06-30) giving 5 items exactly
+# channel-balanced return quantities in a q83 week.
+_GENERATOR_VERSION = 9
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -169,11 +185,15 @@ _STATES = (
 #: vocabularies above.
 _STATES_ADDR = _STATES + ("GA", "IL", "GA", "IL", "GA", "IL", "IL", "IL")
 #: Includes the 9 zips q15/q45 probe with substr(ca_zip,1,5) IN (...).
+#: v9 appends three of q8's audited 5-digit zips ('24128','76232',
+#: '65084'); one store (gen_store) carries s_zip '24128' so q8's
+#: substr(s_zip,1,2) = substr(ca_zip,1,2) join has a planted match.
 _ZIPS = (
     "85669", "86197", "88274", "83405", "86475", "85392", "85460", "80348", "81792",
     "28806", "35460", "47304", "51202", "60505", "71265", "75001", "90210", "98101",
     "30301", "94105", "10001", "33101", "60601", "19101", "48201", "37201", "46201",
     "63101", "21201", "53201", "85001", "80201", "89101", "97201", "73101", "84101",
+    "24128", "76232", "65084",
 )
 _STREETS = ("Main", "Oak", "Elm", "Maple", "Cedar", "Park", "Lake", "Hill", "River", "Sunset")
 _STREET_TYPES = ("St", "Ave", "Blvd", "Ct", "Dr", "Ln", "Pkwy", "Rd", "Way", "Cir")
@@ -188,7 +208,10 @@ _LAST_NAMES = (
     "Thomas", "Taylor", "Moore", "Jackson", "Martin", "Lee", "Perez", "White", "Harris",
 )
 _SALUTATIONS = ("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")
-_BUY_POTENTIAL = (">10000", "unknown", "1001-5000", "5001-10000", "0-500", "501-1000")
+#: v9: '501-1000' -> 'Unknown' (capitalized, the dsdgen value q91 probes
+#: with LIKE 'Unknown%'); q34/q73 probe the lowercase 'unknown' and q72
+#: '>10000' — all three coexist in the 6-cycle.
+_BUY_POTENTIAL = (">10000", "unknown", "1001-5000", "5001-10000", "0-500", "Unknown")
 _MARITAL = ("M", "S", "D", "W", "U")
 _EDUCATION = (
     "Primary", "Secondary", "College", "2 yr Degree",
@@ -247,6 +270,32 @@ _MANUFACT_SYL = (
 #: the only family-A class shared with q63's verbatim 'refernece' typo
 #: list), m=25 'edu packscholar #1' ('pants', both family B).
 _PLANTED_ITEMS = {511: (14, "reference"), 391: (9, "self-help"), 25: (1, "pants")}
+#: v9 color wheel: keeps q56's slate/blanched/burnished and adds every
+#: color the batch-8 corpus probes — pale/chiffon (q24a/b), maroon (q54),
+#: purple/floral/spring (q64's IN-list), and q41's sixteen
+#: (powder..ghost).
+_COLORS = (
+    "red", "blue", "green", "white", "black", "ivory",
+    "slate", "blanched", "burnished", "pale", "chiffon", "powder",
+    "khaki", "purple", "maroon", "brown", "honeydew", "floral",
+    "deep", "light", "cornflower", "midnight", "snow", "cyan",
+    "papaya", "orange", "frosted", "forest", "ghost", "spring",
+)
+#: dsdgen size/unit vocabularies (q41 probes medium/extra large/N/A/
+#: small/petite/large and Ounce/Oz/Bunch/Ton/N/A/Dozen/Box/Pound/Pallet/
+#: Gross/Cup/Dram/Each/Tbl/Lb/Bundle).
+_SIZES = ("petite", "small", "medium", "large", "extra large", "N/A")
+_UNITS = (
+    "Unknown", "Each", "Dozen", "Case", "Ounce", "Oz", "Bunch",
+    "Ton", "N/A", "Pound", "Pallet", "Gross", "Cup", "Dram",
+    "Box", "Tbl", "Lb", "Bundle", "Tsp", "Carton", "Gram",
+)
+#: q41's correlated attribute-combo probe: for manufacts 738..778, Women
+#: items (cat 9 <- k%10==8) get (powder, Ounce, medium) and Men items
+#: (cat 5 <- k%10==4) get (floral, Dozen, petite) — each satisfies one
+#: disjunct of q41's predicate, so those manufacts' product names appear
+#: at every SF.
+_Q41_MANUFACT_LO, _Q41_MANUFACT_HI = 738, 778
 
 
 def star_dir(sf_dir: str) -> str:
@@ -354,7 +403,8 @@ def gen_store(spark: SparkSession) -> DataFrame:
         (5_000_000 + i * 250_000).cast("int").alias("s_floor_space"),
         F.lit("8AM-8PM").alias("s_hours"),
         _cycle(_FIRST_NAMES, i).alias("s_manager"),
-        (i % 6 + 1).cast("int").alias("s_market_id"),
+        # v9: span 1..8 so q24's s_market_id = 8 has a store.
+        (i % 8 + 1).cast("int").alias("s_market_id"),
         F.lit("Unknown").alias("s_geography_class"),
         F.lit("growth issues dominate the market").alias("s_market_desc"),
         _cycle(_LAST_NAMES, i).alias("s_market_manager"),
@@ -368,8 +418,10 @@ def gen_store(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("Suite "), (i % 9 * 10).cast("string")).alias("s_suite_number"),
         _cycle(_CITIES, i).alias("s_city"),
         _cycle(_COUNTIES, i).alias("s_county"),
-        _cycle(_STATES, i).alias("s_state"),
-        _cycle(_ZIPS, i).alias("s_zip"),
+        # v9 plants: store 6 is TN (q1/q27/q36's s_state lists are all-TN)
+        # and store 7 carries q8's '24128' zip prefix.
+        F.when(i == 5, F.lit("TN")).otherwise(_cycle(_STATES, i)).alias("s_state"),
+        F.when(i == 6, F.lit("24128")).otherwise(_cycle(_ZIPS, i)).alias("s_zip"),
         F.lit("United States").alias("s_country"),
         F.when(i % 2 == 0, F.lit("-5.00")).otherwise(F.lit("-6.00"))
         .cast("decimal(5,2)")
@@ -653,6 +705,18 @@ def _manufact_name(m: Column) -> Column:
     )
 
 
+def _q41_plant(manufact: Column, cat: Column, women_v: str, men_v: str, base: Column) -> Column:
+    """q41's correlated combo plant: within manufacts 738-778, Women items
+    take `women_v` and Men items `men_v`; everything else keeps the
+    md5-cycled base value."""
+    in_range = (manufact >= _Q41_MANUFACT_LO) & (manufact <= _Q41_MANUFACT_HI)
+    return (
+        F.when(in_range & (cat == 9), F.lit(women_v))
+        .when(in_range & (cat == 5), F.lit(men_v))
+        .otherwise(base)
+    )
+
+
 def gen_item(part: DataFrame) -> DataFrame:
     """item <- part: i_item_sk = p_partkey + 1 (1-based, so q45's literal
     sk list 2..29 resolves); manufact/brand/category/class/manager ids are
@@ -676,6 +740,8 @@ def gen_item(part: DataFrame) -> DataFrame:
     for mp, (pb, pc) in _PLANTED_ITEMS.items():
         planted_cat = _CATEGORY_CLASSES[(mp - 1) % 10]  # k%10 == (mp-1)%10
         class_idx = F.when(manufact == mp, planted_cat.index(pc)).otherwise(class_idx)
+    # v9: item 59 (k=58, cat Women) is 'maternity' — q54's literal class.
+    class_idx = F.when(k == 58, F.lit(2)).otherwise(class_idx)
     all_classes = F.array(*[F.array(*[F.lit(c) for c in cl]) for cl in _CATEGORY_CLASSES])
     class_name = F.element_at(F.element_at(all_classes, cat), class_idx + 1)
     brand_id = (manufact * 1000 + bnum).cast("int")
@@ -684,11 +750,20 @@ def gen_item(part: DataFrame) -> DataFrame:
         _id16("AAAAAAAA", sk).alias("i_item_id"),
         F.lit("1997-10-27").cast("date").alias("i_rec_start_date"),
         F.lit(None).cast("date").alias("i_rec_end_date"),
-        F.concat(F.lit("item description "), F.col("p_name")).alias("i_item_desc"),
+        # v9: the ' #<sk>' suffix makes descs UNIQUE per item — q65's
+        # ORDER BY (s_store_name, i_item_desc) under a binding LIMIT
+        # genuinely tied at rank 100 when 2000 items shared 64 p_names.
+        # substr(i_item_desc, 1, 30) semantics (q14a/q23) are unchanged:
+        # the first 30 chars never reach the suffix.
+        F.concat(F.lit("item description "), F.col("p_name"), F.lit(" #"), sk.cast("string"))
+        .alias("i_item_desc"),
         # TPC-DS-style uniform price in [0.99, 99.99] (v4): q21's BETWEEN
         # 0.99 AND 1.49 and the q37/q82-class range predicates all select
         # a real ~SF-proportional slice.
-        F.round(_u("i_price", k) * 99 + 0.99, 2).cast("decimal(7,2)").alias("i_current_price"),
+        F.when((k >= 30) & (k <= 34), F.lit(70.00))  # v9: q64's 64..79 band
+        .otherwise(F.round(_u("i_price", k) * 99 + 0.99, 2))
+        .cast("decimal(7,2)")
+        .alias("i_current_price"),
         F.round(F.col("p_retailprice") / 40, 2).cast("decimal(7,2)").alias("i_wholesale_cost"),
         brand_id.alias("i_brand_id"),
         F.concat(mname, F.lit(" #"), bnum.cast("string")).alias("i_brand"),
@@ -698,14 +773,18 @@ def gen_item(part: DataFrame) -> DataFrame:
         F.element_at(F.array(*[F.lit(v) for v in _CATEGORIES]), cat).alias("i_category"),
         manufact.alias("i_manufact_id"),
         mname.alias("i_manufact"),
-        F.concat(F.col("p_size").cast("string"), F.lit("in")).alias("i_size"),
+        _q41_plant(manufact, cat, "medium", "petite", _cycle(_SIZES, F.col("p_size"))).alias(
+            "i_size"
+        ),
         F.lit(None).cast("string").alias("i_formulation"),
-        _cycle(
-            ("red", "blue", "green", "white", "black", "ivory",
-             "slate", "blanched", "burnished"),  # q56's color triple included
-            k,
-        ).alias("i_color"),
-        _cycle(("Each", "Dozen", "Case"), k).alias("i_units"),
+        # v9 item plants: sks 31..35 are the purple 70.00 cohort-C items
+        # (q64's color list + 64..79 price band); sk 59 is the maroon
+        # Women item cohort H buys (q54) — its k%10==8 makes it Women.
+        F.when((k >= 30) & (k <= 34), F.lit("purple"))
+        .when(k == 58, F.lit("maroon"))
+        .otherwise(_q41_plant(manufact, cat, "powder", "floral", _cycle(_COLORS, k)))
+        .alias("i_color"),
+        _q41_plant(manufact, cat, "Ounce", "Dozen", _cycle(_UNITS, k)).alias("i_units"),
         _cycle(("Unknown",), k).alias("i_container"),
         (k % 100 + 1).cast("int").alias("i_manager_id"),
         F.col("p_name").alias("i_product_name"),
@@ -718,8 +797,16 @@ def gen_customer(cust: DataFrame) -> DataFrame:
     return cust.select(
         sk.alias("c_customer_sk"),
         _id16("AAAAAAAA", sk).alias("c_customer_id"),
-        (_uint(_u("c_cdemo", k), _N_CD) + 1).cast("int").alias("c_current_cdemo_sk"),
-        (_uint(_u("c_hdemo", k), _N_HD) + 1).cast("int").alias("c_current_hdemo_sk"),
+        # v9 plants: customer 100 carries q91's demographics chain
+        # (cd 61 = M/Unknown by the cd formula, hd 6 = 'Unknown' potential).
+        F.when(k == 99, F.lit(61))
+        .otherwise(_uint(_u("c_cdemo", k), _N_CD) + 1)
+        .cast("int")
+        .alias("c_current_cdemo_sk"),
+        F.when(k == 99, F.lit(6))
+        .otherwise(_uint(_u("c_hdemo", k), _N_HD) + 1)
+        .cast("int")
+        .alias("c_current_hdemo_sk"),
         sk.alias("c_current_addr_sk"),
         (F.lit(_EPOCH_SK) + _uint(_u("c_shipto", k), 365)).cast("int").alias(
             "c_first_shipto_date_sk"
@@ -734,7 +821,10 @@ def gen_customer(cust: DataFrame) -> DataFrame:
         (_uint(_u("c_bday", k), 28) + 1).cast("int").alias("c_birth_day"),
         (_uint(_u("c_bmon", k), 12) + 1).cast("int").alias("c_birth_month"),
         (1924 + _uint(_u("c_byear", k), 68)).cast("int").alias("c_birth_year"),
-        F.lit("United States").alias("c_birth_country"),
+        # v9: dsdgen stores birth countries UPPER-CASED — q24's join
+        # predicate is `c_birth_country = upper(ca_country)`, which can
+        # never match a mixed-case value.
+        F.lit("UNITED STATES").alias("c_birth_country"),
         F.lit(None).cast("string").alias("c_login"),
         F.concat(_id16("AAAAAAAA", sk), F.lit("@example.com")).alias("c_email_address"),
         (F.lit(_EPOCH_SK) + 2000 + _uint(_u("c_review", k), 300)).cast("int").alias(
@@ -758,11 +848,17 @@ def gen_customer_address(cust: DataFrame) -> DataFrame:
             "ca_suite_number"
         ),
         _pick(_u("ca_city", k), _CITIES).alias("ca_city"),
-        _pick(_u("ca_county", k), _CA_COUNTIES).alias("ca_county"),
-        _pick(_u("ca_state", k), _STATES_ADDR).alias("ca_state"),
+        F.when(k == 199, F.lit("Williamson County"))
+        .otherwise(_pick(_u("ca_county", k), _CA_COUNTIES))
+        .alias("ca_county"),
+        F.when(k == 339, F.lit("GA"))  # v9: q69's planted store-only shopper
+        .when(k == 199, F.lit("CA"))  # q54: match store 1's (county, state)
+        .otherwise(_pick(_u("ca_state", k), _STATES_ADDR))
+        .alias("ca_state"),
         _pick(_u("ca_zip", k), _ZIPS).alias("ca_zip"),
         F.lit("United States").alias("ca_country"),
-        (F.lit(-5.0) - _uint(_u("ca_gmt", k), 4))
+        F.when(k == 99, F.lit(-7.0))
+        .otherwise(F.lit(-5.0) - _uint(_u("ca_gmt", k), 4))
         .cast("decimal(5,2)")
         .alias("ca_gmt_offset"),
         _pick(_u("ca_loc", k), ("apartment", "condominium", "single family")).alias(
@@ -793,10 +889,88 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         F.floor(u_dom * u_dom * u_dom * days_in_month).cast("int"), days_in_month - 1
     )
     sold_date = F.date_add(month_start, dom_off)
-    date_sk = (F.lit(_EPOCH_SK) + F.datediff(sold_date, F.lit(_EPOCH).cast("date"))).cast("int")
+    date_sk_nat = (F.lit(_EPOCH_SK) + F.datediff(sold_date, F.lit(_EPOCH).cast("date"))).cast(
+        "int"
+    )
 
-    unit = F.col("l_extendedprice") / F.col("l_quantity")  # 900..2100
-    qty = F.col("l_quantity").cast("int")
+    # --- v9 planted cohorts (design note at _GENERATOR_VERSION) -----------
+    # Cohort A/B tickets get fixed dates; their ln==1 lines ("slots") get a
+    # fixed item (A: sks 11..15, B: 21..25) and a fixed unit
+    # price/quantity, and are emitted into ALL THREE sales channels
+    # (gen_store/catalog/web_sales OR the slot into their filters) — so
+    # each planted item's per-channel revenue (q58) and return quantity
+    # (q83) are EXACTLY equal by construction, independent of the
+    # fixtures' sparse orderkey spacing. The 2-per-slot extra fact rows
+    # are recorded in the manifest (n_slot_lines) for the
+    # channel-partition invariant.
+    import datetime as _dt
+
+    _off = lambda y, m, d: (_dt.date(y, m, d) - _dt.date(1998, 1, 1)).days  # noqa: E731
+    cohort_a = tk % 31 == 0  # q58/q23/q78: balanced 3-channel week + Feb-2000 buys
+    cohort_b = tk % 31 == 7  # q83: balanced 3-channel returns on 2000-06-30
+    cohort_c = tk % 31 == 14  # q29/q64: Sep-1999 / Sep-2000 sale+return pairs on purple items
+    cohort_d = tk % 31 == 21  # q25: Apr-2001 sale/return/catalog window
+    cohort_e = tk % 31 == 28  # q31: web-only Q2/Q3-2000 boost for addr-1's county
+    cohort_f = tk % 31 == 3  # q27: 2002 TN-store tickets with the M/S/College cdemo
+    cohort_g = tk % 31 == 10  # q91: customer 100's catalog returns in Nov-1998
+    cohort_h = tk % 31 == 17  # q54: customer 200 buys maroon item 59 Dec-1998, shops store 1 Feb-1999
+    cohort_i = tk % 31 == 24  # q69: customer 340 (17-divisible -> store-only) shops May-2001 from GA
+    slot = ln == 1
+    slot_a, slot_b = cohort_a & slot, cohort_b & slot
+    slot_c, slot_d, slot_e = cohort_c & slot, cohort_d & slot, cohort_e & slot
+    a_group = F.floor(tk / 31) % 2 == 0
+    slot_g = cohort_g & slot
+    slot_h = cohort_h & slot & a_group  # only the Dec-1998 group plants item 59
+    # emitted into ALL 3 channels:
+    slot_sales = slot_a | slot_b | slot_c | slot_d | slot_g | slot_h
+    slot_ret = slot_b | slot_c | slot_d | slot_g  # returns forced on
+    date_sk = (
+        F.when(cohort_a & a_group, F.lit(_EPOCH_SK + _off(2000, 1, 3)))  # q58 week
+        .when(cohort_a, F.lit(_EPOCH_SK + _off(2000, 2, 1)))  # q23's d_moy = 2
+        .when(cohort_b, F.lit(_EPOCH_SK + _off(2000, 6, 15)))
+        .when(cohort_c & a_group, F.lit(_EPOCH_SK + _off(1999, 9, 15)))  # q29
+        .when(cohort_c, F.lit(_EPOCH_SK + _off(2000, 9, 15)))  # q64's 1999+1 twin
+        .when(cohort_d, F.lit(_EPOCH_SK + _off(2001, 4, 15)))
+        .when(cohort_e & a_group, F.lit(_EPOCH_SK + _off(2000, 5, 15)))  # Q2
+        .when(cohort_e, F.lit(_EPOCH_SK + _off(2000, 8, 15)))  # Q3, 3x the money
+        .when(cohort_f, F.lit(_EPOCH_SK + _off(2002, 3, 15)))
+        .when(cohort_g, F.lit(_EPOCH_SK + _off(1998, 10, 20)))
+        .when(cohort_h & a_group, F.lit(_EPOCH_SK + _off(1998, 12, 10)))  # q54 buy month
+        .when(cohort_h, F.lit(_EPOCH_SK + _off(1999, 2, 10)))  # q54 revenue window
+        .when(cohort_i, F.lit(_EPOCH_SK + _off(2001, 5, 15)))
+        .otherwise(date_sk_nat)
+        .cast("int")
+    )
+    # December-2001 returns are scaled 25x so q49's `*_return_amt > 10000`
+    # band is populated (capped at 90000 in _returns_money).
+    ret_scale = F.when(
+        date_sk.between(_EPOCH_SK + _off(2001, 12, 1), _EPOCH_SK + _off(2001, 12, 31)),
+        F.lit(25),
+    ).otherwise(F.lit(1))
+    plant_item = (
+        F.when(slot_a, 11 + F.floor(tk / 31) % 5)
+        .when(slot_b, 21 + F.floor(tk / 31) % 5)
+        .when(slot_c, 31 + F.floor(tk / 31) % 5)
+        .when(slot_d, 41 + F.floor(tk / 31) % 5)
+        .when(slot_h, F.lit(59))  # the planted maroon Women item (q54)
+        .otherwise(F.col("l_partkey") + 1)  # slot_g keeps its natural item
+        .cast("int")
+    )
+
+    any_slot = slot_sales | slot_e
+    unit = (
+        F.when(any_slot, F.lit(2000.0))
+        .otherwise(F.col("l_extendedprice") / F.col("l_quantity"))  # 900..2100
+    )
+    # slot_e's Q2 group carries a third of the Q3 group's quantity, so the
+    # boosted county's web Q3/Q2 ratio lands near 3 while its store ratio
+    # stays natural (~1) — q31's double comparison holds by construction.
+    qty = (
+        F.when(slot_e & a_group, F.lit(10))
+        .when(any_slot, F.lit(30))
+        .otherwise(F.col("l_quantity"))
+        .cast("int")
+    )
     sales_price = F.round(unit / 20, 2).cast("decimal(7,2)")
     list_price = F.round(unit / 16, 2).cast("decimal(7,2)")
     wholesale = F.round(unit / 40, 2).cast("decimal(7,2)")
@@ -809,20 +983,56 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
     net_paid = (ext_sales - coupon).cast("decimal(7,2)")
     ext_ship = F.round(ext_sales * 0.05, 2).cast("decimal(7,2)")
 
+    # v9: ~6% of customers are store-only (q69's web/catalog anti-join has
+    # matching customers by construction). Cohorts G/H pin their tickets
+    # to the planted customers 100 / 200 (q91's demographics chain, q54's
+    # Williamson shopper) — min() guards tiny fixture SFs.
+    cust_nat = _uint(_u("t_cust", tk), n_cust) + 1
+    cust = (
+        F.when(cohort_a, F.lit(min(400, n_cust)))
+        .when(cohort_g, F.lit(min(100, n_cust)))
+        .when(cohort_h, F.lit(min(200, n_cust)))
+        .when(cohort_i, F.lit(min(340, n_cust)))
+        # customer 340 belongs to cohort I alone: a natural ticket could
+        # otherwise hand it catalog/web lines inside q69's probed window
+        # (cohort D is dated 2001-04-15) and break the NOT EXISTS.
+        .when(cust_nat == 340, F.lit(341))
+        .otherwise(cust_nat)
+        .cast("int")
+    )
+    u_channel = (
+        F.when(slot_e, F.lit(0.9))  # web-only boost lines
+        .when(cust % 17 == 0, _u("channel", ok, ln) * 0.54)
+        .otherwise(_u("channel", ok, ln))
+    )
     return lineitem.select(
         ok.alias("ok"),
         ln.alias("ln"),
         tk.alias("ticket"),
-        _u("channel", ok, ln).alias("u_channel"),
-        (F.col("l_partkey") + 1).cast("int").alias("item_sk"),
+        slot_sales.alias("slot_sales"),
+        slot_ret.alias("slot_ret"),
+        u_channel.alias("u_channel"),
+        F.when(slot_sales, plant_item)
+        .otherwise((F.col("l_partkey") + 1).cast("int"))
+        .alias("item_sk"),
         date_sk.alias("date_sk"),
         (F.lit(28_800) + _uint(_u("time", ok, ln), 50_400)).cast("int").alias("time_sk"),
-        (_uint(_u("t_cust", tk), n_cust) + 1).cast("int").alias("cust_sk"),
+        cust.alias("cust_sk"),
         (_uint(_u("t_shipcust", tk), n_cust) + 1).cast("int").alias("ship_cust_sk"),
-        (_uint(_u("t_cdemo", tk), _N_CD) + 1).cast("int").alias("cdemo_sk"),
+        F.when(cohort_f, F.lit(23))
+        .otherwise(_uint(_u("t_cdemo", tk), _N_CD) + 1)
+        .cast("int")
+        .alias("cdemo_sk"),
         (_uint(_u("t_hdemo", tk), _N_HD) + 1).cast("int").alias("hdemo_sk"),
-        (_uint(_u("t_addr", tk), n_cust) + 1).cast("int").alias("addr_sk"),
-        (_uint(_u("t_store", tk), _N_STORE) + 1).cast("int").alias("store_sk"),
+        F.when(slot_e, F.lit(1))
+        .otherwise(_uint(_u("t_addr", tk), n_cust) + 1)
+        .cast("int")
+        .alias("addr_sk"),
+        F.when(cohort_f, F.lit(6))
+        .when(cohort_h & ~a_group, F.lit(1))
+        .otherwise(_uint(_u("t_store", tk), _N_STORE) + 1)
+        .cast("int")
+        .alias("store_sk"),
         (_uint(_u("promo", ok, ln), _N_PROMO) + 1).cast("int").alias("promo_sk"),
         (_uint(_u("cpage", ok, ln), _N_CATALOG_PAGE) + 1).cast("int").alias("page_sk"),
         (_uint(_u("t_wsite", tk), _N_WEB_SITE) + 1).cast("int").alias("site_sk"),
@@ -849,15 +1059,32 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         # constant lag made q72 vacuously empty; a 61-day cap left
         # q62/q99's 61-90 bucket near-empty).
         (date_sk + 2 + _uint(_u("shipdelta", ok, ln), 89)).cast("int").alias("ship_date_sk"),
-        _u("ret", ok, ln).alias("u_return"),
-        (date_sk + 1 + _uint(_u("retdelta", ok, ln), 60)).cast("int").alias("ret_date_sk"),
+        # Cohort A slots never return (q78's no-return cross-channel
+        # pairs); cohort B slots always return, on 2000-06-30 (q83's
+        # probed week), 15 days after their forced sale date.
+        F.when(slot_a, F.lit(0.99))
+        .when(slot_ret, F.lit(0.0))
+        .otherwise(_u("ret", ok, ln))
+        .alias("u_return"),
+        F.when(slot_b, F.lit(_EPOCH_SK + _off(2000, 6, 30)))
+        .when(slot_g, F.lit(_EPOCH_SK + _off(1998, 11, 15)))
+        .otherwise(date_sk + 1 + _uint(_u("retdelta", ok, ln), 60))
+        .cast("int")
+        .alias("ret_date_sk"),
         (F.lit(28_800) + _uint(_u("rettime", ok, ln), 50_400)).cast("int").alias("ret_time_sk"),
-        (F.floor(F.col("l_quantity") / 2) + 1).cast("int").alias("ret_qty"),
+        (F.floor(qty / 2) + 1).cast("int").alias("ret_qty"),
+        ret_scale.alias("ret_scale"),
     )
 
 
 def _returns_money(df: DataFrame) -> DataFrame:
-    amt = (F.col("sales_price") * F.col("ret_qty")).cast("decimal(7,2)")
+    # ret_scale (v9) is 25 for December-2001 returns (q49's >10000 band);
+    # cap at 90000 so amt and its +tax/+fee derivatives stay inside
+    # DECIMAL(7,2) for any fixture unit price.
+    amt = F.least(
+        (F.col("sales_price") * F.col("ret_qty") * F.col("ret_scale")).cast("decimal(9,2)"),
+        F.lit("90000.00").cast("decimal(9,2)"),
+    ).cast("decimal(7,2)")
     tax = F.round(amt * F.lit(0.05), 2).cast("decimal(7,2)")
     fee = F.lit("5.00").cast("decimal(7,2)")
     ship = F.round(amt * F.lit(0.04), 2).cast("decimal(7,2)")
@@ -877,11 +1104,15 @@ def _returns_money(df: DataFrame) -> DataFrame:
 
 
 def gen_store_sales(base: DataFrame) -> DataFrame:
-    b = base.filter(F.col("u_channel") < 0.55)
+    b = base.filter((F.col("u_channel") < 0.55) | F.col("slot_sales"))
     # ~4% line-grain NULL addresses, dsdgen-style (v4): q44's comparison
     # cohort is `ss_store_sk = 4 AND ss_addr_sk IS NULL`.
     addr = F.when(_u("ss_addrnull", F.col("ok"), F.col("ln")) < 0.04, F.lit(None)).otherwise(
         F.col("addr_sk")
+    ).cast("int")
+    # ~2% NULL stores (v9): q76's `ss_store_sk IS NULL` channel.
+    store = F.when(_u("ss_storenull", F.col("ok"), F.col("ln")) < 0.02, F.lit(None)).otherwise(
+        F.col("store_sk")
     ).cast("int")
     return b.select(
         F.col("date_sk").alias("ss_sold_date_sk"),
@@ -891,7 +1122,7 @@ def gen_store_sales(base: DataFrame) -> DataFrame:
         F.col("cdemo_sk").alias("ss_cdemo_sk"),
         F.col("hdemo_sk").alias("ss_hdemo_sk"),
         addr.alias("ss_addr_sk"),
-        F.col("store_sk").alias("ss_store_sk"),
+        store.alias("ss_store_sk"),
         F.col("promo_sk").alias("ss_promo_sk"),
         F.col("ticket").cast("int").alias("ss_ticket_number"),
         F.col("qty").alias("ss_quantity"),
@@ -911,7 +1142,11 @@ def gen_store_sales(base: DataFrame) -> DataFrame:
 
 
 def gen_store_returns(base: DataFrame) -> DataFrame:
-    b = _returns_money(base.filter((F.col("u_channel") < 0.55) & (F.col("u_return") < 0.1)))
+    b = _returns_money(
+        base.filter(
+            ((F.col("u_channel") < 0.55) & (F.col("u_return") < 0.1)) | F.col("slot_ret")
+        )
+    )
     return b.select(
         F.col("ret_date_sk").cast("bigint").alias("sr_returned_date_sk"),
         F.col("ret_time_sk").cast("bigint").alias("sr_return_time_sk"),
@@ -937,7 +1172,9 @@ def gen_store_returns(base: DataFrame) -> DataFrame:
 
 
 def gen_catalog_sales(base: DataFrame) -> DataFrame:
-    b = base.filter((F.col("u_channel") >= 0.55) & (F.col("u_channel") < 0.80))
+    b = base.filter(
+        ((F.col("u_channel") >= 0.55) & (F.col("u_channel") < 0.80)) | F.col("slot_sales")
+    )
     return b.select(
         F.col("date_sk").alias("cs_sold_date_sk"),
         F.col("time_sk").alias("cs_sold_time_sk"),
@@ -949,7 +1186,11 @@ def gen_catalog_sales(base: DataFrame) -> DataFrame:
         F.col("ship_cust_sk").alias("cs_ship_customer_sk"),
         F.col("cdemo_sk").alias("cs_ship_cdemo_sk"),
         F.col("hdemo_sk").alias("cs_ship_hdemo_sk"),
-        F.col("addr_sk").alias("cs_ship_addr_sk"),
+        # ~2% NULL ship addresses (v9): q76's catalog channel.
+        F.when(_u("cs_shipaddrnull", F.col("ok"), F.col("ln")) < 0.02, F.lit(None))
+        .otherwise(F.col("addr_sk"))
+        .cast("int")
+        .alias("cs_ship_addr_sk"),
         (F.col("ok") % 4 + 1).cast("int").alias("cs_call_center_sk"),
         F.col("page_sk").alias("cs_catalog_page_sk"),
         (F.col("ok") % 5 + 1).cast("int").alias("cs_ship_mode_sk"),
@@ -979,7 +1220,8 @@ def gen_catalog_sales(base: DataFrame) -> DataFrame:
 def gen_catalog_returns(base: DataFrame) -> DataFrame:
     b = _returns_money(
         base.filter(
-            (F.col("u_channel") >= 0.55) & (F.col("u_channel") < 0.80) & (F.col("u_return") < 0.1)
+            ((F.col("u_channel") >= 0.55) & (F.col("u_channel") < 0.80) & (F.col("u_return") < 0.1))
+            | F.col("slot_ret")
         )
     )
     return b.select(
@@ -1014,7 +1256,7 @@ def gen_catalog_returns(base: DataFrame) -> DataFrame:
 
 
 def gen_web_sales(base: DataFrame) -> DataFrame:
-    b = base.filter(F.col("u_channel") >= 0.80)
+    b = base.filter((F.col("u_channel") >= 0.80) | F.col("slot_sales"))
     return b.select(
         F.col("date_sk").alias("ws_sold_date_sk"),
         F.col("time_sk").alias("ws_sold_time_sk"),
@@ -1024,7 +1266,11 @@ def gen_web_sales(base: DataFrame) -> DataFrame:
         F.col("cdemo_sk").alias("ws_bill_cdemo_sk"),
         F.col("hdemo_sk").alias("ws_bill_hdemo_sk"),
         F.col("addr_sk").alias("ws_bill_addr_sk"),
-        F.col("ship_cust_sk").alias("ws_ship_customer_sk"),
+        # ~2% NULL ship customers (v9): q76's web channel.
+        F.when(_u("ws_shipcustnull", F.col("ok"), F.col("ln")) < 0.02, F.lit(None))
+        .otherwise(F.col("ship_cust_sk"))
+        .cast("int")
+        .alias("ws_ship_customer_sk"),
         F.col("cdemo_sk").alias("ws_ship_cdemo_sk"),
         F.col("hdemo_sk").alias("ws_ship_hdemo_sk"),
         F.col("addr_sk").alias("ws_ship_addr_sk"),
@@ -1060,7 +1306,11 @@ def gen_web_returns(base: DataFrame) -> DataFrame:
     site. Web return rate is 15% (vs 10% store/catalog) — realistic, and
     it keeps q95's `order IN (returned orders)` conjunction non-vacuous
     at sf0.01 (~54% of ~5-line web orders have >=1 return)."""
-    b = _returns_money(base.filter((F.col("u_channel") >= 0.80) & (F.col("u_return") < 0.15)))
+    b = _returns_money(
+        base.filter(
+            ((F.col("u_channel") >= 0.80) & (F.col("u_return") < 0.15)) | F.col("slot_ret")
+        )
+    )
     return b.select(
         F.col("ret_date_sk").cast("bigint").alias("wr_returned_date_sk"),
         F.col("ret_time_sk").cast("bigint").alias("wr_returned_time_sk"),
@@ -1189,7 +1439,11 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
         path = os.path.join(out_dir, f"{name}.parquet")
         df.coalesce(nfiles).write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
-    manifest = dict(want, row_counts=counts)
+    # v9: each cohort slot line lands in all three sales channels, so the
+    # channel partition of lineitem carries 2 extra fact rows per slot —
+    # recorded for the invariant test.
+    n_slots = base.filter(F.col("slot_sales")).count()
+    manifest = dict(want, row_counts=counts, n_slot_lines=n_slots)
     with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, indent=1)
     if memo_key is not None:

@@ -37,7 +37,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 84
+    assert len(TPCDS_TEXTS) == 83
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
@@ -127,13 +127,18 @@ def test_star_fixture_invariants(duck_correct):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'")
     one = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
 
-    # Channel split partitions lineitem.
+    # Channel split partitions lineitem — except the v9 cohort slot lines,
+    # which land in all three channels by design (2 extra rows each; the
+    # generator records the slot count in the manifest).
     n_lines = duck_correct.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
     n_facts = one(
         "SELECT (SELECT COUNT(*) FROM store_sales) + (SELECT COUNT(*) FROM catalog_sales)"
         " + (SELECT COUNT(*) FROM web_sales)"
     )
-    assert n_facts == n_lines
+    with open(os.path.join(d, MANIFEST)) as fh:
+        n_slots = json.load(fh)["n_slot_lines"]
+    assert n_slots > 0
+    assert n_facts == n_lines + 2 * n_slots
 
     # FK closure: every fact sk resolves (no dangling joins -> the
     # verbatim inner joins never silently drop rows).
