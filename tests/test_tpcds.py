@@ -37,7 +37,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 83
+    assert len(TPCDS_TEXTS) == 100
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
