@@ -152,6 +152,26 @@ ROUND as exact-rational HALF_UP cast to DOUBLE, q83 BIGINT quantity
 casts (its dev ratios are bigint/bigint -> IEEE double in BOTH
 engines, bit-identical with no rewrite) and an exact scale-6 average.
 
+Batch-9 audit (the v2.7 structural variants): 15 twins of registered
+v1.4 queries run under `<q>_v27` keys (V27_RENAMES) and inherit their
+siblings' oracle rewrites through base-name dispatch — the anchored
+assert counts caught every shape drift (q14a's avg spacing and ORDER
+layout, q49's uppercase web-channel ratios, q78's commented-out ORDER
+expression) and those sites are version-keyed. 7 new union-of-levels
+forms: q36a mirrors its THREE gross-margin scales (base level derived
+scale 20 then UNION-coerced to the rollup levels' native (38,11) —
+one extra HALF_UP — vs scale 11 direct for levels 1-2); q51a orders
+by the unique (item_sk, d_date); q67a/q77a/q80a pin union NULL labels
+NULLS FIRST under their binding LIMITs; q70a/q86a rank over exact
+decimal sums (q86 argument). v2.7 q22a and q27a are deliberately NOT
+registered: both RE-AVERAGE a double (avg of avg(int) columns), and
+Spark merges double partial aggregates in shuffle-fetch order — the
+low-order bits are not parallelism-deterministic, the q17/q39 stddev
+exclusion class. v2.7 q14/q64 share the duplicate-output-name
+exclusion; v2.7 q24 is structurally empty on these fixtures (its
+combined q24a/b predicate conjunction); v2.7 q75 carries the same
+engine-ambiguous integer-diff LIMIT boundary that removed v1.4 q75.
+
 q64 is deliberately NOT registered despite its v9 plants (purple
 70.00 items with sale+return pairs in both 1999 and 2000 now make it
 return 10 rows): both the v1.4 and v2.7 texts SELECT cs1.s1..s3 AND
@@ -726,10 +746,57 @@ SPARK_COLS: dict[str, tuple[str, ...]] = {
         "average",
     ),
     "q91": ("Call_Center", "Call_Center_Name", "Manager", "Returns_Loss"),
+    # --- round-9 batch 9: v2.7 structural variants + twins (_v27) ---
+    "q6_v27": ('state', 'cnt'),
+    "q11_v27": ('customer_id', 'customer_first_name', 'customer_last_name', 'customer_email_address'),
+    "q12_v27": ('i_item_id', 'i_item_desc', 'i_category', 'i_class', 'i_current_price', 'itemrevenue', 'revenueratio'),
+    "q14a_v27": ('channel', 'i_brand_id', 'i_class_id', 'i_category_id', 'sum_sales', 'number_sales'),
+    "q20_v27": ('i_item_id', 'i_item_desc', 'i_category', 'i_class', 'i_current_price', 'itemrevenue', 'revenueratio'),
+    "q22_v27": ('i_product_name', 'i_brand', 'i_class', 'i_category', 'qoh'),
+    "q34_v27": ('c_last_name', 'c_first_name', 'c_salutation', 'c_preferred_cust_flag', 'ss_ticket_number', 'cnt'),
+    "q35_v27": ('ca_state', 'cd_gender', 'cd_marital_status', 'cd_dep_count', 'cnt1', 'avg(cd_dep_count)', 'max(cd_dep_count)', 'sum(cd_dep_count)', 'cd_dep_employed_count', 'cnt2', 'avg(cd_dep_employed_count)', 'max(cd_dep_employed_count)', 'sum(cd_dep_employed_count)', 'cd_dep_college_count', 'cnt3', 'avg(cd_dep_college_count)', 'max(cd_dep_college_count)', 'sum(cd_dep_college_count)'),
+    "q47_v27": ('i_category', 'd_year', 'd_moy', 'avg_monthly_sales', 'sum_sales', 'psum', 'nsum'),
+    "q49_v27": ('channel', 'item', 'return_ratio', 'return_rank', 'currency_rank'),
+    "q57_v27": ('i_category', 'i_brand', 'd_year', 'd_moy', 'avg_monthly_sales', 'sum_sales', 'psum', 'nsum'),
+    "q72_v27": ('i_item_desc', 'w_warehouse_name', 'd_week_seq', 'no_promo', 'promo', 'total_cnt'),
+    "q74_v27": ('customer_id', 'customer_first_name', 'customer_last_name'),
+    "q78_v27": ('ratio', 'store_qty', 'store_wholesale_cost', 'store_sales_price', 'other_chan_qty', 'other_chan_wholesale_cost', 'other_chan_sales_price'),
+    "q98_v27": ('i_item_id', 'i_item_desc', 'i_category', 'i_class', 'i_current_price', 'itemrevenue', 'revenueratio'),
+    "q36a": ('gross_margin', 'i_category', 'i_class', 'lochierarchy', 'rank_within_parent'),
+    "q51a": ('item_sk', 'd_date', 'web_sales', 'store_sales', 'web_cumulative', 'store_cumulative'),
+    "q67a": ('i_category', 'i_class', 'i_brand', 'i_product_name', 'd_year', 'd_qoy', 'd_moy', 's_store_id', 'sumsales', 'rk'),
+    "q70a": ('total_sum', 's_state', 's_county', 'lochierarchy', 'rank_within_parent'),
+    "q77a": ('channel', 'id', 'sales', 'returns', 'profit'),
+    "q80a": ('channel', 'id', 'sales', 'returns', 'profit'),
+    "q86a": ('total_sum', 'i_category', 'i_class', 'lochierarchy', 'rank_within_parent'),
 }
 
 #: Queries whose verbatim text lives in the v2.7 resource dir.
-V27_QUERIES = frozenset({"q5a", "q10a", "q18a", "q35a"})
+V27_QUERIES = frozenset(
+    {"q5a", "q10a", "q18a", "q35a",
+     # round-9 batch 9: the structural v2.7 variants with distinct names
+     # (q22a/q27a are excluded — double re-averaging, see module doc).
+     "q36a", "q51a", "q67a", "q70a", "q77a", "q80a", "q86a"}
+)
+#: v2.7 twins of registered v1.4 queries: key -> .sql filename in the
+#: v2.7 dir. The oracle rewrite branches dispatch on the BASE name, so a
+#: twin inherits its v1.4 sibling's exact-arithmetic treatment (the
+#: anchored assert counts police any shape drift between the versions).
+V27_RENAMES = {
+    f"{q}_v27": q
+    for q in ("q6", "q11", "q12", "q14a", "q20", "q22", "q34", "q35",
+              "q47", "q49", "q57", "q72", "q74", "q78", "q98")
+}
+
+
+def ref_sql_path(qname: str) -> str:
+    """Absolute path of the reference .sql file a TPCDS_TEXTS key pins to."""
+    base = "/root/reference/spark-code/code/sql/core/src/test/resources/tpcds"
+    if qname in V27_RENAMES:
+        return f"{base}-v2.7.0/{V27_RENAMES[qname]}.sql"
+    if qname in V27_QUERIES:
+        return f"{base}-v2.7.0/{qname}.sql"
+    return f"{base}/{qname}.sql"
 
 #: avg(...) rewrites per query (q7 store / q26 catalog): Spark computes
 #: the exact decimal sum and divides once with HALF_UP at scale 6;
@@ -823,6 +890,11 @@ def _oracle_text(qname: str) -> str:
     """The query text as the DUCKDB oracle runs it (dialect-honest
     adaptations documented in the module docstring)."""
     text = TPCDS_TEXTS[qname]
+    # v2.7 twins share their v1.4 sibling's rewrite branches (shape drift
+    # is caught by the anchored assert counts; genuinely divergent twins
+    # get their own qfull-keyed branches below).
+    qfull = qname
+    qname = qname[:-4] if qname.endswith("_v27") else qname
     # Backtick-quoted aliases (q16/q95's `order count `) are Spark/MySQL
     # dialect; DuckDB quotes identifiers with double quotes.
     if "`" in text:
@@ -889,21 +961,34 @@ def _oracle_text(qname: str) -> str:
         # avg(int * DECIMAL(7,2)) over the 3-channel union — same
         # binary-double divergence class; non-negative, so the unsigned
         # exact form applies.
-        old = "avg(quantity * list_price) average_sales"
-        assert text.count(old) == 1
+        # v1.4 writes `quantity * list_price`, v2.7 `quantity*list_price`.
+        old = (
+            "avg(quantity * list_price) average_sales"
+            if qfull == "q14a"
+            else "avg(quantity*list_price) average_sales"
+        )
+        assert text.count(old) == 1, f"{qfull} avg site"
         text = text.replace(
             old, f"{_exact_avg_dec2('(quantity * list_price)')} average_sales"
         )
-        # ROLLUP NULL labels sort NULLS FIRST under Spark's ASC default,
-        # NULLS LAST under DuckDB's, and LIMIT 100 binds — pin Spark's
-        # semantics in the oracle (q18a precedent).
-        old = "ORDER BY channel, i_brand_id, i_class_id, i_category_id\nLIMIT 100"
-        assert text.count(old) == 1
-        text = text.replace(
-            old,
-            "ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, "
-            "i_class_id NULLS FIRST, i_category_id NULLS FIRST\nLIMIT 100",
-        )
+        # ROLLUP/union NULL labels sort NULLS FIRST under Spark's ASC
+        # default, NULLS LAST under DuckDB's, and LIMIT 100 binds — pin
+        # Spark's semantics in the oracle (q18a precedent). The v1.4 and
+        # v2.7 texts format the ORDER BY differently.
+        if qfull == "q14a":
+            old = "ORDER BY channel, i_brand_id, i_class_id, i_category_id\nLIMIT 100"
+            new = (
+                "ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, "
+                "i_class_id NULLS FIRST, i_category_id NULLS FIRST\nLIMIT 100"
+            )
+        else:
+            old = "order by\n  channel,\n  i_brand_id,\n  i_class_id,\n  i_category_id\nlimit 100"
+            new = (
+                "order by\n  channel NULLS FIRST,\n  i_brand_id NULLS FIRST,"
+                "\n  i_class_id NULLS FIRST,\n  i_category_id NULLS FIRST\nlimit 100"
+            )
+        assert text.count(old) == 1, f"{qfull} ORDER pin site"
+        text = text.replace(old, new)
     if qname == "q22":
         old = "ORDER BY qoh, i_product_name, i_brand, i_class, i_category"
         assert text.count(old) == 1
@@ -1184,7 +1269,21 @@ def _oracle_text(qname: str) -> str:
             ),
             text,
         )
-        assert n_sub == 6, f"q49 ratio rewrite anchored {n_sub} of 6"
+        n_total = n_sub
+        # v2.7's web channel writes the same two ratios UPPERCASE and
+        # without the outer parens.
+        text, n_sub = re.subn(
+            r"CAST\(SUM\(COALESCE\((\w+\.\w+), 0\)\) AS DECIMAL\(15, 4\)\) /"
+            r"\s*CAST\(SUM\(COALESCE\((\w+\.\w+), 0\)\) AS DECIMAL\(15, 4\)\)"
+            r" AS (return_ratio|currency_ratio)",
+            lambda m: (
+                f"{_ratio_dec(f'CAST(SUM(COALESCE({m.group(1)}, 0)) AS DECIMAL(15, 4))', f'CAST(SUM(COALESCE({m.group(2)}, 0)) AS DECIMAL(15, 4))', 20, in_scale=4)}"
+                f" AS {m.group(3)}"
+            ),
+            text,
+        )
+        n_total += n_sub
+        assert n_total == 6, f"{qfull} ratio rewrite anchored {n_total} of 6"
     if qname == "q54":
         # CAST((revenue / 50) AS INT): Spark divides the DECIMAL exactly,
         # rounds HALF_UP at derived scale 6, then truncates toward zero;
@@ -1274,6 +1373,61 @@ def _oracle_text(qname: str) -> str:
             old,
             f"CAST({_ratio_counts('(sr_item_qty + cr_item_qty + wr_item_qty)', '3', 6, in_scale=0)}"
             " AS DECIMAL(38,0)) * 0.000001 average",
+        )
+    if qfull == "q35_v27":
+        # v2.7 q35 swaps min() for sum() over the int dependent counts:
+        # Spark BIGINT vs DuckDB HUGEINT.
+        for col in ("cd_dep_count", "cd_dep_employed_count", "cd_dep_college_count"):
+            old = f"sum({col})"
+            assert text.count(old) == 1, f"q35_v27 sum({col}) site"
+            text = text.replace(old, f"CAST(sum({col}) AS BIGINT)")
+    if qname == "q36a":
+        # Union-of-levels gross margin: the base level divides at derived
+        # scale 20 and the UNION coerces it to the re-aggregated levels'
+        # native DECIMAL(38,11) (one more HALF_UP); levels 1-2 divide at
+        # scale 11 natively. Profits can be negative -> sign-safe.
+        c20 = _ratio_counts("sum(ss_net_profit)", "sum(ss_ext_sales_price)", 20)
+        c11 = (
+            f"((CASE WHEN ({c20}) < 0 THEN -1 ELSE 1 END) * "
+            f"((ABS({c20}) * 2 + 1000000000) // 2000000000))"
+        )
+        old = "sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin"
+        assert text.count(old) == 1, "q36a base-level site"
+        text = text.replace(
+            old, f"CAST({c11} AS DECIMAL(38,0)) * 0.00000000001 as gross_margin"
+        )
+        old = "sum(ss_net_profit) / sum(ss_ext_sales_price) as gross_margin"
+        n_have = text.count(old)
+        assert n_have == 2, f"q36a rollup-level sites: {n_have}"
+        text = text.replace(
+            old,
+            f"{_ratio_dec('sum(ss_net_profit)', 'sum(ss_ext_sales_price)', 11)} as gross_margin",
+        )
+    if qname == "q67a":
+        # Union NULL labels under a binding LIMIT: pin ASC NULLS FIRST.
+        old = (
+            "order by\n  i_category,\n  i_class,\n  i_brand,\n  i_product_name,"
+            "\n  d_year,\n  d_qoy,\n  d_moy,\n  s_store_id,\n  sumsales,\n  rk"
+        )
+        assert text.count(old) == 1, "q67a ORDER site"
+        text = text.replace(
+            old,
+            "order by\n  i_category NULLS FIRST,\n  i_class NULLS FIRST,"
+            "\n  i_brand NULLS FIRST,\n  i_product_name NULLS FIRST,"
+            "\n  d_year NULLS FIRST,\n  d_qoy NULLS FIRST,\n  d_moy NULLS FIRST,"
+            "\n  s_store_id NULLS FIRST,\n  sumsales,\n  rk"
+        )
+    if qname == "q77a":
+        # DuckDB refuses `returns` as an implicit alias (q77 precedent).
+        old = "coalesce(returns, 0) returns"
+        assert text.count(old) == 1, "q77a returns alias site"
+        text = text.replace(old, "coalesce(returns, 0) AS returns")
+    if qname in ("q77a", "q80a"):
+        # Union subtotal NULL channel/id labels under LIMIT 100.
+        old = "order by\n  channel, id\nlimit 100"
+        assert text.count(old) == 1, f"{qname} ORDER site"
+        text = text.replace(
+            old, "order by\n  channel NULLS FIRST, id NULLS FIRST\nlimit 100"
         )
     if qname in ("q62", "q99", "q50"):
         # Five SUM(CASE ... THEN 1 ELSE 0) day-bucket counters per query:
@@ -1382,7 +1536,9 @@ _COUNT_ONLY = frozenset(
      # batch 6: q4/q11/q74 output customer strings only.
      "q4", "q11", "q74",
      # batch 8: q1/q41 strings, q54 int segments, q69 counts.
-     "q1", "q41", "q54", "q69"}
+     "q1", "q41", "q54", "q69",
+     # batch 9 twins/variants without decimal outputs.
+     "q6_v27", "q11_v27", "q22_v27", "q34_v27", "q35_v27", "q72_v27", "q74_v27"}
 )
 
 for _qname in sorted(SPARK_COLS):

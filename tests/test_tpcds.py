@@ -16,6 +16,7 @@ import pytest
 from spark_cherry_shuffle_service_spark.operators.tpcds import (
     SPARK_COLS,
     V27_QUERIES,
+    ref_sql_path,
     tpcds_oracle,
 )
 from spark_cherry_shuffle_service_spark.operators.tpcds_texts import TPCDS_TEXTS
@@ -37,7 +38,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 100
+    assert len(TPCDS_TEXTS) == 122
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
@@ -50,8 +51,7 @@ def test_texts_are_verbatim(qname):
     """The whole point of this module: the Spark-side text is the
     reference's .sql file byte-for-byte (modulo outer whitespace from the
     embedding). Any 'adaptation' belongs on the oracle side only."""
-    d = _REF_SQL_DIR_V27 if qname in V27_QUERIES else _REF_SQL_DIR
-    with open(os.path.join(d, f"{qname}.sql")) as fh:
+    with open(ref_sql_path(qname)) as fh:
         ref = fh.read()
     assert TPCDS_TEXTS[qname].strip("\n") == ref.strip("\n")
 
