@@ -653,6 +653,15 @@ def test_global_windows_only_on_sf_invariant_grains(spark):
         "sql_text_cte_window",
         # grand total over the 5x3 priority-status contingency
         "stats_chi2",
+        # VERBATIM reference texts (we cannot add PARTITION BY): q44 ranks
+        # the per-item avg-profit aggregate of ONE store (item-grain,
+        # sqrt-entity growth under genscale v2); q49's six rank windows
+        # each rank the per-item return-ratio aggregate of one
+        # channel-month cohort (item-grain, single month) — both window
+        # inputs are pre-aggregated far below fact cardinality.
+        "sql_text_tpcds_q44",
+        "sql_text_tpcds_q49",
+        "sql_text_tpcds_q49_v27",
     }
     offenders = {}
     for name, spec in SPECS.items():

@@ -158,7 +158,7 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
     """Round-9 (VERDICT r8 item 8): the verbatim TPC-DS surface gets the
     same measured-shuffle evidence as the fixture queries.
 
-    SHUFFLE_STATS_tpcds.json (all 41 texts, sf0.1 star) invariants:
+    SHUFFLE_STATS_tpcds.json (all 122 texts, sf0.1 star) invariants:
     - full coverage, and every query's bytes are accounted (no negative /
       missing fields);
     - q67 (8-column ROLLUP over the year-2000 store slice — the 9x
@@ -167,7 +167,10 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
       nine dims broadcast (>= 8 broadcast exchanges in-plan) so the
       item-grain inventory fan-out stays map-side — the structural answer
       to the q72 blowup class;
-    - the whole 41-query sweep stays < 150 MB total shuffle write.
+    - the whole 122-query sweep stays < 250 MB total shuffle write
+      (the 41-query round-9 slice measured ~100 MB; tripling the query
+      count lands at ~190 MB because the added texts re-rank the same
+      pre-aggregated grains).
 
     SHUFFLE_STATS_tpcds_sf1.json (the headline pair q2+q5 at the
     generated ~sf1 star, 10x facts): each query's shuffle bytes grow
@@ -193,7 +196,7 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
     q72 = rows["sql_text_tpcds_q72"]
     assert q72["shuffleWriteBytes"] < 1_000_000, q72
     assert q72["plan_broadcast_exchanges"] >= 8, q72
-    assert sum(r["shuffleWriteBytes"] for r in rows.values()) < 150_000_000
+    assert sum(r["shuffleWriteBytes"] for r in rows.values()) < 250_000_000
 
     sf1 = json.loads(open(p1).read())
     for q in ("sql_text_tpcds_q2", "sql_text_tpcds_q5"):
