@@ -1117,3 +1117,67 @@ def test_random_star_rollup_trees_match_duckdb(spark, block):
         if srows != drows:
             mismatches.append((seed, sql, srows[:2], drows[:2]))
     assert not mismatches, mismatches[:2]
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_decimal_division_count_mirror_matches_spark(spark, block):
+    """Family 22: the exact-division convention itself, fuzzed.
+
+    Round 9 rewrote 30+ verbatim-TPC-DS oracle sites to the HUGEINT
+    count form (`operators/tpcds._ratio_counts`), each hand-derived at
+    Spark's type-derived result scale. This family generates random
+    SUM(decimal)/SUM(decimal) quotients over the star money columns
+    (optionally int-literal-scaled numerators and signed profit columns),
+    PROBES the live Spark result scale from the DataFrame schema, builds
+    the DuckDB mirror at that probed scale, and requires exact value
+    equality — so a Spark upgrade that changes decimal-division typing or
+    rounding breaks loudly here instead of silently drifting 30 oracles.
+    """
+    import os
+
+    from spark_cherry_shuffle_service_spark.operators.tpcds import _ratio_counts
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import (
+        register_star_views,
+        star_dir,
+    )
+
+    register_star_views(spark, SF_SMOKE)
+    d = star_dir(SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW store_sales AS SELECT * FROM read_parquet('{os.path.join(d, 'store_sales')}.parquet/*.parquet')"
+    )
+    cols = (
+        "ss_sales_price", "ss_list_price", "ss_ext_sales_price",
+        "ss_ext_discount_amt", "ss_net_paid", "ss_net_profit",  # signed
+        "ss_coupon_amt", "ss_wholesale_cost",
+    )
+    mismatches = []
+    for seed in range(22000 + block * 13, 22000 + block * 13 + 13):
+        rng = random.Random(seed)
+        num_col, den_col = rng.choice(cols), rng.choice(cols)
+        mult = rng.choice(("", " * 3", " * 100"))
+        modk = rng.choice((3, 5, 7))
+        num = f"(SUM({num_col}){mult})"
+        den = f"SUM({den_col})"
+        key = f"(ss_item_sk % {modk})"
+        spark_sql = (
+            f"SELECT {key} AS k, {num} / {den} AS q FROM store_sales GROUP BY {key}"
+        )
+        sdf = spark.sql(spark_sql)
+        dtype = sdf.schema["q"].dataType.simpleString()
+        assert dtype.startswith("decimal("), (seed, dtype)
+        scale = int(dtype.rstrip(")").split(",")[1])
+        unit = "0." + "0" * (scale - 1) + "1" if scale else "1"
+        duck_sql = (
+            f"SELECT {key} AS k, CAST({_ratio_counts(num, den, scale)} AS DECIMAL(38,0))"
+            f" * {unit} AS q FROM store_sales GROUP BY {key}"
+        )
+        srows = sorted([tuple(r) for r in sdf.collect()], key=repr)
+        drows = sorted([tuple(r) for r in con.execute(duck_sql).fetchall()], key=repr)
+        if len(srows) != len(drows) or any(
+            sk != dk or (sq is None) != (dq is None) or (sq is not None and sq != dq)
+            for (sk, sq), (dk, dq) in zip(srows, drows)
+        ):
+            mismatches.append((seed, spark_sql, srows[:2], drows[:2]))
+    assert not mismatches, mismatches[:2]
