@@ -863,3 +863,39 @@ def test_heavy_hitters_shuffles_only_where_designed(spark):
     assert "BroadcastHashJoin" in ops, ops
     # The one full-row exchange feeds the Python MG pass directly.
     assert ops[ops.index("MapInPandas") - 1] == "Exchange", ops
+
+
+def test_verbatim_tpcds_plans_have_no_cartesians(spark):
+    """Round-9 continuation: the physical plan of EVERY verbatim TPC-DS
+    query is cartesian-free, and the only BroadcastNestedLoopJoins are
+    the corpus's own single-row aggregate crosses — q28's six bucket
+    subqueries, q61/q90's two-scalar ratios, q88's eight time-band
+    counts, q77/q77a's grand-total catalog-returns CTE, and v2.7 q22's
+    scalar average — each a 1-row side, i.e. a broadcast of a constant,
+    which is exactly the right plan at any SF. A BNLJ anywhere else (the
+    q72 blowup class) fails loudly."""
+    one_row_cross_whitelist = {
+        "sql_text_tpcds_q22_v27",
+        "sql_text_tpcds_q28",
+        "sql_text_tpcds_q61",
+        "sql_text_tpcds_q77",
+        "sql_text_tpcds_q77a",
+        "sql_text_tpcds_q88",
+        "sql_text_tpcds_q90",
+    }
+    offenders = {}
+    for name, spec in SPECS.items():
+        if not name.startswith("sql_text_tpcds"):
+            continue
+        df = spec.builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in one_row_cross_whitelist:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+    # The whitelist must stay honest: every entry still builds a plan
+    # with a BNLJ (no stale rows).
+    for name in one_row_cross_whitelist:
+        plan = SPECS[name].builder(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, name
