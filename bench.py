@@ -207,7 +207,39 @@ HEADLINE = [
 #: sf0.1) — the single canonical table BASELINE.md points at. bench.py
 #: uses it to auto-adjudicate host stalls in-run (see below); absent or
 #: unlisted queries simply skip the re-time check.
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(_REPO, "BASELINE_QUERIES.json")
+
+
+def baseline_file_for(sf_dir: str) -> str | None:
+    """Baseline table keyed by the fixture dir's SF tag (VERDICT r9 item
+    2): the canonical BASELINE_QUERIES.json holds sf0.1 numbers, so
+    benching another SF against it manufactures phantom "violations" out
+    of expected data scale-ups (BENCH_sf1 carried 5 such). Other SFs use
+    BASELINE_QUERIES_<tag>.json (e.g. _sf1) when committed, else NO
+    baseline (n_baselined 0, zero violations — honest, not green-washed).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag == "sf0.1":
+        return BASELINE_FILE
+    cand = os.path.join(_REPO, f"BASELINE_QUERIES_{tag}.json")
+    return cand if os.path.exists(cand) else None
+
+
+#: Queries whose median-of-3 measures warm persisted-cache re-hits
+#: (iterative/persist-heavy plans); their COLD cost is runs[0], recorded
+#: per run in COLD_BASELINE.json so rounds compare cold-vs-cold without
+#: artifact archaeology (VERDICT r9 item 8; BASELINE.md "medians of
+#: persist-heavy queries").
+PERSIST_HEAVY = (
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_bfs_levels",
+    "graph_common_neighbors",
+    "graph_jaccard_ppm",
+    "kmeans_lloyd",
+    "dedup_cluster_canonical",
+)
 
 #: One run per query is stall-fragile: a single bad host-scheduling window
 #: poisons the committed artifact with numbers that read as 2x-gate
@@ -272,12 +304,13 @@ def main() -> None:
 
     baselines: dict[str, float] = {}
     cal_base: float | None = None
+    baseline_file = baseline_file_for(sf_dir)
     try:
-        with open(BASELINE_FILE) as fh:
+        with open(baseline_file) as fh:
             base_doc = json.load(fh)
         baselines = {k: float(v) for k, v in base_doc["queries"].items()}
         cal_base = float(base_doc["calibration_sec"]) if "calibration_sec" in base_doc else None
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError, ValueError, TypeError):
         pass
 
     # Engine warmup (JIT, codegen, parquet reader init) so per-query numbers
@@ -411,16 +444,33 @@ def main() -> None:
         "calibration_probes": cal_probes,
         "calibration_stat": "min",
         "calibration_baseline_sec": cal_base,
+        "baseline_file": os.path.basename(baseline_file) if baseline_file else None,
         "drift_factor": drift,
         "value": total,
         "sf": sf,
     }
     line = json.dumps(payload)
     try:
-        with open(os.path.join(os.path.dirname(BASELINE_FILE), "BENCH_FULL.json"), "w") as fh:
+        with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries everything
+    # Cold-path record for the persist-heavy set (runs[0] = no warm
+    # cache), refreshed only by canonical sf0.1 runs so the committed
+    # file stays one protocol.
+    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
+        cold = {
+            "_protocol": "runs[0] of the canonical sf0.1 bench (cold persisted caches)",
+            "_calibration_sec": calibration,
+            "queries": {
+                n: details[n]["runs"][0] for n in PERSIST_HEAVY if n in details
+            },
+        }
+        try:
+            with open(os.path.join(_REPO, "COLD_BASELINE.json"), "w") as fh:
+                json.dump(cold, fh, indent=1)
+        except OSError:
+            pass
     print(line)
 
 

@@ -168,9 +168,17 @@ registered: both RE-AVERAGE a double (avg of avg(int) columns), and
 Spark merges double partial aggregates in shuffle-fetch order — the
 low-order bits are not parallelism-deterministic, the q17/q39 stddev
 exclusion class. v2.7 q14/q64 share the duplicate-output-name
-exclusion; v2.7 q24 is structurally empty on these fixtures (its
-combined q24a/b predicate conjunction); v2.7 q75 carries the same
-engine-ambiguous integer-diff LIMIT boundary that removed v1.4 q75.
+exclusion; v2.7 q75 carries the same engine-ambiguous integer-diff
+LIMIT boundary that removed v1.4 q75.
+
+Round-10 (star v10): the two fixture-density exclusions are CLOSED —
+q85 runs verbatim over cohort J (tk%31==5: year-2000 web returns
+cycling all three marital/education x price-band x state/profit-band
+disjuncts; see sources/tpcds_star.py v10 note) and v2.7 q24 (key
+q24_v27) over cohort K (store-8 pale-item returns for customers whose
+own address carries the store's zip). 124 of 135 shipped files now run
+verbatim; every remaining exclusion is driver-protocol-impossible, not
+fixture debt.
 
 q64 is deliberately NOT registered despite its v9 plants (purple
 70.00 items with sale+return pairs in both 1999 and 2000 now make it
@@ -179,12 +187,7 @@ cs2.s1..s3 — duplicate output column names, which the driver's
 sorted-by-name value hash cannot key deterministically (the q14b
 exclusion class; Spark's Row[name] reads only the first duplicate).
 
-Deliberately NOT registered (and why): q85's conjunction (cd marital x
-education pairs x a 100-150 sales-price band x ca_state triples over
-d_year-2000 web returns) expects ~0.07 matching rows on these fixture
-densities — structurally EMPTY at the committed oracle SF, and a
-vacuous differential fails this suite's own non-empty gate
-(test_oracle_is_nonempty_on_committed_fixtures). q14b's `SELECT *` over a
+Deliberately NOT registered (and why): q14b's `SELECT *` over a
 this_year/last_year self-join emits DUPLICATE column names
 (sales/number_sales twice), which the driver's sorted-by-column-name
 value hash cannot key deterministically — q14a covers the same
@@ -678,6 +681,14 @@ SPARK_COLS: dict[str, tuple[str, ...]] = {
     "q23b": ("c_last_name", "c_first_name", "sales"),
     "q24a": ("c_last_name", "c_first_name", "s_store_name", "paid"),
     "q24b": ("c_last_name", "c_first_name", "s_store_name", "paid"),
+    # --- round-10 (star v10 plants): the last two plantable exclusions ---
+    "q24_v27": ("c_last_name", "c_first_name", "s_store_name", "paid"),
+    "q85": (
+        "substr(r_reason_desc, 1, 20)",
+        "avg(ws_quantity)",
+        "avg(wr_refunded_cash)",
+        "avg(wr_fee)",
+    ),
     "q27": ("i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3", "agg4"),
     "q36": (
         "gross_margin",
@@ -785,7 +796,11 @@ V27_QUERIES = frozenset(
 V27_RENAMES = {
     f"{q}_v27": q
     for q in ("q6", "q11", "q12", "q14a", "q20", "q22", "q34", "q35",
-              "q47", "q49", "q57", "q72", "q74", "q78", "q98")
+              "q47", "q49", "q57", "q72", "q74", "q78", "q98",
+              # v10: v2.7 q24 (the q24a/b CTE + own-address conjunction +
+              # ORDER BY); its base name dispatches into the q24a/b
+              # threshold rewrite.
+              "q24")
 }
 
 
@@ -1233,12 +1248,33 @@ def _oracle_text(qname: str) -> str:
         text = text.replace(
             old, "ORDER BY channel NULLS FIRST, id NULLS FIRST\nLIMIT 100"
         )
-    if qname in ("q24a", "q24b"):
+    if qname in ("q24a", "q24b", "q24"):
         # Scalar-subquery threshold 0.05 * avg(SUM(decimal)) — exact
-        # HALF_UP avg (netpaid = sum(ss_net_paid), non-negative).
+        # HALF_UP avg (netpaid = sum(ss_net_paid), non-negative). The
+        # v2.7 q24 (key q24_v27) shares the site verbatim.
         old = "0.05 * avg(netpaid)"
         assert text.count(old) == 1, f"{qname} threshold site"
         text = text.replace(old, f"0.05 * {_exact_avg_dec2('netpaid')}")
+    if qname == "q85":
+        # Output/order columns are unaliased avgs: avg(int) -> exact
+        # BIGINT sum over one IEEE division (both engines correctly
+        # round); the two DECIMAL(7,2) avgs (refunded cash, fee — both
+        # non-negative) -> exact HALF_UP micro-units, value-identical to
+        # Spark's avg(DECIMAL(7,2)) -> DECIMAL(11,6). Rewrites hit the
+        # SELECT list and the ORDER BY repeats (LIMIT 100 never binds:
+        # <= 35 reason groups by dimension construction, so the ORDER is
+        # cosmetic — rewritten anyway for subset determinism).
+        text, n_sub = re.subn(
+            r"avg\(ws_quantity\)",
+            "CAST(SUM(ws_quantity) AS DOUBLE) / COUNT(ws_quantity)",
+            text,
+        )
+        assert n_sub == 2, f"q85 int-avg rewrite anchored {n_sub} of 2"
+        for col in ("wr_refunded_cash", "wr_fee"):
+            text, n_sub = re.subn(
+                rf"avg\({col}\)", _exact_avg_dec2(col).replace("\\", r"\\"), text
+            )
+            assert n_sub == 2, f"q85 {col} avg rewrite anchored {n_sub} of 2"
     if qname == "q27":
         # Rollup NULL labels under a binding LIMIT: pin Spark's ASC NULLS
         # FIRST (the avg rewrites ride _AVG_REWRITES).

@@ -90,7 +90,26 @@ ORACLE_TAG = "sf0.01"
 # no-return cross-channel (customer, item) pairs (q78); B (tk%31==7,
 # dated 2000-06-15, returns forced on 2000-06-30) giving 5 items exactly
 # channel-balanced return quantities in a q83 week.
-_GENERATOR_VERSION = 9
+# v10 (round 10): the last two plantable exclusions become non-empty —
+# cohort J (tk%31==5) plants q85 via its SLOT LINE ONLY, forced web-only
+# through slot_e's u_channel device (a ticket-grain or 3-channel plant
+# measurably flipped q31's marginal county ratios by moving ~3% of lines
+# into Q1-2000): the slot is dated 2000-03-17 with a forced return, and
+# three ticket variants cycle q85's disjuncts — cdemo 51/23/37 =
+# M-Advanced Degree / S-College / W-2 yr Degree by the cd formula; slot
+# unit x qty = 2400x3 / 1400x7 / 3400x2 put ws_sales_price at
+# 120/70/170 and net profit inside [162,180]/[220.5,245]/[153,170] for
+# ANY l_discount in [0,0.1]; refund addresses pinned to new IN/WI/LA
+# address plants at sks 420/430/440. Cohort K (tk%31==12) gives v2.7
+# q24 matching rows (tickets at store 8 — the only s_market_id=8 store,
+# zip '80348' — for customers 480/490/500 whose OWN addresses carry zip
+# '80348', slot item 10 = naturally 'pale' by the color cycle, returns
+# forced). Plant-robustness fixes from ADVICE r9: ship_cust_sk gets the
+# same 340->341 redirect as cust (q69's catalog anti-join probes
+# cs_ship_customer_sk), and %17==0 store-only customers are bumped off
+# tickets in slot cohorts with natural customers (B/C/D/E/J), so forced
+# catalog/web slot rows never dilute q69's store-only cohort.
+_GENERATOR_VERSION = 10
 MANIFEST = "_TPCDS_STAR.json"
 
 TPCDS_TABLES = (
@@ -849,13 +868,29 @@ def gen_customer_address(cust: DataFrame) -> DataFrame:
         ),
         _pick(_u("ca_city", k), _CITIES).alias("ca_city"),
         F.when(k == 199, F.lit("Williamson County"))
+        # v10: addr 1 gets an EXCLUSIVE county (not in the _CA_COUNTIES
+        # cycle), so q31's planted quarter-ratio county contains ONLY
+        # cohort E's rows plus O(tickets/n_cust) natural noise — the
+        # comparison no longer rides marginal natural ratios (the v9
+        # Bronx-shared plant flipped when v10 redistributed ~1% of lines).
+        .when(k == 0, F.lit("Ziebach County"))
         .otherwise(_pick(_u("ca_county", k), _CA_COUNTIES))
         .alias("ca_county"),
         F.when(k == 339, F.lit("GA"))  # v9: q69's planted store-only shopper
         .when(k == 199, F.lit("CA"))  # q54: match store 1's (county, state)
+        # v10: q85's three state triples — cohort J's refund addresses
+        # (sks 420/430/440) land in IN/WI/LA, one per disjunct.
+        .when(k == 419, F.lit("IN"))
+        .when(k == 429, F.lit("WI"))
+        .when(k == 439, F.lit("LA"))
         .otherwise(_pick(_u("ca_state", k), _STATES_ADDR))
         .alias("ca_state"),
-        _pick(_u("ca_zip", k), _ZIPS).alias("ca_zip"),
+        # v10: cohort K's customers (480/490/500) live at store 8's zip
+        # ('80348' = _ZIPS[7]) so v2.7 q24's own-address `s_zip = ca_zip`
+        # conjunction has matching rows.
+        F.when(k.isin(479, 489, 499), F.lit("80348"))
+        .otherwise(_pick(_u("ca_zip", k), _ZIPS))
+        .alias("ca_zip"),
         F.lit("United States").alias("ca_country"),
         F.when(k == 99, F.lit(-7.0))
         .otherwise(F.lit(-5.0) - _uint(_u("ca_gmt", k), 4))
@@ -910,20 +945,30 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
     cohort_b = tk % 31 == 7  # q83: balanced 3-channel returns on 2000-06-30
     cohort_c = tk % 31 == 14  # q29/q64: Sep-1999 / Sep-2000 sale+return pairs on purple items
     cohort_d = tk % 31 == 21  # q25: Apr-2001 sale/return/catalog window
-    cohort_e = tk % 31 == 28  # q31: web-only Q2/Q3-2000 boost for addr-1's county
+    cohort_e = tk % 31 == 28  # q31: web-only Q1/Q2/Q3-2000 boosts in addr-1's exclusive county (v10)
     cohort_f = tk % 31 == 3  # q27: 2002 TN-store tickets with the M/S/College cdemo
     cohort_g = tk % 31 == 10  # q91: customer 100's catalog returns in Nov-1998
     cohort_h = tk % 31 == 17  # q54: customer 200 buys maroon item 59 Dec-1998, shops store 1 Feb-1999
     cohort_i = tk % 31 == 24  # q69: customer 340 (17-divisible -> store-only) shops May-2001 from GA
+    cohort_j = tk % 31 == 5  # q85: year-2000 web returns cycling the three disjuncts (v10)
+    cohort_k = tk % 31 == 12  # v2.7 q24: store-8 pale-item returns for own-zip customers (v10)
+    #: three-way ticket variant shared by the v10 cohorts (J: which q85
+    #: disjunct; K: which planted customer).
+    j_variant = (F.floor(tk / 31) % 3).cast("int")
     slot = ln == 1
     slot_a, slot_b = cohort_a & slot, cohort_b & slot
     slot_c, slot_d, slot_e = cohort_c & slot, cohort_d & slot, cohort_e & slot
     a_group = F.floor(tk / 31) % 2 == 0
     slot_g = cohort_g & slot
     slot_h = cohort_h & slot & a_group  # only the Dec-1998 group plants item 59
+    # slot_j is WEB-ONLY (slot_e's u_channel device, not the 3-channel
+    # fan): q85 needs exactly one web sale+return row per ticket, and a
+    # ticket-grain or 3-channel plant would move ~3% of all lines into
+    # Q1-2000 — measured to flip q31's marginal county ratio comparison.
+    slot_j, slot_k = cohort_j & slot, cohort_k & slot
     # emitted into ALL 3 channels:
-    slot_sales = slot_a | slot_b | slot_c | slot_d | slot_g | slot_h
-    slot_ret = slot_b | slot_c | slot_d | slot_g  # returns forced on
+    slot_sales = slot_a | slot_b | slot_c | slot_d | slot_g | slot_h | slot_k
+    slot_ret = slot_b | slot_c | slot_d | slot_g | slot_k  # returns forced on
     date_sk = (
         F.when(cohort_a & a_group, F.lit(_EPOCH_SK + _off(2000, 1, 3)))  # q58 week
         .when(cohort_a, F.lit(_EPOCH_SK + _off(2000, 2, 1)))  # q23's d_moy = 2
@@ -931,13 +976,26 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         .when(cohort_c & a_group, F.lit(_EPOCH_SK + _off(1999, 9, 15)))  # q29
         .when(cohort_c, F.lit(_EPOCH_SK + _off(2000, 9, 15)))  # q64's 1999+1 twin
         .when(cohort_d, F.lit(_EPOCH_SK + _off(2001, 4, 15)))
-        .when(cohort_e & a_group, F.lit(_EPOCH_SK + _off(2000, 5, 15)))  # Q2
-        .when(cohort_e, F.lit(_EPOCH_SK + _off(2000, 8, 15)))  # Q3, 3x the money
+        # v10: cohort E spans ALL THREE of q31's quarters (v9 covered
+        # Q2/Q3 only and leaned on natural Q1 ratios); the per-variant
+        # slot boosts below force the web ratios.
+        .when(
+            cohort_e,
+            F.element_at(
+                F.array(
+                    F.lit(_EPOCH_SK + _off(2000, 2, 15)),  # Q1
+                    F.lit(_EPOCH_SK + _off(2000, 5, 15)),  # Q2
+                    F.lit(_EPOCH_SK + _off(2000, 8, 15)),  # Q3
+                ),
+                j_variant + 1,
+            ),
+        )
         .when(cohort_f, F.lit(_EPOCH_SK + _off(2002, 3, 15)))
         .when(cohort_g, F.lit(_EPOCH_SK + _off(1998, 10, 20)))
         .when(cohort_h & a_group, F.lit(_EPOCH_SK + _off(1998, 12, 10)))  # q54 buy month
         .when(cohort_h, F.lit(_EPOCH_SK + _off(1999, 2, 10)))  # q54 revenue window
         .when(cohort_i, F.lit(_EPOCH_SK + _off(2001, 5, 15)))
+        .when(slot_j, F.lit(_EPOCH_SK + _off(2000, 3, 17)))  # q85's d_year = 2000 (slot line only)
         .otherwise(date_sk_nat)
         .cast("int")
     )
@@ -953,20 +1011,39 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         .when(slot_c, 31 + F.floor(tk / 31) % 5)
         .when(slot_d, 41 + F.floor(tk / 31) % 5)
         .when(slot_h, F.lit(59))  # the planted maroon Women item (q54)
-        .otherwise(F.col("l_partkey") + 1)  # slot_g keeps its natural item
+        .when(slot_k, F.lit(10))  # v10: the naturally-pale item (_COLORS[9], v2.7 q24)
+        .otherwise(F.col("l_partkey") + 1)  # slot_g/slot_j keep their natural item
         .cast("int")
     )
 
     any_slot = slot_sales | slot_e
+    # v10 cohort J: per-variant unit x qty put ws_sales_price (unit/20)
+    # and ws_net_profit (margin = unit/40 per piece minus <=5% coupon)
+    # inside q85's band pairs for every l_discount in [0, 0.1]:
+    # 2400x3 -> price 120 in [100,150], profit [162,180] in [100,200];
+    # 1400x7 -> price 70 in [50,100], profit [220.5,245] in [150,300];
+    # 3400x2 -> price 170 in [150,200], profit [153,170] in [50,250].
+    j_unit = F.element_at(F.array(F.lit(2400.0), F.lit(1400.0), F.lit(3400.0)), j_variant + 1)
+    j_qty = F.element_at(F.array(F.lit(3), F.lit(7), F.lit(2)), j_variant + 1)
     unit = (
-        F.when(any_slot, F.lit(2000.0))
+        F.when(slot_j, j_unit)
+        # v10: slot_e boosts carry unit 10000 so the web quarter sums of
+        # the exclusive plant county are boost-dominated (ext_list =
+        # 625*90 = 56250 stays inside DECIMAL(7,2)).
+        .when(slot_e, F.lit(10000.0))
+        .when(any_slot, F.lit(2000.0))
         .otherwise(F.col("l_extendedprice") / F.col("l_quantity"))  # 900..2100
     )
-    # slot_e's Q2 group carries a third of the Q3 group's quantity, so the
-    # boosted county's web Q3/Q2 ratio lands near 3 while its store ratio
-    # stays natural (~1) — q31's double comparison holds by construction.
+    # slot_e quantities 5/30/90 by quarter variant: the plant county's
+    # web sums are dominated by the boosts (unit 10000 -> 2500/15000/
+    # 45000 ext per slot row vs ~1300 natural), so web q1->q2 and
+    # q2->q3 land near 2.4-3x while its store ratios stay natural (~1)
+    # — q31's double comparisons hold with >=1.7x margin by
+    # construction, at any SF (boost and natural mass both scale with
+    # ticket count).
     qty = (
-        F.when(slot_e & a_group, F.lit(10))
+        F.when(slot_j, j_qty)
+        .when(slot_e, F.element_at(F.array(F.lit(5), F.lit(30), F.lit(90)), j_variant + 1))
         .when(any_slot, F.lit(30))
         .otherwise(F.col("l_quantity"))
         .cast("int")
@@ -988,11 +1065,27 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
     # to the planted customers 100 / 200 (q91's demographics chain, q54's
     # Williamson shopper) — min() guards tiny fixture SFs.
     cust_nat = _uint(_u("t_cust", tk), n_cust) + 1
+    # ADVICE r9: slot cohorts with NATURAL customers (B/C/D/E/J) emit
+    # forced catalog/web rows; bump a %17==0 (store-only, q69) customer
+    # off those tickets so the store-only cohort stays store-only. The
+    # n_cust edge falls back to -1 (n_cust-1 is never 17-divisible when
+    # n_cust is).
+    natural_slot_cohort = cohort_b | cohort_c | cohort_d | cohort_e | cohort_j
+    cust_nat = F.when(
+        natural_slot_cohort & (cust_nat % 17 == 0),
+        F.when(cust_nat == n_cust, cust_nat - 1).otherwise(cust_nat + 1),
+    ).otherwise(cust_nat)
+    # v10 cohort K: the three own-zip-80348 customers (v2.7 q24).
+    k_cust = F.element_at(
+        F.array(F.lit(min(480, n_cust)), F.lit(min(490, n_cust)), F.lit(min(500, n_cust))),
+        j_variant + 1,
+    )
     cust = (
         F.when(cohort_a, F.lit(min(400, n_cust)))
         .when(cohort_g, F.lit(min(100, n_cust)))
         .when(cohort_h, F.lit(min(200, n_cust)))
         .when(cohort_i, F.lit(min(340, n_cust)))
+        .when(cohort_k, k_cust)
         # customer 340 belongs to cohort I alone: a natural ticket could
         # otherwise hand it catalog/web lines inside q69's probed window
         # (cohort D is dated 2001-04-15) and break the NOT EXISTS.
@@ -1001,7 +1094,7 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         .cast("int")
     )
     u_channel = (
-        F.when(slot_e, F.lit(0.9))  # web-only boost lines
+        F.when(slot_e | slot_j, F.lit(0.9))  # web-only boost/plant lines
         .when(cust % 17 == 0, _u("channel", ok, ln) * 0.54)
         .otherwise(_u("channel", ok, ln))
     )
@@ -1018,18 +1111,42 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         date_sk.alias("date_sk"),
         (F.lit(28_800) + _uint(_u("time", ok, ln), 50_400)).cast("int").alias("time_sk"),
         cust.alias("cust_sk"),
-        (_uint(_u("t_shipcust", tk), n_cust) + 1).cast("int").alias("ship_cust_sk"),
+        # ADVICE r9: ship_cust gets the same 340->341 redirect as cust —
+        # q69's catalog anti-join probes cs_ship_customer_sk, so a natural
+        # ship assignment could otherwise vacate the store-only plant.
+        F.when(_uint(_u("t_shipcust", tk), n_cust) + 1 == 340, F.lit(341))
+        .otherwise(_uint(_u("t_shipcust", tk), n_cust) + 1)
+        .cast("int")
+        .alias("ship_cust_sk"),
         F.when(cohort_f, F.lit(23))
+        # v10 slot J: q85's three (marital, education) pairs — cd 51 =
+        # M/'Advanced Degree', cd 23 = S/'College', cd 37 = W/'2 yr
+        # Degree' by the gen_customer_demographics formula.
+        .when(slot_j, F.element_at(F.array(F.lit(51), F.lit(23), F.lit(37)), j_variant + 1))
         .otherwise(_uint(_u("t_cdemo", tk), _N_CD) + 1)
         .cast("int")
         .alias("cdemo_sk"),
         (_uint(_u("t_hdemo", tk), _N_HD) + 1).cast("int").alias("hdemo_sk"),
-        F.when(slot_e, F.lit(1))
+        # v10: ALL cohort E lines sit at addr 1 (the exclusive plant
+        # county needs store-channel presence in every probed quarter,
+        # which the tickets' natural-channel lines provide).
+        F.when(cohort_e, F.lit(1))
+        # v10 slot J: refund addresses in IN/WI/LA (the gen_customer_address pins).
+        .when(
+            slot_j,
+            F.element_at(
+                F.array(
+                    F.lit(min(420, n_cust)), F.lit(min(430, n_cust)), F.lit(min(440, n_cust))
+                ),
+                j_variant + 1,
+            ),
+        )
         .otherwise(_uint(_u("t_addr", tk), n_cust) + 1)
         .cast("int")
         .alias("addr_sk"),
         F.when(cohort_f, F.lit(6))
         .when(cohort_h & ~a_group, F.lit(1))
+        .when(cohort_k, F.lit(8))  # v10: the s_market_id = 8 store (v2.7 q24)
         .otherwise(_uint(_u("t_store", tk), _N_STORE) + 1)
         .cast("int")
         .alias("store_sk"),
@@ -1063,7 +1180,7 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         # pairs); cohort B slots always return, on 2000-06-30 (q83's
         # probed week), 15 days after their forced sale date.
         F.when(slot_a, F.lit(0.99))
-        .when(slot_ret, F.lit(0.0))
+        .when(slot_ret | slot_j, F.lit(0.0))  # slot_j: web-only forced return (q85)
         .otherwise(_u("ret", ok, ln))
         .alias("u_return"),
         F.when(slot_b, F.lit(_EPOCH_SK + _off(2000, 6, 30)))

@@ -143,3 +143,43 @@ def test_sf1_bench_artifact_scales_sublinearly():
         if k in base and sf1["queries"][k] > 10 * base[k]
     }
     assert not bad, f"super-linear scaling at 10x data: {bad}"
+
+
+def test_baseline_file_selection_by_sf():
+    """bench.py picks the baseline table by the fixture dir's SF tag
+    (VERDICT r9 item 2): canonical sf0.1 -> BASELINE_QUERIES.json, sf1 ->
+    BASELINE_QUERIES_sf1.json when committed, anything unbaselined ->
+    None (zero baselines beats phantom violations)."""
+    import os
+
+    from bench import BASELINE_FILE, baseline_file_for
+
+    assert baseline_file_for("/root/testdata/sf0.1") == BASELINE_FILE
+    assert baseline_file_for("/root/testdata/sf0.1/") == BASELINE_FILE
+    sf1 = baseline_file_for("/root/repo/.genscale/sf1")
+    if os.path.exists("/root/repo/BASELINE_QUERIES_sf1.json"):
+        assert sf1 == "/root/repo/BASELINE_QUERIES_sf1.json"
+    else:
+        assert sf1 is None
+    assert baseline_file_for("/tmp/nonexistent/sf42") is None
+
+
+def test_cold_baseline_covers_persist_heavy_set():
+    """COLD_BASELINE.json (VERDICT r9 item 8): every persist-heavy query
+    must carry a cold runs[0] entry, and the set itself must stay inside
+    the headline protocol so bench.py can refresh it."""
+    import json
+    import os
+
+    import pytest
+
+    from bench import HEADLINE, PERSIST_HEAVY
+
+    assert set(PERSIST_HEAVY) <= set(HEADLINE)
+    path = "/root/repo/COLD_BASELINE.json"
+    if not os.path.exists(path):
+        pytest.skip("COLD_BASELINE.json not yet generated")
+    with open(path) as fh:
+        cold = json.load(fh)
+    assert set(PERSIST_HEAVY) <= set(cold["queries"])
+    assert all(v > 0 for v in cold["queries"].values())

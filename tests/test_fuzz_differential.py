@@ -1181,3 +1181,98 @@ def test_random_decimal_division_count_mirror_matches_spark(spark, block):
         ):
             mismatches.append((seed, spark_sql, srows[:2], drows[:2]))
     assert not mismatches, mismatches[:2]
+
+
+def _agg_window_tree_sql(rng: random.Random, table: str) -> str:
+    """Family 23's generator: GROUP-BY aggregate -> window functions OVER
+    the aggregate (rank ordered by the exact sum, running-SUM frame,
+    partition total) -> a STACKED second window over the first window's
+    output — the q47/q51/q57/q67/q89 shape class (windows over
+    re-aggregated CTEs). All values are integer cents (CAST(money * 100
+    AS BIGINT)), so no float convention is involved; (k1, k2) is the
+    GROUP BY key, hence unique per partition, so every ORDER BY below is
+    tie-free by construction (the LIMIT/ordering rule)."""
+    if table == "store_sales":
+        k1 = rng.choice(["COALESCE(ss_store_sk, -1)", "(ss_item_sk % 5)", "(ss_sold_date_sk % 7)"])
+        k2 = rng.choice(["(ss_item_sk % 23)", "(ss_ticket_number % 17)", "(ss_sold_date_sk % 13)"])
+        v = "CAST(ss_ext_sales_price * 100 AS BIGINT)"
+        leaves = [
+            f"ss_quantity {rng.choice(_CMP)} {rng.randint(1, 50)}",
+            f"ss_item_sk {rng.choice(_CMP)} {rng.randint(1, 2000)}",
+            f"ss_sold_date_sk % {rng.randint(2, 9)} = {rng.randint(0, 1)}",
+        ]
+    else:  # lineitem
+        k1 = rng.choice(["l_returnflag", "(l_suppkey % 5)"])
+        k2 = rng.choice(["(l_partkey % 23)", "(l_orderkey % 17)"])
+        # l_extendedprice is a DOUBLE in the fixtures: FLOOR of the
+        # bit-identical double, never a direct double->int CAST (Spark
+        # truncates, DuckDB rounds — the q54 divergence class).
+        v = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+        leaves = [
+            f"l_quantity {rng.choice(_CMP)} {rng.randint(1, 50)}",
+            f"l_partkey {rng.choice(_CMP)} {rng.randint(1, 2000)}",
+            f"l_orderkey % {rng.randint(2, 9)} = {rng.randint(0, 1)}",
+        ]
+    rng.shuffle(leaves)
+    op = rng.choice(["AND", "OR"])
+    pred = f"({leaves[0]}) {op} ({leaves[1]})"
+    rank_fn = rng.choice(["RANK()", "DENSE_RANK()", "ROW_NUMBER()"])
+    direction = rng.choice(["ASC", "DESC"])
+    j, m = rng.randint(1, 6), rng.randint(1, 6)
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {j} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {j} PRECEDING AND {m} FOLLOWING",
+        ]
+    )
+    rank_filter = f"WHERE r <= {rng.randint(2, 10)}" if rng.random() < 0.5 else ""
+    return (
+        f"WITH agg AS (SELECT k1, k2, SUM(v) AS s, COUNT(*) AS c FROM "
+        f"(SELECT {k1} AS k1, {k2} AS k2, {v} AS v FROM {table} WHERE {pred}) "
+        f"GROUP BY k1, k2), "
+        f"w AS (SELECT k1, k2, s, c, "
+        f"{rank_fn} OVER (PARTITION BY k1 ORDER BY s {direction}, k2) AS r, "
+        f"SUM(s) OVER (PARTITION BY k1 ORDER BY k2 {frame}) AS run, "
+        f"SUM(s) OVER (PARTITION BY k1) AS tot, "
+        f"COUNT(*) OVER (PARTITION BY k1) AS nk FROM agg) "
+        f"SELECT k1, k2, s, c, r, run, tot, nk, "
+        f"ROW_NUMBER() OVER (PARTITION BY k1 ORDER BY run, k2) AS rr "
+        f"FROM w {rank_filter}"
+    )
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_random_window_trees_over_aggregates_match_duckdb(spark, block):
+    """Family 23 (VERDICT r9 item 4): windows were the one §2 family
+    without a dedicated tree fuzzer — families 3/9 cover single windows
+    over RAW rows, but the verbatim corpus's window sites (q47/q57's
+    windowed avg-of-sums, q51's sum(sum()) OVER, q67/q70/q86/q89's
+    rank-over-aggregates) all window over RE-AGGREGATED inputs and stack
+    windows. 26 seeds over the sf0.001 star's store_sales AND the
+    fixture lineitem; full sorted result-set compare."""
+    import os
+
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import (
+        register_star_views,
+        star_dir,
+    )
+
+    register_views(spark, SF_SMOKE)
+    register_star_views(spark, SF_SMOKE)
+    d = star_dir(SF_SMOKE)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW store_sales AS SELECT * FROM read_parquet('{os.path.join(d, 'store_sales')}.parquet/*.parquet')"
+    )
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'")
+    mismatches = []
+    for seed in range(23000 + block * 13, 23000 + block * 13 + 13):
+        rng = random.Random(seed)
+        table = rng.choice(["store_sales", "lineitem"])
+        sql = _agg_window_tree_sql(rng, table)
+        srows = sorted([tuple(r) for r in spark.sql(sql).collect()], key=repr)
+        drows = sorted([tuple(r) for r in con.execute(sql).fetchall()], key=repr)
+        if srows != drows:
+            mismatches.append((seed, sql, srows[:2], drows[:2]))
+    assert not mismatches, mismatches[:2]

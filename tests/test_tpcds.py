@@ -38,7 +38,7 @@ _REF_SQL_DIR_V27 = _REF_SQL_DIR + "-v2.7.0"
 
 def test_texts_cover_the_query_set():
     assert set(TPCDS_TEXTS) == set(SPARK_COLS)
-    assert len(TPCDS_TEXTS) == 122
+    assert len(TPCDS_TEXTS) == 124
     # The reference's headline pair (README.md:125-126) must be present,
     # and the v2.7 variant surface is represented.
     assert {"q2", "q5"} <= set(TPCDS_TEXTS)
@@ -160,11 +160,21 @@ def test_star_fixture_invariants(duck_correct):
     ) == 0
 
     # Tickets are visit-consistent: one customer/store/date per ticket.
+    # Checked per column (ADVICE r9): the old concat form went NULL on
+    # the ~2% line-grain NULL-store lines (v9, q76) and silently dropped
+    # them from the DISTINCT count. Store masking is per-LINE, so the
+    # store check is "at most one NON-NULL store per ticket" — COUNT
+    # (DISTINCT ...) ignores NULLs, which is exactly that semantics.
     assert one(
-        "SELECT COALESCE(MAX(n), 0) FROM (SELECT COUNT(DISTINCT ss_customer_sk"
-        " || '/' || ss_store_sk || '/' || ss_sold_date_sk) AS n"
+        "SELECT MAX(GREATEST(nc, nd)) FROM (SELECT"
+        " COUNT(DISTINCT ss_customer_sk) AS nc,"
+        " COUNT(DISTINCT ss_sold_date_sk) AS nd"
         " FROM store_sales GROUP BY ss_ticket_number)"
     ) == 1
+    assert one(
+        "SELECT MAX(n) FROM (SELECT COUNT(DISTINCT ss_store_sk) AS n"
+        " FROM store_sales GROUP BY ss_ticket_number)"
+    ) <= 1
 
     # i_item_id is unique per item row: q12/q20's ORDER BY (category,
     # class, i_item_id, ...) under a binding LIMIT relies on it.
