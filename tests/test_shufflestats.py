@@ -172,10 +172,16 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
       count lands at ~190 MB because the added texts re-rank the same
       pre-aggregated grains).
 
-    SHUFFLE_STATS_tpcds_sf1.json (the headline pair q2+q5 at the
-    generated ~sf1 star, 10x facts): each query's shuffle bytes grow
-    SUB-LINEARLY (< 10x its sf0.1 measurement) — the week-grain (q2) and
-    rollup-grain (q5) aggregates bound what reaches the exchanges."""
+    SHUFFLE_STATS_tpcds_sf1.json (round 10 widens the sf1 scale points
+    from 2 to 7 — VERDICT r9 item 3): the headline pair q2+q5 PLUS the
+    five largest-shuffle verbatim queries (q67 q67a q14a q23b q22).
+    q2/q5 stay SUB-LINEAR (< 10x bytes at 10x facts: their week/rollup
+    grains saturate). The five heavy queries are rank-over-fine-grain
+    rollups whose grain (item x store x month combos) is NOT saturated
+    at these SFs, so their shuffle bytes grow ~linearly with the facts —
+    the pinned invariant is NO SUPER-LINEAR BLOWUP (< 1.3x the data
+    ratio; a q72-class fan-out would read ~100x) plus an absolute
+    per-query byte ceiling at sf1."""
     import os
 
     import pytest
@@ -199,8 +205,26 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
     assert sum(r["shuffleWriteBytes"] for r in rows.values()) < 250_000_000
 
     sf1 = json.loads(open(p1).read())
+    sf1_rows = {k: v for k, v in sf1.items() if not k.startswith("_")}
+    assert len(sf1_rows) >= 7, sorted(sf1_rows)
     for q in ("sql_text_tpcds_q2", "sql_text_tpcds_q5"):
         base = rows[q]["shuffleWriteBytes"]
         scaled = sf1[q]["shuffleWriteBytes"]
         assert base > 0 and scaled > 0
         assert scaled < 10 * base, (q, base, scaled)
+    # The five heaviest shufflers: ~linear growth, never super-linear
+    # (measured at commit time: 8.5x-11.4x for 10x facts), plus absolute
+    # sf1 ceilings so a regression is visible even if sf0.1 drifts too.
+    heavy_caps = {
+        "sql_text_tpcds_q67": 300_000_000,
+        "sql_text_tpcds_q67a": 280_000_000,
+        "sql_text_tpcds_q14a": 200_000_000,
+        "sql_text_tpcds_q23b": 200_000_000,
+        "sql_text_tpcds_q22": 130_000_000,
+    }
+    for q, cap in heavy_caps.items():
+        base = rows[q]["shuffleWriteBytes"]
+        scaled = sf1[q]["shuffleWriteBytes"]
+        assert base > 0 and scaled > 0, q
+        assert scaled < 13 * base, (q, base, scaled)  # 1.3x the 10x data ratio
+        assert scaled < cap, (q, scaled)
