@@ -145,6 +145,14 @@ def test_committed_sf5_artifact_is_green():
     )
     expected = set(value_sensitive_names()) - set(art["_excluded"])
     assert expected <= set(verdicts)
+    # Round 10 (VERDICT r9 item 6): the verbatim TPC-DS corpus is part of
+    # the ~50x slice — the reference's headline pair, the hardest join,
+    # and the rollup family must be present and green.
+    assert {
+        "sql_text_tpcds_q2", "sql_text_tpcds_q5", "sql_text_tpcds_q72",
+        "sql_text_tpcds_q67", "sql_text_tpcds_q18", "sql_text_tpcds_q22",
+        "sql_text_tpcds_q36", "sql_text_tpcds_q70", "sql_text_tpcds_q86",
+    } <= set(verdicts)
 
 
 def test_committed_sf1_full_artifact_is_green():
