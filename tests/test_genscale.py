@@ -152,6 +152,8 @@ def test_committed_sf5_artifact_is_green():
         "sql_text_tpcds_q2", "sql_text_tpcds_q5", "sql_text_tpcds_q72",
         "sql_text_tpcds_q67", "sql_text_tpcds_q18", "sql_text_tpcds_q22",
         "sql_text_tpcds_q36", "sql_text_tpcds_q70", "sql_text_tpcds_q86",
+        # the round-10 plant-driven pair: proves the v10 cohorts scale
+        "sql_text_tpcds_q85", "sql_text_tpcds_q24_v27",
     } <= set(verdicts)
 
 
