@@ -407,14 +407,63 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K-means assignment step (Lloyd round): assign every vector to its nearest
 # of K deterministic centroids (the first K vectors by vec_id — k-means#
 # style seeding would also be deterministic but adds nothing to the plan
-# shape), report per-cluster size and inertia. Centroids broadcast; the
-# embedding table streams through one codegen'd projection + one shuffle
-# for the argmin window and final agg — the 100 TB-safe shape. Full Lloyd
-# iteration = alternate this with a per-dim centroid update (posexplode →
-# groupBy(cluster, dim) → avg → re-assemble), persisting per round exactly
-# like graph.py's iterative ops.
+# shape), report per-cluster size and inertia.
+#
+# Shape (round-11 rewrite, VERDICT r10 item 1): the K centroids are folded
+# into ONE broadcast row carrying array<struct<cid, ce, cc>>; the argmin is
+# then a pure per-row PROJECTION — transform the centroid array into
+# struct<d2, cid> and array_min it (struct ordering = ORDER BY d2, cid, the
+# exact ROW_NUMBER tiebreak the oracle uses). No N×K row fan-out, no
+# Window.partitionBy(vec_id) exchange+sort: the only shuffle left is the
+# K-group final aggregate (map-side partial). That is the 100 TB-safe
+# shape — assignment cost is one streaming scan regardless of cluster
+# size. array_min over the struct array is order-insensitive, so the
+# nondeterministic collect_list element order never reaches the result.
+# Full Lloyd iteration = alternate this with a per-dim centroid update
+# (posexplode → groupBy(cluster, dim) → avg → re-assemble).
 # ---------------------------------------------------------------------------
 _KM_K = 8
+
+
+def _centroids_one_row(cent: DataFrame) -> DataFrame:
+    """Fold a (cid, ce, cc) centroid table into a single broadcastable row
+    holding array<struct<cid, ce, cc>> — the build side of the argmin
+    projection. The aggregate makes the subtree provably bounded for the
+    registry-wide BNLJ sweep (test_plans.py)."""
+    return F.broadcast(
+        cent.agg(F.collect_list(F.struct("cid", "ce", "cc")).alias("cents"))
+    )
+
+
+def _argmin_assign(emb: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """One-scan nearest-centroid assignment: emb(vec_id, embedding, vv) ×
+    1-row cents → (vec_id, embedding, cid, d2) via array_min over
+    struct<d2, cid>. Pure projection after the BNLJ with the single
+    broadcast row; zero exchanges added."""
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (F.col("vv") - 2 * dot(F.col("embedding"), c["ce"]) + c["cc"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    # Two-step projection: materialize `best` ONCE, then split the struct.
+    # A single select with two getFields would duplicate the whole
+    # transform+array_min per field (HOF lambdas get no CSE — CLAUDE.md);
+    # CollapseProject keeps non-cheap expressions un-inlined, so this
+    # stays one evaluation per row.
+    return (
+        emb.crossJoin(cents_row)
+        .select("vec_id", "embedding", best.alias("best"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
 
 
 @query(
@@ -448,28 +497,23 @@ _KM_K = 8
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
 
+    raw = table(spark, sf_dir, "embeddings")
     emb = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        raw.repartition(spark.sparkContext.defaultParallelism)  # single-file fixture → parallelize the dot math
         .select("vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv"))
     )
-    cent = F.broadcast(
-        emb.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("centroid_id"),
+    # Centroids come from the UN-repartitioned scan: K rows, pushed filter,
+    # no reason to drag them through the probe side's exchange.
+    cents_row = _centroids_one_row(
+        raw.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
-            F.col("vv").alias("cc"),
+            dot(F.col("embedding"), F.col("embedding")).alias("cc"),
         )
     )
-    scored = emb.crossJoin(cent).select(
-        "vec_id",
-        "centroid_id",
-        (F.col("vv") - 2 * dot(F.col("embedding"), F.col("ce")) + F.col("cc")).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
     return (
-        scored.select("vec_id", "centroid_id", "d2", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") == 1)
-        .groupBy(F.col("centroid_id").alias("cluster_id"))
+        _argmin_assign(emb, cents_row)
+        .groupBy(F.col("cid").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_members"), dsum(F.col("d2"), "inertia"))
     )
 
@@ -539,33 +583,26 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum
 
     par = spark.sparkContext.defaultParallelism
+    raw = table(spark, sf_dir, "embeddings")
     emb = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(par, "vec_id")
+        raw.repartition(par)  # single-file fixture → parallelize the dot math
         .select("vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv"))
-        .persist()  # scanned by both assignment passes + the update
+        .persist()  # scanned by both assignment passes
     )
-    c0 = F.broadcast(  # K rows, K fixed — SF-invariant per broadcast policy
-        emb.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("vv").alias("cc")
+    c0 = _centroids_one_row(  # K rows, K fixed — SF-invariant per broadcast policy
+        raw.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            dot(F.col("embedding"), F.col("embedding")).alias("cc"),
         )
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        d2 = F.col("vv") - 2 * dot(F.col("embedding"), F.col("ce")) + F.col("cc")
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            emb.crossJoin(cents)
-            .select("vec_id", "cid", d2.alias("d2"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "cid", "d2")
-        )
-
-    a1 = assign(c0)
+    # Pass 1 keeps the embedding through the argmin projection, so the
+    # centroid update needs NO join back to emb (the pre-rewrite version
+    # paid a vec_id shuffle join here) — just posexplode → (cid, dim) agg.
+    a1 = _argmin_assign(emb, c0)
     upd = (
-        a1.join(emb, "vec_id")
-        .select("cid", F.posexplode("embedding").alias("pos", "val"))
+        a1.select("cid", F.posexplode("embedding").alias("pos", "val"))
         .select("cid", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
         .groupBy("cid", "dim")
         .agg(davg(F.col("val"), "avgval"))
@@ -579,7 +616,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cid", "ce", dot(F.col("ce"), F.col("ce")).alias("cc"))
     )
-    a2 = assign(F.broadcast(cent1))
+    a2 = _argmin_assign(emb, _centroids_one_row(cent1))
     return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"), dsum(F.col("d2"), "inertia")
     )

@@ -436,6 +436,23 @@ def test_random_projection_is_one_pass(spark):
     assert not any("HashAggregate" in op for op in ops), ops
 
 
+@pytest.mark.parametrize("name", ["kmeans_assign", "kmeans_lloyd"])
+def test_kmeans_assignment_is_windowless_projection(spark, name):
+    """Round-11 rewrite (VERDICT r10 item 1): nearest-centroid assignment
+    is array_min over a transformed struct array from ONE broadcast
+    centroid row — a pure projection. The plan must carry no Window (the
+    old N×K row_number argmin paid a partitionBy(vec_id) exchange+sort)
+    and, for lloyd, no shuffle join back to the embeddings (pass 1 keeps
+    the embedding through the projection)."""
+    df = SPECS[name].builder(spark, SF_SMOKE)
+    ops = plan_ops(df)
+    assert not any("Window" in op for op in ops), ops
+    assert not any(op.startswith(("SortMergeJoin", "ShuffledHashJoin")) for op in ops), ops
+    # the broadcast argmin row is still a bounded BNLJ (registry sweep
+    # entry asserted non-stale there)
+    assert any("BroadcastNestedLoopJoin" in op for op in ops), ops
+
+
 def test_contrastive_negatives_prefilter_precedes_window(spark):
     """The md5-prefix pool filter must land BEFORE the ranking window (it
     is the scale mechanism — the window sorts |corpus|/4, not |corpus|)."""
