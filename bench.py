@@ -219,11 +219,23 @@ def baseline_file_for(sf_dir: str) -> str | None:
     BASELINE_QUERIES_<tag>.json (e.g. _sf1) when committed, else NO
     baseline (n_baselined 0, zero violations — honest, not green-washed).
     """
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    if tag == "sf0.1":
+    if _is_canonical_sf01(sf_dir):
         return BASELINE_FILE
+    tag = os.path.basename(os.path.normpath(sf_dir))
     cand = os.path.join(_REPO, f"BASELINE_QUERIES_{tag}.json")
     return cand if os.path.exists(cand) else None
+
+
+#: The one fixture dir the canonical baselines (and COLD_BASELINE.json)
+#: describe. A generated .genscale/sf0.1 shares the basename but not the
+#: data distribution (ADVICE r10): it must neither be graded against the
+#: canonical table nor overwrite the committed cold baseline — keying on
+#: the RESOLVED path, not the basename, prevents both.
+CANONICAL_SF01 = "/root/testdata/sf0.1"
+
+
+def _is_canonical_sf01(sf_dir: str) -> bool:
+    return os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF01)
 
 
 #: Queries whose median-of-3 measures warm persisted-cache re-hits
@@ -458,9 +470,10 @@ def main() -> None:
     # Cold-path record for the persist-heavy set (runs[0] = no warm
     # cache), refreshed only by canonical sf0.1 runs so the committed
     # file stays one protocol.
-    if os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
+    if _is_canonical_sf01(sf_dir):
         cold = {
             "_protocol": "runs[0] of the canonical sf0.1 bench (cold persisted caches)",
+            "_sf_dir": CANONICAL_SF01,
             "_calibration_sec": calibration,
             "queries": {
                 n: details[n]["runs"][0] for n in PERSIST_HEAVY if n in details

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -174,6 +175,10 @@ _N_INCOME_BAND = 20
 _INV_WEEKS = 157
 _INV_WEEK0_OFFSET = 361  # 1998-12-28, a Monday (one week before 1999)
 _TICKET_ORDERS = 6  # orders merged per store visit -> ~24 lines/ticket
+#: Floor below which the v10 plant keys (cohort J/K customers 480/490/500,
+#: refund addresses 420/430/440) collapse under min() and q85 / v2.7 q24 go
+#: structurally empty (_fact_base warns; ADVICE r10).
+_V10_PLANT_MIN_CUST = 500
 
 _STORE_NAMES = (
     "ought", "able", "ese", "ation", "eing", "bar",
@@ -912,6 +917,19 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
     any parallelism (the genscale convention)."""
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     tk = (ok / _TICKET_ORDERS).cast("long")
+    # ADVICE r10: both 340->341 redirects (cust and ship_cust) would emit a
+    # DANGLING customer FK when n_cust == 340 exactly (341 doesn't exist) —
+    # fall back to 339, mirroring the cust_nat edge bump. Below 340 the
+    # redirect branch can never fire (cust_nat/ship_nat <= n_cust < 340).
+    c340_redirect = 341 if n_cust != 340 else 339
+    if n_cust < _V10_PLANT_MIN_CUST:
+        warnings.warn(
+            f"tpcds_star: n_cust={n_cust} < {_V10_PLANT_MIN_CUST}: the v10 "
+            "plant customers/addresses (480/490/500, 420/430/440) collapse "
+            "under min(), so q85 / v2.7 q24 go structurally empty at this "
+            "fixture size (committed fixtures carry n_cust=1500)",
+            stacklevel=2,
+        )
 
     # Ticket date: uniform month over the 72-month span, cubed-uniform day
     # offset within the month (month-start surge -> d_dom 1-3 stays
@@ -1089,7 +1107,7 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         # customer 340 belongs to cohort I alone: a natural ticket could
         # otherwise hand it catalog/web lines inside q69's probed window
         # (cohort D is dated 2001-04-15) and break the NOT EXISTS.
-        .when(cust_nat == 340, F.lit(341))
+        .when(cust_nat == 340, F.lit(c340_redirect))
         .otherwise(cust_nat)
         .cast("int")
     )
@@ -1114,7 +1132,7 @@ def _fact_base(lineitem: DataFrame, n_cust: int) -> DataFrame:
         # ADVICE r9: ship_cust gets the same 340->341 redirect as cust —
         # q69's catalog anti-join probes cs_ship_customer_sk, so a natural
         # ship assignment could otherwise vacate the store-only plant.
-        F.when(_uint(_u("t_shipcust", tk), n_cust) + 1 == 340, F.lit(341))
+        F.when(_uint(_u("t_shipcust", tk), n_cust) + 1 == 340, F.lit(c340_redirect))
         .otherwise(_uint(_u("t_shipcust", tk), n_cust) + 1)
         .cast("int")
         .alias("ship_cust_sk"),

@@ -162,6 +162,10 @@ def test_baseline_file_selection_by_sf():
     else:
         assert sf1 is None
     assert baseline_file_for("/tmp/nonexistent/sf42") is None
+    # ADVICE r10: a GENERATED sf0.1 shares the basename but not the data —
+    # it must not inherit the canonical table (nor, in main(), refresh
+    # COLD_BASELINE.json; the resolved-path check covers both call sites).
+    assert baseline_file_for("/root/repo/.genscale/sf0.1") is None
 
 
 def test_cold_baseline_covers_persist_heavy_set():
@@ -183,3 +187,8 @@ def test_cold_baseline_covers_persist_heavy_set():
         cold = json.load(fh)
     assert set(PERSIST_HEAVY) <= set(cold["queries"])
     assert all(v > 0 for v in cold["queries"].values())
+    # ADVICE r10: the artifact must name the canonical fixture dir it was
+    # measured on — a generated sf0.1 lookalike can never refresh it.
+    from bench import CANONICAL_SF01
+
+    assert cold["_sf_dir"] == CANONICAL_SF01

@@ -1088,14 +1088,23 @@ def _broadcast_hint_violations(df) -> list[str]:
         if "ResolvedHint" not in line or "broadcast" not in line.lower():
             continue
         d = depth(line)
-        aggregated = False
+        # Aggregation is tracked PER BRANCH (ADVICE r10): a stack of the
+        # depths where an Aggregate/Limit/Deduplicate appeared. A deeper
+        # Relation is excused only while some ANCESTOR reducer is still on
+        # the stack — a reducer on a sibling branch pops off as soon as the
+        # walk returns to its depth, so a hint over join(aggregate, raw
+        # scaling scan) now flags the raw scan regardless of render order.
+        agg_depths: list[int] = []
         for sub in lines[i + 1 :]:
-            if depth(sub) <= d:
+            dd = depth(sub)
+            if dd <= d:
                 break
+            while agg_depths and agg_depths[-1] >= dd:
+                agg_depths.pop()
             if "Aggregate" in sub or "GlobalLimit" in sub or "Deduplicate" in sub:
-                # reduced grain below the hint: out of scope here
-                aggregated = True
-            if "Relation" in sub and not aggregated:
+                # reduced grain below this point: out of scope here
+                agg_depths.append(dd)
+            if "Relation" in sub and not agg_depths:
                 cols = sub.split("[", 1)[-1].split("]", 1)[0]
                 first = cols.split(",", 1)[0].split("#", 1)[0].strip()
                 scaling = any(m in sub for m in _SCALING_MARKERS) or not first.startswith(

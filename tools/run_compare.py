@@ -47,6 +47,11 @@ def main() -> int:
     excluded = dict(e.split("=", 1) for e in args.excluded)
     if names:
         names = [n for n in names if n not in excluded]
+        if not names:
+            # ADVICE r10: an all-excluded --names list must NOT fall through
+            # to a full-registry run (a falsy [] reads as "no subset" —
+            # potentially hours at a generated SF). Fail loudly instead.
+            ap.error("--names minus --excluded leaves no queries to compare")
     t0 = time.perf_counter()
     results = compare_queries(
         spark, args.sf_dir, names, prefer_py_oracle=args.py_oracle
