@@ -28,7 +28,17 @@ side only — the Spark text stays verbatim:
   denominator below ~1e18 cents, so the integer form matches it exactly.
 
 Result-stability audit (the LIMIT/tiebreak hard rule, applied to texts we
-cannot edit): every LIMITed query either orders by a key chain that is
+cannot edit). SINCE ROUND 11 THIS AUDIT IS MECHANIZED: limit_boundary_probe
+(+ boundary_key_funcs) below runs every trailing-LIMIT text un-LIMITed in
+its own sort order and proves the cut unambiguous — sub-LIMIT, strictly
+unequal ORDER-BY keys at positions n-1/n, or an identical-row tie group —
+enforced per SF (sf0.01, sf0.1, generated ~sf1) by
+tests/test_tpcds.py::test_limit_boundary_is_tie_free. The per-batch prose
+below is the HISTORY of the manual audit (why each query was admitted,
+and the oracle-side arithmetic rewrites, which remain normative); its
+"residual boundary-tie exposure" claims (q56/q79/q89/q46-class) are now
+probed mechanically every gate run instead of argued. Every LIMITed
+query either orders by a key chain that is
 unique per output row (q3/q10/q15/q19/q26/q45/q52/q55/q60/q68/q7: the
 full group key or a unique ticket/zip appears in the ORDER BY) or cannot
 reach its LIMIT (q5: 3 channels x {12 stores, 20 pages, 12 sites} +
@@ -1518,10 +1528,11 @@ def _referenced_tables(text: str) -> list[str]:
     return [t for t in TPCDS_TABLES if re.search(rf"\b{t}\b", text)]
 
 
-def tpcds_oracle(qname: str) -> str:
-    """Self-contained DuckDB oracle: star tables as read_parquet CTEs over
-    the committed sf0.01 slice, the (adapted) verbatim body spliced in,
-    and Spark's output column names applied positionally."""
+def _spliced_body(qname: str) -> str:
+    """The (adapted) verbatim body with star tables spliced in as
+    read_parquet CTEs over the committed sf0.01 slice — the self-contained
+    inner statement both tpcds_oracle and the LIMIT-boundary probe build
+    on."""
     text = _oracle_text(qname)
     prelude = ",\n".join(
         f"{t} AS (SELECT * FROM read_parquet('{STAR_ROOT}/{ORACLE_TAG}/{t}.parquet/*.parquet'))"
@@ -1534,11 +1545,216 @@ def tpcds_oracle(qname: str) -> str:
     while body.startswith("--"):
         body = body.split("\n", 1)[1].lstrip()
     if body[:4].upper() == "WITH":
-        spliced = "WITH " + prelude + ",\n" + body[4:].lstrip()
-    else:
-        spliced = "WITH " + prelude + "\n" + body
+        return "WITH " + prelude + ",\n" + body[4:].lstrip()
+    return "WITH " + prelude + "\n" + body
+
+
+def tpcds_oracle(qname: str) -> str:
+    """Self-contained DuckDB oracle: star tables as read_parquet CTEs over
+    the committed sf0.01 slice, the (adapted) verbatim body spliced in,
+    and Spark's output column names applied positionally."""
+    spliced = _spliced_body(qname)
     cols = ", ".join('"' + c.replace('"', '""') + '"' for c in SPARK_COLS[qname])
     return f"SELECT * FROM (\n{spliced}\n) AS tpcds_result({cols})"
+
+
+# ---------------------------------------------------------------------------
+# Mechanized LIMIT-boundary audit (VERDICT r10 item 2): for every verbatim
+# query whose text ends in `LIMIT n`, run the FULL (un-LIMITed) statement
+# in its own sort order and examine the cut. The LIMIT subset is
+# engine-invariant iff either (a) the full result has <= n rows (the LIMIT
+# never binds), (b) the ORDER BY key tuple is strictly unequal between
+# positions n-1 and n, or (c) the tie group spanning the cut consists of
+# pairwise-IDENTICAL full rows (q59's class: any engine's pick is the same
+# multiset). This is CLAUDE.md's "probe rows[99]==rows[100]" registration
+# rule made permanent — tests/test_tpcds.py::test_limit_boundary_is_tie_free
+# runs it at sf0.01, sf0.1 and the generated ~sf1 star when present.
+# ---------------------------------------------------------------------------
+_ORDER_KEY_MODS = re.compile(
+    r"^(?P<expr>.*?)(?:\s+(?P<dir>asc|desc))?(?:\s+nulls\s+(?P<nulls>first|last))?\s*$",
+    re.I | re.S,
+)
+
+
+def _split_depth0(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _depth0_finditer(pattern: str, s: str):
+    for m in re.finditer(pattern, s, re.I):
+        if s.count("(", 0, m.start()) == s.count(")", 0, m.start()):
+            yield m
+
+
+def limit_boundary_probe(qname: str) -> tuple[int, str, list[str]] | None:
+    """Return (limit_n, full_sql, order_keys) for a trailing-LIMIT verbatim
+    query, or None when the text carries no final LIMIT (order-insensitive
+    differential). full_sql is the oracle-adapted spliced body with ONLY
+    the trailing LIMIT stripped — it returns every row in the statement's
+    own sort order (DuckDB dialect; re-point to another SF's star with
+    plans.differential.adapt_oracle). order_keys are the raw statement-level
+    ORDER BY items with asc/desc/nulls modifiers stripped (equality at the
+    cut doesn't depend on direction); empty when the statement has a LIMIT
+    but no ORDER BY (the single-row scalar-report class — the audit then
+    just requires the full result to stay <= n rows)."""
+    inner = _spliced_body(qname)
+    m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", inner, re.I)
+    if not m:
+        return None
+    n = int(m.group(1))
+    head = inner[: m.start()]
+    last = None
+    for om in _depth0_finditer(r"\border\s+by\b", head):
+        last = om
+    keys: list[str] = []
+    if last is not None:
+        # q11_v27/q78_v27 carry `-- v1.4 order-by was ...` comment lines
+        # inside the clause — drop them before splitting.
+        clause = re.sub(r"--[^\n]*", "", head[last.end() :])
+        for item in _split_depth0(clause):
+            km = _ORDER_KEY_MODS.match(item)
+            keys.append(km.group("expr").strip())
+    return n, head, keys
+
+
+def resolve_order_key_indices(
+    qname: str, keys: list[str], colnames: list[str]
+) -> list[int]:
+    """Map statement-level ORDER BY items onto OUTPUT column positions so
+    the audit can compare key tuples at the LIMIT cut:
+
+    - positional (`3`) -> index 2;
+    - bare / `alias.col`-qualified names -> the output column of that name
+      (qualifiers bind to the underlying scope, but every such TPC-DS key
+      surfaces in the select list under its unqualified name);
+    - expressions (`count(distinct cs_order_number)`) -> the select-list
+      item with the identical normalized expression text, taking its
+      position.
+    Raises KeyError when a key cannot be anchored to an output column —
+    the audit treats that query as requiring a documented manual entry
+    rather than guessing."""
+    inner = _spliced_body(qname)
+    m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", inner, re.I)
+    head = inner[: m.start()] if m else inner
+    last_ob = None
+    for om in _depth0_finditer(r"\border\s+by\b", head):
+        last_ob = om
+    stmt = head[: last_ob.start()] if last_ob is not None else head
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s.strip().lower())
+
+    # final select list: between the last depth-0 SELECT and its depth-0 FROM
+    sel_starts = list(_depth0_finditer(r"\bselect\b", stmt))
+    expr_to_pos: dict[str, int] = {}
+    if sel_starts:
+        tail = stmt[sel_starts[-1].end() :]
+        from_m = next(_depth0_finditer(r"\bfrom\b", tail), None)
+        sel_list = tail[: from_m.start()] if from_m else tail
+        for pos, item in enumerate(_split_depth0(sel_list)):
+            am = re.match(r"^(?P<expr>.*?)(?:\s+as)?\s+(?P<alias>\"[^\"]+\"|\w+)\s*$", item, re.I | re.S)
+            expr_to_pos[norm(item)] = pos
+            if am:
+                expr_to_pos.setdefault(norm(am.group("expr")), pos)
+
+    lower_cols = [c.lower() for c in colnames]
+    out: list[int] = []
+    for k in keys:
+        if k.isdigit():
+            out.append(int(k) - 1)
+            continue
+        bare = k.split(".", 1)[1] if re.match(r"^\w+\.\w+$", k) else k
+        bare_l = bare.strip('"').lower()
+        if bare_l in lower_cols:
+            out.append(lower_cols.index(bare_l))
+            continue
+        nk = norm(k)
+        if nk in expr_to_pos:
+            out.append(expr_to_pos[nk])
+            continue
+        # q35's class: the key is a GROUP BY column surfacing only through
+        # min()/max() aggregates — within a group min(col) == col, so the
+        # aggregate column is an exact stand-in (ordering by a non-output
+        # column is only legal when it IS a group key).
+        for agg in (f"min({bare_l})", f"max({bare_l})"):
+            if agg in lower_cols:
+                out.append(lower_cols.index(agg))
+                break
+        else:
+            raise KeyError(
+                f"{qname}: ORDER BY key {k!r} not anchorable to output columns {colnames}"
+            )
+    return out
+
+
+#: ORDER BY items that are EXPRESSIONS over output columns (no output
+#: column carries the computed value): evaluated Python-side by the audit.
+#: Keyed by whitespace-collapsed lowercase expression text; values are
+#: (builder, *operand column names). Floats: tie DETECTION tolerates the
+#: decimal->double conversion — both engines sort by the same computed
+#: double, and a spurious Python-level tie only makes the audit stricter.
+_EXPR_BOUNDARY_KEYS = {
+    # q36 / q36a / q86 / q86a
+    "case when lochierarchy = 0 then i_category end": (
+        lambda ix_case, ix_then: (
+            lambda row: row[ix_then] if row[ix_case] == 0 else None
+        ),
+        "lochierarchy",
+        "i_category",
+    ),
+    # q47 / q47_v27 / q57-family shape
+    "sum_sales - avg_monthly_sales": (
+        lambda ix_a, ix_b: (
+            lambda row: (
+                None
+                if row[ix_a] is None or row[ix_b] is None
+                else float(row[ix_a]) - float(row[ix_b])
+            )
+        ),
+        "sum_sales",
+        "avg_monthly_sales",
+    ),
+}
+
+
+def boundary_key_funcs(qname: str, keys: list[str], colnames: list[str]):
+    """Per-ORDER-BY-item extractors for the LIMIT-boundary audit: each is
+    row -> key value. Plain/positional/aggregate-anchored keys resolve to
+    an output index (resolve_order_key_indices); expression keys evaluate
+    via _EXPR_BOUNDARY_KEYS. Keys anchorable to NO output column (hidden
+    group keys like q12/q20's i_item_id, q78_v27's ss_item_sk scope
+    columns) are DROPPED — strictly conservative for the audit: a dropped
+    key can only turn a full-chain inequality into an apparent tie (a
+    false alarm the test surfaces), never mask a real boundary ambiguity.
+    Raises KeyError only when not a single key anchors."""
+    lower_cols = [c.lower() for c in colnames]
+    funcs = []
+    for k in keys:
+        nk = re.sub(r"\s+", " ", k.strip().lower())
+        if nk in _EXPR_BOUNDARY_KEYS:
+            builder, *operands = _EXPR_BOUNDARY_KEYS[nk]
+            funcs.append(builder(*(lower_cols.index(o) for o in operands)))
+            continue
+        try:
+            idx = resolve_order_key_indices(qname, [k], colnames)[0]
+        except KeyError:
+            continue  # hidden key: drop (conservative)
+        funcs.append(lambda row, i=idx: row[i])
+    if not funcs:
+        raise KeyError(f"{qname}: no ORDER BY key anchorable to output columns {colnames}")
+    return funcs
 
 
 def _make_builder(qname: str):

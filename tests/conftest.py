@@ -9,6 +9,57 @@ from spark_cherry_shuffle_service_spark.sources.catalog import TABLES
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
+# ---------------------------------------------------------------------------
+# `pytest -m quick` — the iteration tier (VERDICT r10 item 6). The full gate
+# is ~50-75 min (sf0.01 full-registry differential + 742-seed fuzz corpus);
+# quick is a <5 min smoke: registry import + layout + fixture-schema pins +
+# CLI + every named plan-invariant test (NOT the 415-query registry sweep)
+# + a fixed 28-query differential batch spanning each operator family.
+# Full gate semantics are unchanged (plain `pytest tests/` runs everything).
+# ---------------------------------------------------------------------------
+QUICK_MODULES = {"test_layout", "test_cli", "test_fixtures"}
+#: plan-only but O(registry)/O(corpus): each builds 120-415 physical plans
+#: (minutes apiece) — full-gate material, not smoke.
+QUICK_EXCLUDE = {
+    "test_registry_plan_invariants",
+    "test_no_python_in_hot_path",
+    "test_verbatim_tpcds_plans_have_no_cartesians",
+    "test_global_windows_only_on_sf_invariant_grains",
+}
+#: one differential per operator family: relational/agg/window/setop/
+#: subquery/date, verbatim TPC-DS, workloads, dedup, similarity, text,
+#: datapipe, multimodal, graph, sketches, streaming-adjacent sessionize.
+QUICK_DIFFERENTIAL = {
+    "pricing_summary", "top_revenue", "join_inner", "join_full",
+    "window_rank", "rollup_grouping", "cte_reuse", "scalar_subquery",
+    "union_all_channels", "intersect_nations", "date_functions",
+    "agg_distinct", "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "similarity_topk", "kmeans_assign", "kmeans_lloyd", "text_bm25",
+    "text_langid", "corpus_token_budget", "pack_sequences", "dataset_split",
+    "graph_pagerank", "events_sessionize", "heavy_hitters_mg",
+    "multimodal_decode", "sql_text_tpcds_q2", "sql_text_tpcds_q85",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: <5 min smoke tier (registry import, plan invariants, small differential batch)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        base = item.name.split("[", 1)[0]
+        if base in QUICK_EXCLUDE:
+            continue
+        if mod in QUICK_MODULES or mod == "test_plans":
+            item.add_marker(pytest.mark.quick)
+        elif base in {"test_matches_duckdb_oracle", "test_matches_py_oracle"}:
+            qname = item.name.split("[", 1)[1].rstrip("]")
+            if qname in QUICK_DIFFERENTIAL:
+                item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -137,3 +137,32 @@ def test_zordered_read_prunes_row_groups(spark, tmp_path):
     zr = sorted(r["l_quantity"] for r in spark.read.parquet(zpath).filter(pred).collect())
     rr = sorted(r["l_quantity"] for r in spark.read.parquet(rpath).filter(pred).collect())
     assert zr == rr and len(zr) > 0
+
+
+def test_coverage_counts_match_registry():
+    """COVERAGE.md's registry-count block is generated (tools/
+    gen_coverage_counts.py) and must equal the live registry — the doc
+    numbers drifted in three consecutive rounds when hand-maintained
+    (VERDICT r10 item 7)."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_coverage_counts import BEGIN, END, counts
+
+    with open("/root/repo/COVERAGE.md") as fh:
+        doc = fh.read()
+    m = re.search(re.escape(BEGIN) + r".*?" + re.escape(END), doc, re.S)
+    assert m, "COVERAGE.md lost its registry-counts block"
+    block = m.group(0)
+    doc_nums = [int(x) for x in re.findall(r"\*\*(\d+)\*\*", block)]
+    c = counts()
+    expect = [
+        c["total"], c["sql_oracle"], c["py_oracle_only"], c["both_oracles"],
+        c["rows_only"], c["compared"], c["tpcds_verbatim"],
+    ]
+    assert doc_nums == expect, (
+        f"COVERAGE.md counts {doc_nums} != registry {expect} — run "
+        "`python tools/gen_coverage_counts.py`"
+    )

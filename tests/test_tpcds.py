@@ -277,3 +277,65 @@ def test_star_fixture_invariants(duck_correct):
     assert one("SELECT COUNT(*) FROM store_sales WHERE ss_addr_sk IS NULL") < 0.1 * one(
         "SELECT COUNT(*) FROM store_sales"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mechanized LIMIT-boundary audit (VERDICT r10 item 2): CLAUDE.md's
+# "probe rows[99]==rows[100] at every compare SF" registration rule as a
+# permanent, registry-wide check. See operators/tpcds.py::
+# limit_boundary_probe for the stability criterion (sub-LIMIT / strict key
+# inequality at the cut / identical-row tie group).
+# ---------------------------------------------------------------------------
+_BOUNDARY_SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+if os.path.isdir("/root/repo/.genscale/sf1"):
+    _BOUNDARY_SF_DIRS.append("/root/repo/.genscale/sf1")
+
+_BOUNDARY_CONS: dict[str, object] = {}
+
+
+def _boundary_con(sf_dir: str):
+    import duckdb
+
+    if sf_dir not in _BOUNDARY_CONS:
+        _BOUNDARY_CONS[sf_dir] = duckdb.connect()
+    return _BOUNDARY_CONS[sf_dir]
+
+
+@pytest.mark.parametrize("sf_dir", _BOUNDARY_SF_DIRS)
+@pytest.mark.parametrize("qname", sorted(TPCDS_TEXTS))
+def test_limit_boundary_is_tie_free(spark, qname, sf_dir):
+    """For every verbatim query with a trailing LIMIT n, the full-sort
+    result must cut unambiguously: <= n rows, OR strict ORDER-BY-key
+    inequality between positions n-1 and n, OR a boundary tie group of
+    pairwise-identical rows (any engine's pick is the same multiset —
+    q59/q84's class). An AMBIGUOUS boundary is exactly the measured
+    engine-divergence that deregistered q75."""
+    from spark_cherry_shuffle_service_spark.operators.tpcds import (
+        boundary_key_funcs,
+        limit_boundary_probe,
+    )
+    from spark_cherry_shuffle_service_spark.plans.differential import adapt_oracle
+
+    probe = limit_boundary_probe(qname)
+    if probe is None:
+        pytest.skip("no trailing LIMIT: differential is order-insensitive")
+    register_star_views(spark, sf_dir)  # materialize this SF's star slice
+    n, sql, keys = probe
+    cur = _boundary_con(sf_dir).execute(adapt_oracle(sql, sf_dir))
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    if len(rows) <= n:
+        return  # LIMIT never binds
+    fns = boundary_key_funcs(qname, keys, cols)
+
+    def key(r):
+        return tuple(f(r) for f in fns)
+
+    kstar = key(rows[n - 1])
+    if key(rows[n]) != kstar:
+        return  # strict inequality at the cut
+    group = [r for r in rows if key(r) == kstar]
+    assert all(r == group[0] for r in group), (
+        f"{qname} at {sf_dir}: AMBIGUOUS LIMIT-{n} boundary — tie group of "
+        f"{len(group)} non-identical rows on key {kstar!r}"
+    )
