@@ -716,3 +716,179 @@ def test_offheap_conf_runs_green(duck_smoke):
         ).fetchall()
     )
     assert out["rows"] == expected, "off-heap session produced a drifted result"
+
+
+# Fourth scenario (VERDICT r10 item 3): the reference's constant-overhead
+# recovery claim exercised on ITS OWN query surface — verbatim TPC-DS q67
+# (the corpus's largest shuffler) over the generated star, with a real
+# ExternalShuffleService JVM, one executor SIGKILLed mid-query. Asserts
+# the oracle-exact result AND zero stage resubmissions (every attempt id
+# 0): the dead executor's map output is served by the service, so only
+# its in-flight tasks re-run.
+_CHILD_TPCDS = r"""
+import json, os, signal, subprocess, sys, threading, time
+
+from pyspark.find_spark_home import _find_spark_home
+from pyspark.sql import SparkSession
+
+sf_dir, svc_port = sys.argv[1], sys.argv[2]
+out = {"svc_up": False, "started": False, "killed_pid": None,
+       "killed_mid_job": False, "cols": None, "rows": None,
+       "stage_attempts": None, "error": None}
+
+env = dict(os.environ)
+env["SPARK_DAEMON_JAVA_OPTS"] = f"-Dspark.shuffle.service.port={svc_port}"
+svc = subprocess.Popen(
+    [os.path.join(_find_spark_home(), "bin", "spark-class"),
+     "org.apache.spark.deploy.ExternalShuffleService"],
+    env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+try:
+    deadline = time.time() + 60
+    import socket
+    while time.time() < deadline:
+        with socket.socket() as s:
+            if s.connect_ex(("127.0.0.1", int(svc_port))) == 0:
+                out["svc_up"] = True
+                break
+        time.sleep(0.5)
+    if not out["svc_up"]:
+        print(json.dumps({**out, "error": "shuffle service never listened"})); sys.exit(1)
+
+    spark = (SparkSession.builder.master("local-cluster[2,1,1536]")
+             .appName("tpcds-q67-shuffle-service-survival")
+             .config("spark.shuffle.service.enabled", "true")
+             .config("spark.shuffle.service.port", svc_port)
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.executor.memory", "1g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.adaptive.enabled", "false")
+             .getOrCreate())
+    sc = spark.sparkContext
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if sc._jsc.sc().getExecutorMemoryStatus().size() >= 3:
+            break
+        time.sleep(0.5)
+    else:
+        print(json.dumps({**out, "error": "executors never registered"})); sys.exit(1)
+
+    def backend_pids():
+        r = subprocess.run(["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                           capture_output=True, text=True)
+        pids = []
+        for p in r.stdout.split():
+            pid = int(p)
+            if pid == os.getpid():
+                continue
+            try:
+                argv = open(f"/proc/{pid}/cmdline", "rb").read().split(b"\0")
+            except OSError:
+                continue
+            if argv and b"java" in argv[0] and any(b"CoarseGrainedExecutorBackend" in a for a in argv[1:]):
+                pids.append(pid)
+        return pids
+
+    out["started"] = len(backend_pids()) >= 2
+
+    from spark_cherry_shuffle_service_spark.operators.tpcds_texts import TPCDS_TEXTS
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import register_star_views
+
+    register_star_views(spark, sf_dir)  # star slice pre-generated by the parent
+    state = {"result": None, "cols": None, "exc": None, "done": False}
+
+    def run_job():
+        try:
+            df = spark.sql(TPCDS_TEXTS["q67"])
+            state["cols"] = df.columns
+            state["result"] = [[str(c) for c in row] for row in df.collect()]
+        except Exception as e:  # pragma: no cover
+            state["exc"] = repr(e)
+        finally:
+            state["done"] = True
+
+    t = threading.Thread(target=run_job, daemon=True)
+    t.start()
+    # Kill as soon as a SECOND stage goes active: the first shuffle map
+    # output is then already written (and owned by the service), and the
+    # query is provably mid-flight.
+    tracker = sc.statusTracker()
+    first_stages = None
+    deadline = time.time() + 240
+    while time.time() < deadline and not state["done"]:
+        active = set(tracker.getActiveStageIds())
+        if active:
+            if first_stages is None:
+                first_stages = set(active)
+            elif active - first_stages:
+                break
+        time.sleep(0.05)
+    victim = next(iter(backend_pids()), None)
+    if victim is not None and not state["done"]:
+        os.kill(victim, signal.SIGKILL)
+        out["killed_pid"] = victim
+        out["killed_mid_job"] = not state["done"]
+    t.join(timeout=600)
+    if state["exc"]:
+        out["error"] = state["exc"]
+    else:
+        out["rows"] = state["result"]
+        out["cols"] = state["cols"]
+    attempts = []
+    for sid in range(0, 300):
+        si = tracker.getStageInfo(sid)
+        if si is not None and si.numTasks > 0:
+            attempts.append([sid, si.currentAttemptId])
+    out["stage_attempts"] = attempts
+    spark.stop()
+finally:
+    svc.kill()
+print(json.dumps(out))
+"""
+
+
+def test_verbatim_q67_survives_executor_death_with_service(spark):
+    from spark_cherry_shuffle_service_spark.operators.tpcds import tpcds_oracle
+    from spark_cherry_shuffle_service_spark.sources.tpcds_star import register_star_views
+    from tests.conftest import SF_CORRECT
+
+    # Pre-generate the star slice with the session JVM so the 2-core child
+    # cluster never pays generation cost (idempotent manifest no-op here).
+    register_star_views(spark, SF_CORRECT)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD_TPCDS, SF_CORRECT, str(_free_port())],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON from child\nstdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+
+    assert out["svc_up"] and out["started"], out
+    assert out["error"] is None, out
+    assert out["killed_mid_job"], f"kill landed after query completion — demo void: {out}"
+
+    # Oracle-exact: same normalize-sort-compare as the differential, with
+    # str() cell normalization on both sides (q67's columns are
+    # strings/ints/decimals — str round-trips all three identically).
+    import duckdb
+
+    con = duckdb.connect()
+    cur = con.execute(tpcds_oracle("q67"))
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    want = sorted([tuple(str(r[i]) for i in order) for r in cur.fetchall()])
+    got_order = sorted(range(len(out["cols"])), key=lambda i: out["cols"][i])
+    got = sorted([tuple(row[i] for i in got_order) for row in out["rows"]])
+    assert sorted(out["cols"]) == sorted(names)
+    assert got == want, f"q67 result drift after executor loss ({len(got)} vs {len(want)} rows)"
+
+    # The reference's claim on its own benchmark query: ZERO stage
+    # resubmissions — the service served the dead executor's map output.
+    retried = [a for a in out["stage_attempts"] if a[1] != 0]
+    assert not retried, f"stage resubmission despite shuffle service: {out['stage_attempts']}"
