@@ -911,6 +911,113 @@ def _windowed_exact_avg(expr: str, partition: str) -> str:
     return f"CAST(({cents} * 10000 * 2 + {n}) // (2 * {n}) AS DECIMAL(38,0)) * 0.000001"
 
 
+#: q24 family parameters: the only text differences between the three
+#: files are the i_color literal and v2.7's own-address conjunction
+#: (reference texts: spark-code/code/sql/core/src/test/resources/
+#: tpcds/q24a.sql, q24b.sql, tpcds-v2.7.0/q24.sql).
+_Q24_PARAMS = {"q24a": ("pale", False), "q24b": ("chiffon", False), "q24_v27": ("pale", True)}
+
+
+def _q24_oracle_py(qname: str):
+    """Staged exact-integer Python oracle for the q24 family.
+
+    The SQL oracle inlines the 10-column string-grain ssales CTE TWICE
+    (DuckDB 1.0 has no CTE materialization) and additionally free-orders
+    the customer x customer_address (birth_country = upper(country))
+    join — at generated ~sf5 that plan exceeded 90 GB RSS and was the
+    corpus's last RAM-infeasible oracle (COMPARE_sf5 r11 `_excluded`).
+    This twin stages the join one bounded pair at a time in its own
+    DuckDB connection (every intermediate is at returned-sale-row grain,
+    prefiltered to s_market_id = 8 stores), aggregates netpaid in exact
+    HUGEINT cents, then applies the threshold in exact Python integers:
+    avg_micro = HALF_UP(sum_cents * 10^4 / n) mirrors Spark's
+    avg(DECIMAL(17,2)) -> DECIMAL(21,6) (netpaid is non-negative), and
+    `paid_cents * 10^6 > avg_micro * 5` is the 0.05 * avg comparison
+    with both sides scaled to 10^-8 units — the same arithmetic the SQL
+    oracle's `_exact_avg_dec2` rewrite performs. Proven identical to the
+    SQL oracle at fixture scale by
+    tests/test_tpcds.py::test_q24_py_oracle_matches_sql_oracle."""
+    color, own_addr = _Q24_PARAMS[qname]
+
+    def oracle(con, sf_dir: str):
+        import decimal
+        import os
+
+        import duckdb
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        star = f"{STAR_ROOT}/{tag}"
+        c = duckdb.connect()
+        try:
+            rp = lambda t: f"read_parquet('{star}/{t}.parquet/*.parquet')"  # noqa: E731
+            c.execute(
+                f"""CREATE TEMP TABLE _store8 AS
+                SELECT s_store_sk, s_store_name, s_state, s_zip
+                FROM {rp('store')} WHERE s_market_id = 8"""
+            )
+            c.execute(
+                f"""CREATE TEMP TABLE _ss8 AS
+                SELECT ss.ss_item_sk, ss.ss_customer_sk, st.s_store_name,
+                       st.s_state, st.s_zip,
+                       CAST(ss.ss_net_paid * 100 AS HUGEINT) AS paid_cents
+                FROM {rp('store_sales')} ss
+                JOIN _store8 st ON ss.ss_store_sk = st.s_store_sk
+                JOIN {rp('store_returns')} sr
+                  ON ss.ss_ticket_number = sr.sr_ticket_number
+                 AND ss.ss_item_sk = sr.sr_item_sk"""
+            )
+            c.execute(
+                f"""CREATE TEMP TABLE _ssi AS
+                SELECT s.*, i.i_color, i.i_current_price, i.i_manager_id,
+                       i.i_units, i.i_size
+                FROM _ss8 s JOIN {rp('item')} i ON s.ss_item_sk = i.i_item_sk"""
+            )
+            c.execute(
+                f"""CREATE TEMP TABLE _ssc AS
+                SELECT s.*, cu.c_last_name, cu.c_first_name,
+                       cu.c_birth_country, cu.c_current_addr_sk
+                FROM _ssi s JOIN {rp('customer')} cu
+                  ON s.ss_customer_sk = cu.c_customer_sk"""
+            )
+            addr = "AND s.c_current_addr_sk = ca.ca_address_sk" if own_addr else ""
+            rows = c.execute(
+                f"""SELECT c_last_name, c_first_name, s_store_name, i_color,
+                       SUM(paid_cents) AS netpaid_cents
+                FROM _ssc s JOIN {rp('customer_address')} ca
+                  ON s.c_birth_country = upper(ca.ca_country)
+                 AND s.s_zip = ca.ca_zip {addr}
+                GROUP BY c_last_name, c_first_name, s_store_name,
+                         ca.ca_state, s_state, i_color, i_current_price,
+                         i_manager_id, i_units, i_size"""
+            ).fetchall()
+        finally:
+            c.close()
+
+        names = ["c_last_name", "c_first_name", "s_store_name", "paid"]
+        vals = [r[4] for r in rows if r[4] is not None]
+        if not vals:
+            # empty ssales: the scalar avg subquery is NULL, HAVING
+            # NULL-compares false on both engines -> zero rows.
+            return names, []
+        n, total = len(vals), sum(int(v) for v in vals)
+        avg_micro = (total * 10_000 * 2 + n) // (2 * n)
+        groups: dict = {}
+        for last, first, store, icolor, cents in rows:
+            if icolor != color or cents is None:
+                continue
+            k = (last, first, store)
+            groups[k] = groups.get(k, 0) + int(cents)
+        out = [
+            (last, first, store, decimal.Decimal(cents).scaleb(-2))
+            for (last, first, store), cents in groups.items()
+            if cents * 10**6 > avg_micro * 5
+        ]
+        return names, out
+
+    oracle.__name__ = f"_q24_oracle_py_{qname}"
+    return oracle
+
+
 def _oracle_text(qname: str) -> str:
     """The query text as the DUCKDB oracle runs it (dialect-honest
     adaptations documented in the module docstring)."""
@@ -1802,4 +1909,8 @@ for _qname in sorted(SPARK_COLS):
         oracle=tpcds_oracle(_qname),
         tags=_tags,
         doc=f"Verbatim TPC-DS {_qname} through spark.sql over the star slice.",
+        # q24 family: the SQL oracle's twice-inlined ssales CTE is
+        # RAM-infeasible in DuckDB past ~sf1; the staged exact-integer
+        # twin adjudicates generated-scale runs (--py-oracle).
+        oracle_py=_q24_oracle_py(_qname) if _qname in _Q24_PARAMS else None,
     )(_make_builder(_qname))

@@ -76,6 +76,28 @@ def test_oracle_is_nonempty_on_committed_fixtures(duck_correct, qname):
     assert sorted(cols) == sorted(SPARK_COLS[qname])
 
 
+@pytest.mark.parametrize("qname", ["q24a", "q24b", "q24_v27"])
+def test_q24_py_oracle_matches_sql_oracle(duck_correct, qname):
+    """The q24 family's staged exact-integer Python oracle (the ~sf5
+    adjudicator — the SQL oracle's twice-inlined ssales CTE is
+    RAM-infeasible in DuckDB past ~sf1) must be value-identical to the
+    SQL oracle at fixture scale, the graph.py py-oracle precedent:
+    column names, Decimal-typed paid cells, and the 0.05*avg HALF_UP
+    threshold all compared through the same normalization the
+    differential uses."""
+    from spark_cherry_shuffle_service_spark.plans.differential import (
+        py_oracle_rows,
+    )
+
+    spec = all_specs()[f"sql_text_tpcds_{qname}"]
+    assert spec.oracle_py is not None
+    d_cols, d_rows = duck_rows(duck_correct, tpcds_oracle(qname))
+    p_cols, p_rows = py_oracle_rows(spec.oracle_py, duck_correct, SF_CORRECT)
+    assert p_cols == d_cols, qname
+    assert p_rows == d_rows, qname
+    assert len(p_rows) > 0, qname
+
+
 def test_q5_rollup_stays_under_its_limit(duck_correct):
     """q5 LIMIT 100 must never bind (its ORDER BY has engine-divergent
     NULL placement over the rollup subtotal rows): 3 channels x {12
