@@ -361,3 +361,201 @@ def test_limit_boundary_is_tie_free(spark, qname, sf_dir):
         f"{qname} at {sf_dir}: AMBIGUOUS LIMIT-{n} boundary — tie group of "
         f"{len(group)} non-identical rows on key {kstar!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mechanized exclusion evidence (round 11): the 11 permanently-excused
+# TPC-DS files each claim a protocol-level impossibility in the module
+# docstring (operators/tpcds.py). These tests turn each claim from prose
+# into a deterministic check against the reference's own texts and the
+# committed fixtures' own data — if a future fixture regeneration or
+# engine upgrade ever invalidates one, the failing test is the signal to
+# re-examine the exclusion.
+# ---------------------------------------------------------------------------
+
+_EXCLUDED_DUP_NAME_FILES = [
+    "tpcds/q14b.sql",
+    "tpcds/q64.sql",
+    "tpcds-v2.7.0/q14.sql",
+    "tpcds-v2.7.0/q64.sql",
+]
+
+
+@pytest.mark.parametrize("relpath", _EXCLUDED_DUP_NAME_FILES)
+def test_excluded_dup_name_files_emit_duplicate_columns(spark, relpath):
+    """The duplicate-output-name exclusion class: a sorted-by-column-name
+    value hash cannot key a result whose schema repeats names (Row[name]
+    reads only the first duplicate). Analysis-only — no execution."""
+    register_star_views(spark, SF_CORRECT)
+    text = open(os.path.join(os.path.dirname(_REF_SQL_DIR), relpath)).read()  # noqa: PTH123
+    cols = spark.sql(text).columns
+    dupes = sorted({c for c in cols if cols.count(c) > 1})
+    assert dupes, f"{relpath}: exclusion claims duplicate output names; found none"
+
+
+def _star_duck(sf_dir: str, tables: tuple[str, ...]):
+    import duckdb
+
+    star = star_dir(sf_dir)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{star}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "relpath", ["tpcds/q75.sql", "tpcds-v2.7.0/q75.sql"]
+)
+def test_excluded_q75_limit_boundary_is_ambiguous(spark, relpath):
+    """The engine-ambiguous-LIMIT exclusion class: q75 orders by
+    sales_cnt_diff (an integer count difference) under LIMIT 100, and at
+    sf0.1 the rank-100 cut lands INSIDE a tie group of non-identical rows
+    — exactly the condition test_limit_boundary_is_tie_free rejects for
+    registrable queries (measured live in batch 7: Spark's bound subset
+    differed across sessions while DuckDB's stayed fixed)."""
+    import re as _re
+
+    sf_dir = "/root/testdata/sf0.1"
+    register_star_views(spark, sf_dir)  # generate-if-missing
+    path = os.path.join(os.path.dirname(_REF_SQL_DIR), relpath)
+    text = open(path).read().strip()  # noqa: PTH123
+    unlimited, n_sub = _re.subn(r"LIMIT\s+100\s*$", "", text, flags=_re.IGNORECASE)
+    assert n_sub == 1
+    con = _star_duck(
+        sf_dir,
+        ("catalog_sales", "catalog_returns", "store_sales", "store_returns",
+         "web_sales", "web_returns", "item", "date_dim"),
+    )
+    try:
+        cur = con.execute(unlimited)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    assert len(rows) > 100, f"{relpath}: LIMIT does not bind at sf0.1"
+    k = names.index("sales_cnt_diff")
+    # Deterministic full order: the engine sorts by the key alone; pin the
+    # intra-tie arrangement so the positional probe is reproducible.
+    rows.sort(key=lambda r: (r[k], repr(r)))
+    assert rows[99][k] == rows[100][k], (
+        f"{relpath}: the rank-100 cut is strictly key-unequal — the "
+        "ambiguity claim no longer holds; re-examine the exclusion"
+    )
+    assert rows[99] != rows[100], (
+        f"{relpath}: boundary tie group is identical rows (harmless) — "
+        "re-examine the exclusion"
+    )
+
+
+def _welford_state(xs):
+    n = 0
+    avg = 0.0
+    m2 = 0.0
+    for x in xs:
+        n += 1
+        d = x - avg
+        avg += d / n
+        m2 += d * (x - avg)
+    return (float(n), avg, m2)
+
+
+def _welford_merge(a, b):
+    """Spark CentralMomentAgg.merge (n, avg, M2) — the stddev_samp
+    shuffle-combine step."""
+    n1, a1, m1 = a
+    n2, a2, m2 = b
+    if n1 == 0.0:
+        return b
+    if n2 == 0.0:
+        return a
+    n = n1 + n2
+    d = a2 - a1
+    return (n, a1 + d * n2 / n, m1 + m2 + d * d * n1 * n2 / n)
+
+
+def test_excluded_stddev_class_is_merge_order_sensitive(spark):
+    """The raw-stddev exclusion class (q17/q39a/q39b): over q17's OWN
+    grouped data (ss_quantity by item x state on the committed sf0.01
+    star), merging Spark's per-partition (n, avg, M2) stddev states in
+    two different fetch orders yields bitwise-DIFFERENT doubles — so an
+    unrounded stddev_samp output is not parallelism-deterministic and no
+    value hash can pin it. Pure-Python replication of
+    CentralMomentAgg.update/merge; fully deterministic given the data."""
+    import struct
+
+    register_star_views(spark, SF_CORRECT)
+    con = _star_duck(SF_CORRECT, ("store_sales", "item", "store"))
+    try:
+        groups = con.execute(
+            """SELECT list(ss_quantity ORDER BY ss_sold_date_sk, ss_ticket_number)
+               FROM store_sales
+               JOIN item ON ss_item_sk = i_item_sk
+               JOIN store ON ss_store_sk = s_store_sk
+               WHERE ss_quantity IS NOT NULL
+               GROUP BY i_item_id, s_state
+               ORDER BY count(*) DESC, i_item_id, s_state LIMIT 40"""
+        ).fetchall()
+    finally:
+        con.close()
+    for (qs,) in groups:
+        chunks = [_welford_state(qs[i::8]) for i in range(8)]
+        fwd = (0.0, 0.0, 0.0)
+        for c in chunks:
+            fwd = _welford_merge(fwd, c)
+        rev = (0.0, 0.0, 0.0)
+        for c in reversed(chunks):
+            rev = _welford_merge(rev, c)
+        s_fwd = (fwd[2] / (fwd[0] - 1)) ** 0.5
+        s_rev = (rev[2] / (rev[0] - 1)) ** 0.5
+        if struct.pack("<d", s_fwd) != struct.pack("<d", s_rev):
+            return  # demonstrated on real q17 group data
+    pytest.fail(
+        "no q17 group exhibits merge-order sensitivity at sf0.01 — "
+        "re-examine the stddev exclusion evidence"
+    )
+
+
+def test_excluded_reaverage_class_is_merge_order_sensitive(spark):
+    """The double re-average exclusion class (v2.7 q22a/q27a): q22a's
+    rollup levels re-average the inner avg(inv_quantity_on_hand) DOUBLES;
+    Spark merges the sum-of-double partials in shuffle-fetch order. Over
+    q22a's own inner-CTE values at sf0.01, partial sums added forward vs
+    reversed differ bitwise — the re-averaged output is not
+    parallelism-deterministic."""
+    import struct
+
+    register_star_views(spark, SF_CORRECT)
+    con = _star_duck(SF_CORRECT, ("inventory", "date_dim", "item", "warehouse"))
+    try:
+        qohs = [
+            r[0]
+            for r in con.execute(
+                """SELECT avg(inv_quantity_on_hand) AS qoh
+                   FROM inventory, date_dim, item, warehouse
+                   WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+                     AND inv_warehouse_sk = w_warehouse_sk
+                     AND d_month_seq BETWEEN 1212 AND 1212 + 11
+                   GROUP BY i_product_name, i_brand, i_class, i_category
+                   ORDER BY i_product_name, qoh"""
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert len(qohs) > 100
+    for k in (5, 7, 8, 16):
+        parts = [sum(qohs[i::k]) for i in range(k)]
+        fwd = 0.0
+        for p in parts:
+            fwd += p
+        rev = 0.0
+        for p in reversed(parts):
+            rev += p
+        if struct.pack("<d", fwd) != struct.pack("<d", rev):
+            return  # demonstrated on real q22a inner-CTE data
+    pytest.fail(
+        "no partial-sum order sensitivity in q22a's inner averages at "
+        "sf0.01 — re-examine the re-average exclusion evidence"
+    )
