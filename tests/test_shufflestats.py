@@ -242,3 +242,54 @@ def test_committed_tpcds_shuffle_artifacts_pin_scale_claims():
         assert base > 0 and scaled > 0, q
         assert scaled < 15 * base, (q, base, scaled)  # 1.5x the 10x data ratio
         assert scaled < cap, (q, scaled)
+
+
+def test_committed_sf5_shuffle_artifact_pins_two_decade_scaling():
+    """Round-11 continuation: the shuffle-byte ledger's third scale point
+    (sf0.1 → ~sf1 → ~sf5, a 50x fact-growth span). Invariants:
+
+    - every sf1 ledger query has an sf5 row, and every heavy shuffler
+      grows SUB-1.5x-LINEAR in bytes across the 5x step (measured
+      2.4x–6.3x; a q72-class fan-out would read ~25x+), under an
+      absolute per-query cap;
+    - q2 stays saturated (its week-grain aggregate domain is fixed —
+      1.36x measured);
+    - q5 carries the ledger's one STRUCTURAL plan shift, asserted
+      deliberately: at ~sf5 web_sales crosses the broadcast threshold
+      and its web_returns ⋈ web_sales (item, order_number) fact-fact
+      join flips BHJ → SortMergeJoin (plan re-verified: 0 SMJ at sf1,
+      1 SMJ at sf5), so shuffle bytes jump from ~0.1 MB (all-broadcast)
+      to one fact exchange — the CORRECT production plan at scale, kept
+      under an absolute cap rather than a ratio (a ratio over a
+      saturated 0.1 MB base is meaningless)."""
+    import os
+
+    import pytest
+
+    p1 = "/root/repo/SHUFFLE_STATS_tpcds_sf1.json"
+    p5 = "/root/repo/SHUFFLE_STATS_tpcds_sf5.json"
+    if not (os.path.exists(p1) and os.path.exists(p5)):
+        pytest.skip("sf1/sf5 TPC-DS shuffle artifacts not yet generated")
+    sf1 = json.loads(open(p1).read())
+    sf5 = json.loads(open(p5).read())
+    rows1 = {k: v for k, v in sf1.items() if not k.startswith("_")}
+    rows5 = {k: v for k, v in sf5.items() if not k.startswith("_")}
+    assert set(rows1) <= set(rows5), sorted(set(rows1) - set(rows5))
+
+    special = {"sql_text_tpcds_q2", "sql_text_tpcds_q5"}
+    for q in sorted(set(rows1) - special):
+        base = rows1[q]["shuffleWriteBytes"]
+        scaled = rows5[q]["shuffleWriteBytes"]
+        assert base > 0 and scaled > 0, q
+        assert scaled < 7.5 * base, (q, base, scaled)  # 1.5x the 5x ratio
+        assert scaled < 1_200_000_000, (q, scaled)  # q67 leads at ~1.07 GB
+    # q2: saturated week grain.
+    assert rows5["sql_text_tpcds_q2"]["shuffleWriteBytes"] < 10 * rows1[
+        "sql_text_tpcds_q2"
+    ]["shuffleWriteBytes"]
+    # q5: the documented BHJ -> SMJ flip; one fact exchange, absolutely
+    # bounded, and visibly a plan change (exchange counts shifted).
+    q5_1, q5_5 = rows1["sql_text_tpcds_q5"], rows5["sql_text_tpcds_q5"]
+    assert q5_5["shuffleWriteBytes"] < 250_000_000, q5_5
+    assert q5_5["plan_shuffle_exchanges"] > q5_1["plan_shuffle_exchanges"]
+    assert q5_5["plan_broadcast_exchanges"] < q5_1["plan_broadcast_exchanges"]
