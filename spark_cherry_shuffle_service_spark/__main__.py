@@ -136,7 +136,8 @@ def cmd_genscale(args) -> int:
 
     spark = _spark(args)
     manifest = generate_scaled_fixtures(
-        spark, out_dir=args.out or GEN_DIR, scale=args.scale, force=args.force
+        spark, out_dir=args.out or GEN_DIR, scale=args.scale, force=args.force,
+        doc_scale=args.doc_scale,
     )
     manifest = dict(manifest, value_sensitive_slice=value_sensitive_names())
     print(json.dumps(manifest, indent=1))
@@ -274,6 +275,13 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("genscale", help="write deterministic scaled fixtures")
     g.add_argument("--out", default=None)
     g.add_argument("--scale", type=float, default=10.0)
+    g.add_argument(
+        "--doc-scale",
+        type=float,
+        default=None,
+        help="generate documents/embeddings at this multiple of their "
+        "sf0.1 rows instead of copying them (the dedup/ANN/text scale axis)",
+    )
     g.add_argument("--force", action="store_true")
 
     e = sub.add_parser("explain", help="print a query's formatted physical plan")

@@ -67,6 +67,18 @@ COPIED_TABLES = (
     "embeddings",
 )
 
+#: sf0.1 documents/embeddings base rows (FIXTURES.md) — `doc_scale`
+#: multiplies these. The fixture corpus is a word-soup over a small fixed
+#: vocabulary (31 words at sf0.1) with ~0.32% exact-duplicate rows, and
+#: unit-norm random 64-dim embeddings whose labels carry NO geometric
+#: structure (measured within-label cosine ≈ across-label ≈ 0) — profiles
+#: measured from /root/testdata/sf0.1 in round 11.
+DOC_BASE_ROWS = {"documents": 5_000, "embeddings": 2_000}
+_DOC_LANG_CDF = (("en", 0.412), ("zh", 0.562), ("es", 0.711), ("fr", 0.860), ("de", 1.0))
+_DOC_DUP_RATE = 0.0032  # 16 / 5000 fixture exact-dup rows
+_DOC_ANCHOR_SPAN = 500  # dup rows copy the text of their span's anchor doc
+_EMB_DIM = 64
+
 #: Entity-domain sizes at scale=1.0 (the sf0.1 fixture profile).
 _BASE_ENTITIES = {
     "customers": 15_000,
@@ -215,6 +227,84 @@ def gen_events(
     )
 
 
+def _doc_vocab(src_sf_dir: str) -> list[str]:
+    """The source fixtures' exact word vocabulary (driver-side, one small
+    read): generated docs stay token-compatible with the fixture corpus,
+    so every shingle/minhash/token-stat query sees the same value domain
+    the fixture queries were verified on."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(src_sf_dir, "documents.parquet"), columns=["text"]
+    )
+    vocab: set[str] = set()
+    for chunk in tbl.column("text").chunks:
+        for s in chunk.to_pylist():
+            vocab.update(s.split(" "))
+    vocab.discard("")
+    return sorted(vocab)
+
+
+def gen_documents(
+    spark: SparkSession, n: int, src_sf_dir: str, partitions: int = 32
+) -> DataFrame:
+    """documents at doc scale: word-soup over the fixture vocabulary,
+    8..100 words per doc (the fixture's n_chars 44..577, mean ~297),
+    exact round-robin sources (the fixture's 250-per-source property),
+    CDF-weighted langs, and ~0.32% planted exact duplicates — each dup
+    copies the TEXT of its 500-span anchor doc while keeping its own
+    lang/source, so exact dedup AND cross-source leakage queries see
+    signal at every scale. Every value is a pure md5 function of doc_id:
+    bit-identical at any parallelism, any number of executors."""
+    vocab = _doc_vocab(src_sf_dir)
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    k = F.col("id")
+    ids = spark.range(0, n, 1, partitions)
+    anchor = k - (k % _DOC_ANCHOR_SPAN)
+    is_dup = (_u("d_dup", k) < _DOC_DUP_RATE) & (k != anchor)
+    src_id = F.when(is_dup, anchor).otherwise(k)
+    n_words = (_uint(_u("d_nwords", src_id), 93) + 8).cast("int")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda j: F.element_at(
+                vocab_arr,
+                (_uint(_u("d_word", src_id, j), len(vocab)) + 1).cast("int"),
+            ),
+        ),
+    )
+    u_lang = _u("d_lang", k)
+    lang = F.lit(_DOC_LANG_CDF[-1][0])
+    for name, ceil in reversed(_DOC_LANG_CDF[:-1]):
+        lang = F.when(u_lang < ceil, F.lit(name)).otherwise(lang)
+    return ids.select(
+        k.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), (k % 20).cast("string")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int, partitions: int = 16) -> DataFrame:
+    """embeddings at doc scale: unit-normalized deterministic 64-dim
+    float vectors with uniform labels 0..9 — the fixture profile exactly
+    (values in ±1/sqrt(sum), no planted cluster geometry)."""
+    k = F.col("id")
+    ids = spark.range(0, n, 1, partitions)
+    raw = F.transform(
+        F.sequence(F.lit(1), F.lit(_EMB_DIM)),
+        lambda i: _u("e_val", k, i) * 2.0 - 1.0,
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
+    return ids.select(
+        k.alias("vec_id"),
+        F.transform(raw, lambda x: (x / norm).cast("float")).alias("embedding"),
+        _uint(_u("e_label", k), 10).cast("int").alias("label"),
+    )
+
+
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 _PART_ADJS = ("blue", "cold", "hot", "large", "new", "old", "red", "small")
 _PART_NOUNS = ("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
@@ -270,6 +360,7 @@ def generate_scaled_fixtures(
     src_sf_dir: str = "/root/testdata/sf0.1",
     partitions: int = 32,
     force: bool = False,
+    doc_scale: float | None = None,
 ) -> dict:
     """Write a complete 10-table fixture dir at `scale` x sf0.1.
 
@@ -277,7 +368,13 @@ def generate_scaled_fixtures(
     matching manifest short-circuits regeneration. Fact tables are written
     as multi-file parquet directories (real scan parallelism — the sf0.1
     single-file fixtures scan as ONE partition, BASELINE.md's 206s→5.5s
-    lesson); `plans/differential.py::duck_connection` globs directories."""
+    lesson); `plans/differential.py::duck_connection` globs directories.
+
+    `doc_scale` (round 11): when set, documents/embeddings are GENERATED
+    at doc_scale x their sf0.1 row counts (gen_documents/gen_embeddings)
+    instead of copied from src_sf_dir — the scale axis for the dedup /
+    similarity / text-analysis / datapipe stack, which the fact-table
+    `scale` never exercises (the driver keeps those tables SF-invariant)."""
     manifest_path = os.path.join(out_dir, MANIFEST)
     entities = entity_counts(scale)
     want = {
@@ -287,6 +384,7 @@ def generate_scaled_fixtures(
         "events": int(BASE_ROWS["events"] * scale),
         "src_sf_dir": src_sf_dir,
         "entities": entities,
+        "doc_scale": doc_scale,
     }
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as fh:
@@ -308,12 +406,22 @@ def generate_scaled_fixtures(
         "supplier": gen_supplier(spark, entities["suppliers"]),
         "part": gen_part(spark, entities["parts"]),
     }
+    if doc_scale is not None:
+        frames["documents"] = gen_documents(
+            spark, int(DOC_BASE_ROWS["documents"] * doc_scale), src_sf_dir, partitions
+        )
+        frames["embeddings"] = gen_embeddings(
+            spark, int(DOC_BASE_ROWS["embeddings"] * doc_scale)
+        )
     counts: dict[str, int] = {}
     for name, df in frames.items():
         path = os.path.join(out_dir, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
-    for name in COPIED_TABLES:
+    copied = COPIED_TABLES if doc_scale is None else tuple(
+        t for t in COPIED_TABLES if t not in ("documents", "embeddings")
+    )
+    for name in copied:
         src = os.path.join(src_sf_dir, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.isdir(src):  # a previously generated dir as source
@@ -336,6 +444,25 @@ def generate_scaled_fixtures(
 # is the sf1 gate; tests/test_genscale.py runs a subset in the suite.
 # ---------------------------------------------------------------------------
 VALUE_SENSITIVE_MODULES = ("monitoring", "pipeline_ml", "warehouse_extras", "decimal_native")
+
+#: The documents/embeddings consumer modules — the slice the `doc_scale`
+#: axis exercises (every oracle-bearing dedup / ANN / text-analysis /
+#: datapipe / BPE / multimodal query).
+DOC_SCALE_MODULES = ("dedup", "similarity", "textanalysis", "datapipe", "bpe", "multimodal")
+
+
+def doc_scale_names() -> list[str]:
+    """Every oracle-bearing query whose builder lives in a documents/
+    embeddings consumer module — resolved against the live registry so
+    the doc-scale gate can never silently shrink."""
+    from spark_cherry_shuffle_service_spark.plans.registry import all_specs
+
+    return [
+        n
+        for n, s in sorted(all_specs().items())
+        if (s.oracle or s.oracle_py)
+        and s.builder.__module__.rsplit(".", 1)[-1] in DOC_SCALE_MODULES
+    ]
 
 #: Past-bug families + decimal-heavy queries living in other modules:
 #: cdc_merge_apply (the CDC ROUND-tie bug), graph_pagerank (the ulp bug),

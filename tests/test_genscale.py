@@ -361,3 +361,83 @@ def test_changepoint_guard_arms_at_generated_sf2(spark, tmp_path):
     gen_events(spark, 2_000_000, partitions=8).write.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(Exception, match="micro scale"):
         all_specs()["events_changepoint"].builder(spark, sf_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# The doc_scale axis (round 11): documents/embeddings are SF-invariant in
+# the driver's design, so the fact-table `scale` never exercises the
+# dedup / ANN / text-analysis / datapipe stack past sf0.1. gen_documents /
+# gen_embeddings add that axis: fixture-faithful profiles (vocabulary read
+# from the source corpus, n_chars 44..577, round-robin sources, ~0.32%
+# planted exact dups, unit-norm 64-dim vectors), every value a pure md5
+# function of the row id.
+# ---------------------------------------------------------------------------
+
+
+def test_doc_scale_generator_is_parallelism_invariant_and_faithful(spark):
+    from spark_cherry_shuffle_service_spark.sources.genscale import (
+        gen_documents,
+        gen_embeddings,
+    )
+
+    src = "/root/testdata/sf0.1"
+    a = sorted(gen_documents(spark, 1_000, src, partitions=4).collect())
+    b = sorted(gen_documents(spark, 1_000, src, partitions=32).collect())
+    assert a == b  # bit-identical at any parallelism
+    ea = sorted(gen_embeddings(spark, 400, partitions=2).collect())
+    eb = sorted(gen_embeddings(spark, 400, partitions=16).collect())
+    assert ea == eb
+
+    # Fixture-faithful profile: exact source round-robin, all langs, the
+    # fixture vocabulary and length envelope, planted exact dups, n_chars
+    # consistent with text.
+    import collections
+
+    rows = a
+    srcs = collections.Counter(r.source for r in rows)
+    assert len(srcs) == 20 and set(srcs.values()) == {50}
+    assert {r.lang for r in rows} == {"en", "zh", "es", "fr", "de"}
+    fixture_vocab: set[str] = set()
+    import pyarrow.parquet as pq
+
+    for chunk in pq.read_table(
+        os.path.join(src, "documents.parquet"), columns=["text"]
+    ).column("text").chunks:
+        for s in chunk.to_pylist():
+            fixture_vocab.update(s.split(" "))
+    gen_vocab = {w for r in rows for w in r.text.split(" ")}
+    assert gen_vocab <= fixture_vocab
+    assert all(r.n_chars == len(r.text) for r in rows)
+    texts = collections.Counter(r.text for r in rows)
+    assert any(c > 1 for c in texts.values())  # planted exact dups
+    lens = [r.n_chars for r in rows]
+    assert min(lens) >= 30 and max(lens) <= 650  # fixture envelope 44..577
+
+    # Embeddings: 64-dim float32 unit vectors, labels 0..9.
+    import math
+
+    for r in ea[:50]:
+        assert len(r.embedding) == 64
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1.0) < 1e-5
+    assert {r.label for r in ea} == set(range(10))
+
+
+def test_committed_docs10x_artifact_is_green():
+    """The 10x-documents differential artifact (COMPARE_docs10x.json):
+    every oracle-bearing query from the documents/embeddings consumer
+    modules green on a 50k-doc / 20k-vector generated corpus — the scale
+    evidence the fact-table gates cannot provide for the dedup / ANN /
+    text stack. Coverage is pinned to doc_scale_names() so the gate can
+    never silently shrink."""
+    from spark_cherry_shuffle_service_spark.sources.genscale import doc_scale_names
+
+    path = "/root/repo/COMPARE_docs10x.json"
+    if not os.path.exists(path):
+        pytest.skip("COMPARE_docs10x.json not yet generated")
+    with open(path) as fh:
+        art = json.load(fh)
+    verdicts = {k: v for k, v in art.items() if not k.startswith("_")}
+    assert art["_failures"] == 0
+    assert all(v.startswith("match") for v in verdicts.values())
+    assert "_excluded" not in art or not art["_excluded"]
+    assert set(doc_scale_names()) <= set(verdicts)
