@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
 
 
 def _d(col: str) -> F.Column:
@@ -52,14 +52,16 @@ def _d(col: str) -> F.Column:
     tags=("agg", "filter", "scan"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-robin repartition after the single-file scan: the 7 decimal
-    # partial aggregations are CPU-bound and would otherwise run inside the
-    # lone scan task (BASELINE.md perf note; a cluster-scale scan is
-    # naturally multi-partition and pays nothing extra for this).
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(_d("l_shipdate") <= F.lit("2000-12-01").cast("date"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    # spread: the 7 decimal partial aggregations are CPU-bound and would
+    # otherwise run inside the lone single-row-group scan task (BASELINE.md
+    # perf note). Hash on the value column skips the local sort a
+    # round-robin repartition pays (guide §2.5); no-op on a multi-split
+    # source, so a cluster-scale scan pays nothing extra.
+    li = spread(
+        table(spark, sf_dir, "lineitem").filter(
+            _d("l_shipdate") <= F.lit("2000-12-01").cast("date")
+        ),
+        "l_extendedprice",
     )
     price, disc, tax, qty = (F.col(c) for c in ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -101,6 +103,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     ords = table(spark, sf_dir, "orders").filter(_d("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    # Examined for a spread() (r11 opt): A/B-neutral — the post-join partial
+    # agg keys on ~#orders groups, so the existing exchange carries the same
+    # bytes a pre-join spread would; the scan task pays one exchange write
+    # either way. Left alone (guide §1.3: stop when at the floor).
     li = table(spark, sf_dir, "lineitem").filter(_d("l_shipdate") > F.lit("1996-06-30").cast("date"))
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -228,8 +234,18 @@ def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_twin="agg_percentiles_histogram",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: exact percentile's partial aggregation builds a value→count
+    # map over every row; single-row-group fixtures would build it inside
+    # the lone scan task (guide §2). Hash on the high-cardinality value
+    # column → even spread, no round-robin sort. Partitioning-invariant:
+    # Percentile merges per-partition count maps exactly.
     return (
-        table(spark, sf_dir, "lineitem")
+        spread(
+            table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_quantity", "l_extendedprice"
+            ),
+            "l_extendedprice",
+        )
         .groupBy("l_returnflag")
         .agg(
             F.percentile("l_quantity", 0.5).alias("qty_median"),
@@ -996,6 +1012,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey")
     )
+    # Examined for a spread() (r11 opt): A/B-neutral (best 1.32→1.27 s at
+    # equal calibration) — the fact side already feeds a shuffle join, so
+    # the lone scan task pays one exchange write either way. Left alone.
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1117,7 +1136,15 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "self", "basket", "affinity"),
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread on the join key: at fixture size the build side broadcasts and
+    # the probe (pair fan-out + partial pair-count) would otherwise run in
+    # the lone single-row-group scan task (guide §2). Both join branches
+    # derive from this one frame, so the exchange is planned once and
+    # reused; no-op on a multi-split source.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     return (
@@ -1172,7 +1199,18 @@ def _corr_sql_body() -> str:
     tags=("agg", "corr", "sufficient-stats"),
 )
 def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread: the five ROUND→DECIMAL partial sums are the query's CPU and
+    # would otherwise run inside the lone single-row-group scan task
+    # (guide §2 / BASELINE.md perf note); hash on the value pair avoids the
+    # round-robin local sort. No-op on a multi-split source. Decimal sums
+    # are order-free exact, so the result is partitioning-invariant.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        "l_quantity",
+        "l_extendedprice",
+    )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     comp = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_double, dsum
 from spark_cherry_shuffle_service_spark.plans.oracle import dec_to_double_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
 
 
 def _d(col: str) -> F.Column:
@@ -120,8 +120,18 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_avg_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_cherry_shuffle_service_spark.functions.aggregates import money
 
+    # spread on l_suppkey: parallelizes the decimal partial agg out of the
+    # lone single-row-group scan task AND pre-satisfies both the
+    # groupBy(l_suppkey, mon) clustering and the Window.partitionBy
+    # (l_suppkey) requirement — 2 Exchanges → 1 (guide §2.4: operations
+    # keyed the same way share one exchange). No-op on multi-split scans.
     monthly = (
-        table(spark, sf_dir, "lineitem")
+        spread(
+            table(spark, sf_dir, "lineitem").select(
+                "l_suppkey", "l_shipdate", "l_extendedprice"
+            ),
+            "l_suppkey",
+        )
         .groupBy("l_suppkey", F.date_trunc("month", _d("l_shipdate")).alias("mon"))
         .agg(dsum(F.col("l_extendedprice"), "sales"))
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Every driver fixture table (TESTDATA.md).
 TABLES = (
@@ -68,6 +69,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive repartition before CPU-heavy per-row work.
+
+    The driver fixtures are single-row-group parquet files, so a scan —
+    and every narrow operator fused into its stage: decimal partial
+    aggregation, broadcast-join probes, md5/regex projections — runs as
+    ONE task regardless of core count (BASELINE.md's 206 s → 5.5 s case).
+    This helper pays one narrow exchange to spread that work across the
+    cluster, but ONLY when the source actually under-splits: when the
+    scan already yields >= defaultParallelism partitions (any real
+    multi-file/multi-row-group table, i.e. cluster scale), it is a no-op
+    and adds no shuffle (guide §2.4: remove shuffles outright).
+
+    Pass hash columns (`cols`) when a reasonably uniform key is at hand:
+    hash repartition skips the local sort round-robin repartition pays
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5).
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
