@@ -333,25 +333,26 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle cache (fresh-process 9.6 s → 8.5 s at sf0.1; 6.0 s warm in
     # the bench where the shared minhash subtree is already cached).
     pairs = _minhash_pair_frame(spark, sf_dir).persist()
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()  # re-joined every propagation round
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # r11 opt (guide §2.4): each round previously ran TWO joins (neighbor
+    # min, then join-back for LEAST(own, nmin)) — ~5 exchanges/round on a
+    # label table that is tiny relative to the corpus. Adding a self-loop
+    # per node makes min-over-(neighbors ∪ self) equal LEAST(own label,
+    # neighbor min), so one join + one partial-agg'd groupBy per round
+    # computes the identical round-k labels.
+    edges_plus = edges.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).persist()  # re-joined every propagation round
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_CLUSTER_ROUNDS):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
         labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src)
-            .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
+            edges_plus.join(labels, edges_plus.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
             .persist()  # per-round persist: avoids O(k²) recompute (graph.py note)
         )
     w = Window.partitionBy("label")
@@ -941,12 +942,25 @@ def corpus_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "doc_id")  # shingle compute off the lone scan partition
         .select("source", shingles3(F.col("text")).alias("sh"))
     )
-    src_sh = docs.select("source", F.explode("sh").alias("sh")).distinct()
-    a = src_sh.alias("a")
-    b = src_sh.alias("b")
+    # r11 opt (guide §2.4): the DISTINCT + shingle self-join recomputed the
+    # explode twice and planned 6 Exchanges. Equivalent single pass: group
+    # each shingle's source set (bounded by the ≤20-source ingest
+    # vocabulary, so collect_set state is O(1) per key at any corpus size),
+    # fan out the ordered pairs arithmetically, count — 2 Exchanges, one
+    # shingle pass, join-free. Row-for-row identical to the join form: d is
+    # distinct (source, sh), so each shingle contributes each a<b pair once.
+    srcs = (
+        docs.select(F.explode("sh").alias("sh"), F.col("source"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+    pairs = (
+        srcs.select(F.explode("ss").alias("source_a"), F.col("ss"))
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy(F.col("n_shared_ngrams").desc(), "source_a", "source_b")
     )

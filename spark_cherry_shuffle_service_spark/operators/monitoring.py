@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
 
 _CUSUM_H = "500.000000"  # alarm threshold, exact decimal literal
 
@@ -154,6 +154,11 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (CLAUDE.md safe-round case); decimal->string formatting
     is canonical in both, so the leading character is engine-identical.
     """
+    # Examined for a spread() + total-from-counts rewrite (r11 opt): A/B
+    # NEGATIVE — the two independent digit scans already run concurrently
+    # inside one job, and chaining total behind counts serializes them;
+    # the spread exchange costs more than the 150k-row extraction saves.
+    # Left in the original two-subtree shape.
     od = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     digits = od.select(
         F.substring(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"), 1, 1)

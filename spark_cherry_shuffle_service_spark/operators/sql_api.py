@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import register_views
+from spark_cherry_shuffle_service_spark.sources.catalog import register_views, spread, table
 
 # TPC-H Q4 shape: correlated EXISTS + date filter + group/sort — one SQL
 # string, both engines (SURVEY.md §3.1 lifecycle entry point).
@@ -206,9 +206,22 @@ LIMIT 20
 """
 
 
+def _spread_view(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> None:
+    """Re-register one fixture view through catalog.spread(): identical rows
+    (a repartition is row-preserving), but the per-row work a SQL text runs
+    over the view — decimal partial sums, join probes — parallelizes out of
+    the lone single-row-group scan task (guide §2; no-op at cluster scale).
+    The SQL text itself stays byte-identical."""
+    spread(table(spark, sf_dir, name), *cols).createOrReplaceTempView(name)
+
+
 @query("sql_text_q1", oracle=_Q_TPCH_Q1, tags=("sql", "tpch", "api"))
 def sql_text_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # TPC-H Q1 is the pure scan→7-decimal-sum aggregate: the partial agg is
+    # the whole query's CPU (same move as pricing_summary; A/B in
+    # OPTIMIZATION_r11.md).
+    _spread_view(spark, sf_dir, "lineitem", "l_orderkey")
     return spark.sql(_Q_TPCH_Q1)
 
 
@@ -316,6 +329,10 @@ def sql_text_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sql_text_q19", oracle=_Q_TPCH_Q19, tags=("sql", "tpch", "api", "disjunctive"))
 def sql_text_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # The broadcast-probe + disjunctive predicate + decimal sum all fuse
+    # into the lineitem scan stage — spread the view so they parallelize
+    # (guide §2; A/B in OPTIMIZATION_r11.md).
+    _spread_view(spark, sf_dir, "lineitem", "l_partkey")
     return spark.sql(_Q_TPCH_Q19)
 
 

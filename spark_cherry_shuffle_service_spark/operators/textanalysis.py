@@ -16,7 +16,7 @@ from spark_cherry_shuffle_service_spark.functions.text import bigrams, distinct_
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
 
 # Tiny per-language marker lists (public stopwords). The fixture text is
 # synthetic, so this exercises the *computation* (overlap-count argmax with
@@ -644,10 +644,19 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "surprisal", "lm", "pipeline"),
 )
 def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread on doc_id: tokenize+explode feed two consumers and would
+    # otherwise run (twice) inside the lone single-row-group scan task
+    # (guide §2); hashpartitioning(doc_id) also pre-satisfies the per-doc
+    # groupBy's clustering, removing its exchange (guide §2.4).
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text"), "doc_id"
+    )
     tok = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # Corpus token total = Σ tf over the vocab table: same value as a
+    # COUNT(*) over tok, without a third tokenize pass (guide §2.3
+    # "aggregate before you shuffle" — the oracle keeps the COUNT(*) form).
+    tot = freq.agg(F.sum("tf").alias("n"))
     per_doc = (
         tok.join(freq, "term")
         .crossJoin(F.broadcast(tot))  # 1-row scalar: SF-invariant, hint allowed
