@@ -438,11 +438,21 @@ def events_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
-    cuts = ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("value"))).alias("lo"),
-        F.min(F.when(F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("value"))).alias("hi"),
-    )
-    clamped = ranked.join(cuts, "event_type").select(
+    # r11 opt (guide §2.4): the cutoffs are per-partition aggregates of the
+    # ranked rows, so compute them as window MIN(CASE…) over the SAME
+    # event_type partitioning instead of a groupBy + join-back — the old
+    # shape recomputed the ranking window on both join inputs. One window
+    # pipeline, no join; identical selected elements.
+    clamped = ranked.select(
+        "event_type",
+        "value",
+        F.min(F.when(F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("value")))
+        .over(w_all)
+        .alias("lo"),
+        F.min(F.when(F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("value")))
+        .over(w_all)
+        .alias("hi"),
+    ).select(
         "event_type",
         "value",
         "lo",

@@ -247,6 +247,13 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        # r11 opt (guide §2.4): hash on okey BEFORE the distinct —
+        # hashpartitioning(okey) satisfies the distinct's (okey, brand)
+        # clustering, so the dedup runs in place AND the pair self-join
+        # below probes two co-partitioned sides: one exchange carries the
+        # fact rows instead of three (distinct + both join inputs). Also
+        # spreads the broadcast-probe work off the lone scan task.
+        .repartition(spark.sparkContext.defaultParallelism, "okey")
         .distinct()
         .persist()  # feeds total, per-brand counts, and both pair sides.
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
