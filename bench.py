@@ -429,13 +429,15 @@ def main() -> None:
         for n, t in timings.items()
         if is_violation(t, baselines.get(n), drift)
     ]
-    # Key order matters: the driver's BENCH_r{N}.json keeps only the TAIL
-    # of stdout, so the bulky details/queries maps go FIRST and the compact
-    # summary (violations WITH their runs, total, sf) goes LAST on the one
-    # JSON line — BENCH_r03/r04 committed with the headline total truncated
-    # away (VERDICT r4 item 3). The complete line is also written to
-    # BENCH_FULL.json (repo root, overwritten per run) so the full details
-    # map survives any stdout truncation.
+    # Key order matters: the driver's BENCH_r{N}.json keeps only a ~2000
+    # char TAIL of stdout, so the bulky queries map goes FIRST and the
+    # compact summary (violations WITH their runs, total, sf) goes LAST on
+    # the one JSON line — BENCH_r03/r04 committed with the headline total
+    # truncated away (VERDICT r4 item 3). The per-run `details` map is NOT
+    # printed at all (VERDICT r11 item 2: BENCH_r10's capture was tail-only
+    # and unparseable because details tripled the line); it lives in
+    # BENCH_FULL.json (repo root, overwritten per run) together with the
+    # complete line.
     payload = {
         "metric": "headline_query_set_wall_clock",
         "unit": "sec",
@@ -445,7 +447,6 @@ def main() -> None:
             "stall_factor": STALL_FACTOR,
             "retime_runs": RETIME_RUNS,
         },
-        "details": details,
         "queries": timings,
         "n_queries": len(timings),
         "n_baselined": sum(1 for n in timings if n in baselines),
@@ -463,10 +464,12 @@ def main() -> None:
     }
     line = json.dumps(payload)
     try:
+        full = dict(payload)
+        full["details"] = details
         with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
     except OSError:
-        pass  # read-only checkout: stdout still carries everything
+        pass  # read-only checkout: stdout carries everything but details
     # Cold-path record for the persist-heavy set (runs[0] = no warm
     # cache), refreshed only by canonical sf0.1 runs so the committed
     # file stays one protocol.

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.aggregates import davg, dsum, money
 from spark_cherry_shuffle_service_spark.plans.oracle import davg_sql, dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
+from spark_cherry_shuffle_service_spark.sources.catalog import table
 
 _CUSUM_H = "500.000000"  # alarm threshold, exact decimal literal
 

@@ -656,7 +656,9 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus token total = Σ tf over the vocab table: same value as a
     # COUNT(*) over tok, without a third tokenize pass (guide §2.3
     # "aggregate before you shuffle" — the oracle keeps the COUNT(*) form).
-    tot = freq.agg(F.sum("tf").alias("n"))
+    # coalesce keeps the COUNT(*) contract exactly on an empty corpus
+    # (SUM over zero rows is NULL where COUNT(*) is 0 — ADVICE r11).
+    tot = freq.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("n"))
     per_doc = (
         tok.join(freq, "term")
         .crossJoin(F.broadcast(tot))  # 1-row scalar: SF-invariant, hint allowed

@@ -49,7 +49,7 @@ from spark_cherry_shuffle_service_spark.functions.aggregates import dec_to_doubl
 from spark_cherry_shuffle_service_spark.functions.ranking import ntile_expr, with_global_rank
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import spread, table
 
 
 # ---------------------------------------------------------------------------
@@ -245,15 +245,21 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     items = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         # r11 opt (guide §2.4): hash on okey BEFORE the distinct —
         # hashpartitioning(okey) satisfies the distinct's (okey, brand)
         # clustering, so the dedup runs in place AND the pair self-join
         # below probes two co-partitioned sides: one exchange carries the
         # fact rows instead of three (distinct + both join inputs). Also
         # spreads the broadcast-probe work off the lone scan task.
-        .repartition(spark.sparkContext.defaultParallelism, "okey")
+        # r12 (ADVICE r11): conditional spread() instead of an unconditional
+        # repartition — on a multi-split cluster source it no-ops and lets
+        # AQE size the distinct's own exchange.
+        spread(
+            li.join(part, li.l_partkey == part.p_partkey).select(
+                F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+            ),
+            "okey",
+        )
         .distinct()
         .persist()  # feeds total, per-brand counts, and both pair sides.
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
