@@ -16,6 +16,7 @@ then prune entire directories.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,8 +38,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Per-session plan memo for `table()` (guide §1.2 "per-task work" at the
+#: driver: plan construction). A `spark.read.parquet` costs ~40-100 ms of
+#: driver time (py4j + relation resolution + footer schema inference), and
+#: builders re-read the same fixture tables on every query construction —
+#: measured at ~25% of the headline bench's wall clock (OPTIMIZATION_r12.md
+#: item 4). DataFrames are immutable plans, so reusing one per
+#: (session, resolved path, file mtime) is pure metadata caching — every
+#: action still computes from the parquet input; a regenerated fixture
+#: (new mtime) or a new session misses the memo. Sessions are held weakly
+#: so a stopped session's plans are collectable.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table as a DataFrame.
+    """Read one fixture table as a DataFrame (memoized per session+mtime).
 
     Schema-on-read (TPCDSQueryBenchmark.scala:71 pattern): no physical-type
     assumptions. The events fixture has shipped `ts` as both TIMESTAMP(NANOS)
@@ -47,6 +61,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    cache: dict | None
+    try:
+        key = (os.path.realpath(path), os.path.getmtime(path))
+        cache = _TABLE_MEMO.setdefault(spark, {})
+    except (OSError, TypeError):
+        key, cache = None, None  # unreadable path: raise below, never cache
+    if cache is not None and key in cache:
+        return cache[key]
+    df = _read_table(spark, sf_dir, name)
+    if cache is not None and key is not None:
+        cache[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampType
