@@ -450,8 +450,23 @@ _TPCH_SQL_TEXT_TWINS = {
 }
 
 
+# r12 (VERDICT item 8): per-twin spread-view keys — same row-preserving
+# view re-registration as sql_text_q1/q19 (text stays byte-identical).
+# q2: lineitem feeds TWO identical distinct(l_partkey,l_suppkey) branches
+# (the decorrelated MIN); spreading on those keys moves each branch's
+# distinct aggregation off the lone scan task (A/B-positive,
+# OPTIMIZATION_r12.md). q21 was measured and REVERTED: its lineitem view
+# feeds two BROADCAST builds, so the spread exchange taxes both broadcasts
+# while the optimizer floats the semi-join below the repartition anyway —
+# normalized ~1.5 vs 1.06 baseline across 4 interleaved pairs.
+_TWIN_SPREAD_VIEWS: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
+    "sql_text_q2": (("lineitem", ("l_partkey", "l_suppkey")),),
+}
+
+
 def _make_sql_text_twin(text_name: str, twin_name: str):
     sql_text = _twin_oracle(twin_name)
+    spread_views = _TWIN_SPREAD_VIEWS.get(text_name, ())
 
     @query(
         text_name,
@@ -462,6 +477,8 @@ def _make_sql_text_twin(text_name: str, twin_name: str):
     )
     def run(spark: SparkSession, sf_dir: str, _sql: str = sql_text) -> DataFrame:
         register_views(spark, sf_dir)
+        for _view, _keys in spread_views:
+            _spread_view(spark, sf_dir, _view, *_keys)
         return spark.sql(_sql)
 
     run.__name__ = text_name

@@ -244,36 +244,56 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    items = (
-        # r11 opt (guide §2.4): hash on okey BEFORE the distinct —
-        # hashpartitioning(okey) satisfies the distinct's (okey, brand)
-        # clustering, so the dedup runs in place AND the pair self-join
-        # below probes two co-partitioned sides: one exchange carries the
-        # fact rows instead of three (distinct + both join inputs). Also
-        # spreads the broadcast-probe work off the lone scan task.
-        # r12 (ADVICE r11): conditional spread() instead of an unconditional
-        # repartition — on a multi-split cluster source it no-ops and lets
-        # AQE size the distinct's own exchange.
+    # r12 restructure (VERDICT r11 item 5, guide §2.4): the r11 shape
+    # persisted DISTINCT (okey, brand) and self-joined it for pairs, but
+    # InMemoryRelation reports UnknownPartitioning, so the pair join
+    # re-shuffled the fact rows twice (session-conf fix ledgered as a dead
+    # end). New shape: ONE pass — collect_set(brand) per order (the set
+    # dedupes, so the separate distinct disappears; lines/order ≤ 7 bounds
+    # the state), then every aggregate the query needs is an arithmetic
+    # fan-out of that sorted array through ONE tiny exchange:
+    #   (NULL, NULL)  marker per order  -> tot = COUNT(DISTINCT okey)
+    #   (brand, NULL) per set element   -> cb  = per-brand distinct count
+    #   (a, b) a<b    per set pair      -> c_ab (sorted array gives a<b)
+    # The fact rows now cross ONE exchange (spread on okey; groupBy(okey)
+    # clusters in place); the counts exchange carries ≤ 326 rows at ANY SF
+    # (25-brand fixed vocab -> ≤ 300 pairs + 25 singles + 1 marker).
+    per_order = (
         spread(
             li.join(part, li.l_partkey == part.p_partkey).select(
                 F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
             ),
             "okey",
         )
-        .distinct()
-        .persist()  # feeds total, per-brand counts, and both pair sides.
-        # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
-        # the bench protocol's warm re-hits re-match this plan, and the
-        # cached blocks are bounded by the heap with LRU eviction.
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
     )
-    tot = items.agg(F.countDistinct("okey").alias("n"))
-    cb = items.groupBy("brand").agg(F.count("*").alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
-        .agg(F.count("*").alias("c_ab"))
+    kv = per_order.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  array(named_struct('ka', CAST(NULL AS STRING),
+                                     'kb', CAST(NULL AS STRING))),
+                  transform(brands, x ->
+                    named_struct('ka', x, 'kb', CAST(NULL AS STRING))),
+                  flatten(transform(brands, (x, i) ->
+                    transform(slice(brands, i + 2, size(brands)), y ->
+                      named_struct('ka', x, 'kb', y))))
+                )
+                """
+            )
+        ).alias("kv")
+    ).select(F.col("kv.ka").alias("ka"), F.col("kv.kb").alias("kb"))
+    counts = kv.groupBy("ka", "kb").agg(F.count("*").alias("c")).persist()
+    # persist: ≤ 326 rows at any SF (bounded, unlike the r11 fact-row
+    # persist this replaces); read by the three broadcast branches below.
+    tot = counts.filter(F.col("ka").isNull()).select(F.col("c").alias("n"))
+    cb = counts.filter(F.col("ka").isNotNull() & F.col("kb").isNull()).select(
+        F.col("ka").alias("brand"), F.col("c")
+    )
+    pairs = counts.filter(F.col("kb").isNotNull()).select(
+        F.col("ka").alias("brand_a"), F.col("kb").alias("brand_b"), F.col("c").alias("c_ab")
     )
     ca = F.broadcast(cb.select(F.col("brand").alias("brand_a"), F.col("c").alias("c_a")))
     cbb = F.broadcast(cb.select(F.col("brand").alias("brand_b"), F.col("c").alias("c_b")))

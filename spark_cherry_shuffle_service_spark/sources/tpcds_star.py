@@ -1537,11 +1537,22 @@ def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     par = spark.sparkContext.defaultParallelism
-    # ~250k rows per output file: sf0.01 facts stay single-file (committed
-    # to the repo for the driver's oracle), bigger SFs get real scan
-    # parallelism.
-    fact_files = max(1, min(par, n_lines // 250_000 + 1))
-    inv_files = max(1, min(par, _INV_WEEKS * n_part * _N_WAREHOUSE // 1_000_000 + 1))
+    # Fact scan parallelism (VERDICT r11 item 1 / guide §6): these files are
+    # written single-row-group, so the FILE COUNT is the scan parallelism
+    # for all 124 verbatim queries. ~250k rows per file — sf0.01 facts stay
+    # single-file (committed oracle slice), sf0.1 keeps 3 (r12 A/B: 7- and
+    # 32-file layouts measured 15-50% SLOWER on tpcds q2/q5 at this SF —
+    # per-scan task-launch overhead on 11k-row files), sf1 gets 25; past
+    # that the writer's coalesce() naturally caps at the generating
+    # session's partition count (files grow instead — still one per core).
+    # Deliberately NOT capped by the generating session's defaultParallelism
+    # (the r11 cap): the on-disk sf1 star carried only 8 fact files because
+    # it happened to be generated from an 8-core session — the layout
+    # consumers scan must not depend on the generator's core count.
+    # Values are per-row deterministic functions of the source lineitem, so
+    # the file split never changes any query's rows.
+    fact_files = max(1, n_lines // 250_000 + 1)
+    inv_files = max(1, _INV_WEEKS * n_part * _N_WAREHOUSE // 1_000_000 + 1)
     base = _fact_base(lineitem.repartition(par), n_cust)
     frames: dict[str, tuple[DataFrame, int]] = {
         "store_sales": (gen_store_sales(base), fact_files),
