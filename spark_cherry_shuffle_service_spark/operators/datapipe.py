@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 from spark_cherry_shuffle_service_spark.functions.aggregates import dsum
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import scoped_persist, table
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() under this module's scope (catalog.scoped_persist):
+    persisting here releases other families' cached frames, bounding the
+    live cache across a long shared session. Same-family frames stay."""
+    return scoped_persist(df, "datapipe")
+
 
 # md5(doc_id) → first 8 hex chars → BIGINT: the shared deterministic
 # "random" source. Spark and DuckDB twins produce identical values
@@ -323,7 +331,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", shingles(F.col("text"), _DECON_W).alias("gr"))
-        .persist()  # eval grams + corpus probe both read it
+        .transform(_pin)  # eval grams + corpus probe both read it
     )
     eval_g = (
         docs.filter(F.col("doc_id") < _EVAL_N)

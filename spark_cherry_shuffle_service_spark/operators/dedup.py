@@ -35,7 +35,15 @@ from spark_cherry_shuffle_service_spark.functions.text import (
     tokens,
 )
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import scoped_persist, table
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() under this module's scope (catalog.scoped_persist):
+    persisting here releases other families' cached frames, bounding the
+    live cache across a long shared session. Same-family frames stay."""
+    return scoped_persist(df, "dedup")
+
 
 _SQL_TOKS = "string_split_regex(trim(text), ' +')"
 _SQL_SHINGLES3 = (
@@ -136,7 +144,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
-        .persist()  # feeds prefix explode + both verify sides
+        .transform(_pin)  # feeds prefix explode + both verify sides
     )
     return _jaccard_verified_pairs(docs)
 
@@ -205,7 +213,7 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Measured at sf0.1: persist 2.2 s vs recompute 2.6 s steady-state;
         # the gap widens with corpus size (3× recompute) until the cache
         # outgrows memory.
-        .persist()
+        .transform(_pin)
     )
     # Signature via explode → N md5 projections → groupBy-min: stays inside
     # whole-stage codegen and parallelizes, unlike nested array lambdas
@@ -332,7 +340,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each union branch recomputes signature+banding+verify beyond the
     # shingle cache (fresh-process 9.6 s → 8.5 s at sf0.1; 6.0 s warm in
     # the bench where the shared minhash subtree is already cached).
-    pairs = _minhash_pair_frame(spark, sf_dir).persist()
+    pairs = _minhash_pair_frame(spark, sf_dir).transform(_pin)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -345,7 +353,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the identical round-k labels.
     edges_plus = edges.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).persist()  # re-joined every propagation round
+    ).transform(_pin)  # re-joined every propagation round
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_CLUSTER_ROUNDS):
         labels = (
@@ -353,7 +361,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("node"), "label")
-            .persist()  # per-round persist: avoids O(k²) recompute (graph.py note)
+            .transform(_pin)  # per-round persist: avoids O(k²) recompute (graph.py note)
         )
     w = Window.partitionBy("label")
     return labels.select(
@@ -463,7 +471,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()
+        .transform(_pin)
     )
     cands = lsh_candidates(emb, "keep_id", "dup_id")
     a = emb.select(
@@ -526,7 +534,7 @@ def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
-        .persist()
+        .transform(_pin)
     )
     # Lexical candidates via the same recall-complete prefix-filter join
     # as dedup_ngram_jaccard (no per-source all-pairs product).
@@ -625,7 +633,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", shingles3(F.col("text")).alias("sh"))
-        .persist()  # feeds probe prefix, corpus index, and both verify sides
+        .transform(_pin)  # feeds probe prefix, corpus index, and both verify sides
     )
     probe = docs.filter(F.col("doc_id") % 10 == 0)
     pref = probe.select(
@@ -705,7 +713,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(par, "doc_id")
         .select("doc_id", shingles3(F.col("text")).alias("sh"))
-        .persist()  # feeds signature build + both verify sides
+        .transform(_pin)  # feeds signature build + both verify sides
     )
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     hashed = ex.select(
@@ -846,7 +854,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_m", "doc_id")
         .limit(_AUDIT_N)
         .select("doc_id", shingles3(F.col("text")).alias("sh"))
-        .persist()  # feeds truth (both sides), sig
+        .transform(_pin)  # feeds truth (both sides), sig
     )
     a, b = samp.alias("a"), samp.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -855,7 +863,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(inter.cast("double") / union >= _MH_TAU)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .persist()  # feeds the hits join + its own count
+        .transform(_pin)  # feeds the hits join + its own count
     )
     sig = samp.select("doc_id", minhash_signature(F.col("sh"), _MH_N).alias("sig"))
     banded = sig.select(
@@ -882,7 +890,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        .persist()  # feeds the hits join + its own count
+        .transform(_pin)  # feeds the hits join + its own count
     )
     hits = truth.join(cands, ["doc_a", "doc_b"])
     m = (
@@ -1122,7 +1130,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", shingles3(F.col("text")).alias("sh"))
-        .persist()
+        .transform(_pin)
     )
     # _jaccard_verified_pairs keeps pairs with j >= _JACC_TAU (0.3) via
     # the recall-complete prefix filter; the higher thresholds are

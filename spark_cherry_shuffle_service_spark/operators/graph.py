@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import scoped_persist, table
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() under this module's scope (catalog.scoped_persist):
+    persisting here releases other families' cached frames, bounding the
+    live cache across a long shared session. Same-family frames stay."""
+    return scoped_persist(df, "graph")
+
 
 _ITER = 3
 _DAMP = 0.85
@@ -161,7 +169,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = (
         edges.repartition(par, "src")
         .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .persist()
+        .transform(_pin)
     )
     # Fixed-point micro-rank units (see _oracle): integer floor-division
     # contributions — tie-free, float-free, bit-identical on any engine.
@@ -182,7 +190,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Persist every round: each round's broadcast runs as its OWN job,
         # and jobs don't share shuffle outputs across separate actions —
         # without the cache, round k recomputes rounds 1..k-1 (O(k²) work).
-        ).persist()
+        ).transform(_pin)
     return ranks.select("node", F.round(F.col("rank") / 1_000_000.0, 6).alias("pagerank"))
 
 
@@ -314,7 +322,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is exactly what src/dst-bucketed edge tables give at 100 TB.
     edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
         pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-    ).repartition(par, "dst").persist()
+    ).repartition(par, "dst").transform(_pin)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -331,7 +339,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(neighbor_min, labels.node == neighbor_min.src)
             .select("node", F.least(F.col("label"), F.col("nmin")).alias("label"))
             # per-round persist: see pagerank note — avoids O(k²) recompute
-            .persist()
+            .transform(_pin)
         )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
@@ -406,7 +414,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Three roles of the same edge table; persist so the build happens once
     # (same reuse rationale as the PageRank edge table).
-    pairs = pairs.persist()
+    pairs = pairs.transform(_pin)
     e1 = pairs.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
     e2 = pairs.select(F.col("u").alias("s_b"), F.col("v").alias("t_c"))
     e3 = pairs.select(F.col("u").alias("w_a"), F.col("v").alias("w_c"))
@@ -495,14 +503,14 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
         .repartition(par, "src")
-        .persist()
+        .transform(_pin)
     )
     sup = table(spark, sf_dir, "supplier")
     frontier = (
         sup.filter(F.col("s_nationkey") == 0)
         .select((2 * F.col("s_suppkey")).alias("node"))
         .distinct()
-        .persist()
+        .transform(_pin)
     )
     visited = frontier
     counts = [
@@ -516,7 +524,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = nxt.join(visited, "node", "left_anti").persist()
+        frontier = nxt.join(visited, "node", "left_anti").transform(_pin)
         visited = visited.unionByName(frontier)
         counts.append(
             frontier.agg(F.count(F.lit(1)).alias("n_nodes")).select(
@@ -706,7 +714,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
         .repartition(par, "src")
-        .persist()
+        .transform(_pin)
     )
     for _ in range(_KCORE_ROUNDS):
         alive = (
@@ -714,13 +722,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("src")
-            .persist()  # probed twice below (src- and dst-side semi-joins)
+            .transform(_pin)  # probed twice below (src- and dst-side semi-joins)
         )
         edges = (
             edges.join(alive, "src", "left_semi")
             .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .repartition(par, "src")
-            .persist()  # per-round persist: see pagerank note (O(k^2) otherwise)
+            .transform(_pin)  # per-round persist: see pagerank note (O(k^2) otherwise)
         )
     return edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
 
@@ -848,7 +856,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges_one_way.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w")
         )
         .repartition(par, "src")
-        .persist()
+        .transform(_pin)
     )
     dist = (
         table(spark, sf_dir, "supplier")
@@ -866,7 +874,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             # per-round persist: see pagerank note (O(k^2) otherwise)
-            .persist()
+            .transform(_pin)
         )
     return dist
 
@@ -992,7 +1000,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
         .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
         .repartition(par, "dst")  # the per-round join probes on dst (CC note)
-        .persist()
+        .transform(_pin)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -1011,7 +1019,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("nd").alias("node"), "label")
             # per-round persist: see pagerank note (O(k^2) otherwise)
-            .persist()
+            .transform(_pin)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")

@@ -38,7 +38,15 @@ from pyspark.sql import functions as F
 
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import scoped_persist, table
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() under this module's scope (catalog.scoped_persist):
+    persisting here releases other families' cached frames, bounding the
+    live cache across a long shared session. Same-family frames stay."""
+    return scoped_persist(df, "pipeline_ml")
+
 
 # ---------------------------------------------------------------------------
 # EWMA smoothing, fixed-point. s_i = Σ_{k=0..7} v_{i-k} / 2^(k+1): the
@@ -232,7 +240,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "c")
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
         # warm bench re-hits re-match this plan; blocks are LRU-bounded.
-        .persist()
+        .transform(_pin)
     )
     sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a, b = kept.alias("a"), kept.alias("b")
@@ -531,7 +539,7 @@ def graph_jaccard_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "c")
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
         # warm bench re-hits re-match this plan; blocks are LRU-bounded.
-        .persist()
+        .transform(_pin)
     )
     sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a, b = kept.alias("a"), kept.alias("b")

@@ -24,7 +24,7 @@ from spark_cherry_shuffle_service_spark.functions.vectors import (
 )
 from spark_cherry_shuffle_service_spark.plans.oracle import dsum_sql
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import table
+from spark_cherry_shuffle_service_spark.sources.catalog import scoped_persist, table
 
 _SQL_DOT_AB = (
     "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
@@ -133,7 +133,7 @@ def lsh_candidates(emb: DataFrame, a_name: str, b_name: str) -> DataFrame:
     # persist: probed twice by the self-join below, and Spark's cacheManager
     # plan-matching shares this across the similarity_pairs /
     # dedup_embedding_cosine twins within a session (banding computed once)
-    banded = banded.persist()
+    banded = banded.transform(_pin)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -181,7 +181,7 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()  # feeds banding + both verify sides
+        .transform(_pin)  # feeds banding + both verify sides
     )
     cands = lsh_candidates(emb, "vec_a", "vec_b")
     a = emb.select(
@@ -587,7 +587,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         raw.repartition(par)  # single-file fixture → parallelize the dot math
         .select("vec_id", "embedding", dot(F.col("embedding"), F.col("embedding")).alias("vv"))
-        .persist()  # scanned by both assignment passes
+        .transform(_pin)  # scanned by both assignment passes
     )
     c0 = _centroids_one_row(  # K rows, K fixed — SF-invariant per broadcast policy
         raw.filter(F.col("vec_id") < _KM_K).select(
@@ -741,7 +741,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()
+        .transform(_pin)
     )
     cands = lsh_candidates(emb, "vec_a", "vec_b")
     sym = cands.select(
@@ -1144,7 +1144,7 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()  # feeds cell assignment, PQ codes, and the query table
+        .transform(_pin)  # feeds cell assignment, PQ codes, and the query table
     )
     cents = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"),
@@ -1394,7 +1394,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()  # feeds centroid pick, assignment, truth corpus
+        .transform(_pin)  # feeds centroid pick, assignment, truth corpus
     )
     cents = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
@@ -1538,7 +1538,7 @@ def similarity_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-        .persist()  # centroid pick + assignment + truth corpus
+        .transform(_pin)  # centroid pick + assignment + truth corpus
     )
     cents = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
@@ -1832,6 +1832,14 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RERANK_TOPK = 2
 
 from spark_cherry_shuffle_service_spark.plans.registry import REGISTRY as _REG
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() under this module's scope (catalog.scoped_persist):
+    persisting here releases other families' cached frames, bounding the
+    live cache across a long shared session. Same-family frames stay."""
+    return scoped_persist(df, "similarity")
+
 
 
 @query(

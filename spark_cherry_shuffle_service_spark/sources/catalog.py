@@ -125,6 +125,34 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
 
 
+#: live persisted frames, keyed by family tag (VERDICT r11 item 6).
+_PERSIST_SCOPES: dict[str, list[DataFrame]] = {}
+
+
+def scoped_persist(df: DataFrame, family: str) -> DataFrame:
+    """`persist()` with cross-family unpersist discipline.
+
+    A builder can never unpersist the frames its returned (lazy) plan still
+    references, so across a long shared session — the 140-query bench, the
+    grading driver — persisted frames accumulate without bound (the r11
+    LSH-family warm-cache drift symptom). Scoping bounds the live set
+    instead of leaking it: persisting a frame for family X first
+    unpersists every frame previously registered by OTHER families.
+    Same-family frames stay live (iterative per-round persists, shared
+    subtrees like the minhash pair frame, warm re-runs of one query).
+    Unpersisting is always correctness-safe — a dropped cache entry simply
+    recomputes from the parquet source.
+    """
+    for fam in [f for f in _PERSIST_SCOPES if f != family]:
+        for old in _PERSIST_SCOPES.pop(fam):
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — stopped session, already gone
+                pass
+    _PERSIST_SCOPES.setdefault(family, []).append(df)
+    return df.persist()
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
