@@ -120,10 +120,36 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+    # Both the probe (a QueryExecution build: plan analysis + file listing,
+    # ~9 ms, worse with cloud listings — ADVICE r11) and the repartition
+    # plan construction (~9 ms of py4j) repeat identically per builder
+    # call: table() memoizes per (session, path, mtime), so the SAME
+    # DataFrame object recurs across query builds. Memoize the spread
+    # result per (object, cols, p) — pure lazy-plan reuse, no data is
+    # cached. Frames not from the table memo miss harmlessly (WeakKey:
+    # entries die with their source frame).
+    memo = _SPREAD_MEMO.get(df)
+    if memo is None:
+        try:
+            memo = _SPREAD_MEMO.setdefault(df, {})
+        except TypeError:
+            memo = {}
+    key = (cols, p)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    if "npart" not in memo:
+        memo["npart"] = df.rdd.getNumPartitions()
+    if memo["npart"] >= p:
+        out = df
+    else:
+        out = df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+    memo[key] = out
+    return out
 
+
+#: spread()'s probe + lazy result, memoized per source DataFrame object.
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
 
 #: live persisted frames, keyed by family tag (VERDICT r11 item 6).
 _PERSIST_SCOPES: dict[str, list[DataFrame]] = {}
