@@ -148,6 +148,23 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return out
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk bytes of a table's parquet path (file or directory), or None
+    when the path cannot be statted (non-local fs) — callers choosing an
+    algorithm by input size should treat None as LARGE (scale-safe)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, fnames in os.walk(path):
+            for f in fnames:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return None
+
+
 #: spread()'s probe + lazy result, memoized per source DataFrame object.
 _SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = weakref.WeakKeyDictionary()
 
