@@ -1835,10 +1835,13 @@ from spark_cherry_shuffle_service_spark.plans.registry import REGISTRY as _REG
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """persist() under this module's scope (catalog.scoped_persist):
-    persisting here releases other families' cached frames, bounding the
-    live cache across a long shared session. Same-family frames stay."""
-    return scoped_persist(df, "similarity")
+    """persist() under the shared "lsh" scope (catalog.scoped_persist):
+    dedup and similarity share the LSH machinery (dedup_embedding_cosine
+    pins `emb` then calls similarity.lsh_candidates, which pins `banded`)
+    so they MUST share one family — split families would unpersist a
+    query's own frames mid-build. Persisting here still releases every
+    other family's cached frames, bounding the live cache."""
+    return scoped_persist(df, "lsh")
 
 
 
