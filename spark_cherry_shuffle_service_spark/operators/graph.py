@@ -38,6 +38,30 @@ def _pin(df: DataFrame) -> DataFrame:
     return scoped_persist(df, "graph")
 
 
+def _sym_edges(pairs: DataFrame, *extra: str) -> DataFrame:
+    """Both directions of the undirected (s_node, c_node) edge set in ONE
+    pass over `pairs`: a 2-element explode instead of a unionByName of two
+    swapped projections. The union's branches each re-evaluate the pairs
+    subtree (the distinct's post-shuffle dedup pass runs once PER BRANCH —
+    no ReusedExchange covers it, verified in the r12 plan dumps); the
+    explode evaluates it once and emits a multiset-identical edge list."""
+    both = [
+        F.struct(
+            F.col("s_node").alias("src"),
+            F.col("c_node").alias("dst"),
+            *[F.col(c) for c in extra],
+        ),
+        F.struct(
+            F.col("c_node").alias("src"),
+            F.col("s_node").alias("dst"),
+            *[F.col(c) for c in extra],
+        ),
+    ]
+    return pairs.select(F.explode(F.array(*both)).alias("e")).select(
+        "e.src", "e.dst", *[f"e.{c}" for c in extra]
+    )
+
+
 _ITER = 3
 _DAMP = 0.85
 
@@ -151,9 +175,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-    )
+    edges = _sym_edges(pairs)
     # Degree via a window over the SAME src partitioning the per-round join
     # probes — one shuffle builds both (the old groupBy-then-join-back
     # shape shuffled edges twice and then destroyed the src partitioning
@@ -320,9 +342,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join (node == src) aligns with that shuffle's output. One exchange
     # per round beats even the old forced-broadcast plan, and the shape
     # is exactly what src/dst-bucketed edge tables give at 100 TB.
-    edges = pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")).unionByName(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-    ).repartition(par, "dst").transform(_pin)
+    edges = _sym_edges(pairs).repartition(par, "dst").transform(_pin)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -499,12 +519,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
-        .repartition(par, "src")
-        .transform(_pin)
-    )
+    edges = _sym_edges(pairs).repartition(par, "src").transform(_pin)
     sup = table(spark, sf_dir, "supplier")
     frontier = (
         sup.filter(F.col("s_nationkey") == 0)
@@ -587,8 +602,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = (
-        pairs.select(F.col("s_node").alias("src"))
-        .unionByName(pairs.select(F.col("c_node").alias("src")))
+        pairs.select(F.explode(F.array(F.col("s_node"), F.col("c_node"))).alias("src"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -710,12 +724,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
-        .repartition(par, "src")
-        .transform(_pin)
-    )
+    edges = _sym_edges(pairs).repartition(par, "src").transform(_pin)
     for _ in range(_KCORE_ROUNDS):
         alive = (
             edges.groupBy("src")
@@ -850,14 +859,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
     )
-    edges = (
-        edges_one_way.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
-        .unionByName(
-            edges_one_way.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w")
-        )
-        .repartition(par, "src")
-        .transform(_pin)
-    )
+    edges = _sym_edges(edges_one_way, "w").repartition(par, "src").transform(_pin)
     dist = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == 0)
@@ -997,8 +999,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = (
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        .unionByName(pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")))
+        _sym_edges(pairs)
         .repartition(par, "dst")  # the per-round join probes on dst (CC note)
         .transform(_pin)
     )

@@ -744,17 +744,35 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_pin)
     )
     cands = lsh_candidates(emb, "vec_a", "vec_b")
-    sym = cands.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    ).unionByName(cands.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")))
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    # Score each candidate pair ONCE, then symmetrize the scored rows with a
+    # 2-element explode: cos is bit-commutative (zip_with products and the
+    # sequential fold see the same index order either way), so emitting
+    # (a→b, cos) and (b→a, cos) from one joined row is exactly the oracle's
+    # per-direction recompute — at half the join input (|cands| rows join
+    # the embeddings instead of 2·|cands|), with no duplicated join subtree
+    # (a union of two projections would evaluate the join twice).
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    scored = (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), F.col("cos")),
+                F.struct(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), F.col("cos")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
-        sym.join(a, "src")
-        .join(b, "dst")
-        .withColumn("cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-        .select("src", "dst", "cos", F.row_number().over(w).alias("rnk"))
+        sym.select("src", "dst", "cos", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= _KNN_K)
         .select("src", "dst", F.floor(F.col("cos") * 1e6).alias("cosine_micro"), "rnk")
     )
