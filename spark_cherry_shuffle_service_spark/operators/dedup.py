@@ -218,21 +218,18 @@ def _minhash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # outgrows memory.
         .transform(_pin)
     )
-    # Signature via explode → N md5 projections → groupBy-min: stays inside
-    # whole-stage codegen and parallelizes, unlike nested array lambdas
-    # (interpreted per-row). Values are identical to
-    # functions/text.py::minhash_signature and the oracle.
-    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    hashed = ex.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
-            for s in range(_MH_N)
-        ],
+    # Signature per doc via the nested-HOF kernel (the streaming/audit path
+    # and the oracle's own form): min(string) is not hash-aggregable, so the
+    # old explode → 16-col groupBy-min planned Sort + SortAggregate +
+    # Exchange + Sort + SortAggregate per evaluation — and the banded
+    # self-join evaluates this subtree on BOTH sides. The per-row HOF does
+    # the same 16·|sh| md5s with ZERO shuffle, measured at-least-equal warm
+    # and bit-identical (r12 continuation A/B). size(sh) > 0 keeps the
+    # explode form's semantics exactly: shingle-less docs produced no
+    # exploded rows, so they must produce no signature here either.
+    sig = docs.filter(F.size("sh") > 0).select(
+        "doc_id", minhash_signature(F.col("sh"), _MH_N).alias("sig")
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"h{s}") for s in range(_MH_N)]
-    ).select("doc_id", F.array(*[F.col(f"h{s}") for s in range(_MH_N)]).alias("sig"))
     # Bands: explode each signature into (band, band_key) — fan-out is
     # exactly _MH_BANDS rows per doc, then a hash join on the bucket key.
     banded = sig.select(
@@ -718,18 +715,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles3(F.col("text")).alias("sh"))
         .transform(_pin)  # feeds signature build + both verify sides
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    hashed = ex.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
-            for s in range(_MH_N)
-        ],
-    )
-    sig = (
-        hashed.groupBy("doc_id")
-        .agg(*[F.min(f"h{s}").alias(f"h{s}") for s in range(_MH_N)])
-        .select("doc_id", F.array(*[F.col(f"h{s}") for s in range(_MH_N)]).alias("sig"))
+    # Same nested-HOF signature move as _minhash_pair_frame (no shuffle, no
+    # SortAggregate; size guard keeps explode-form semantics for empty sh).
+    sig = docs.filter(F.size("sh") > 0).select(
+        "doc_id", minhash_signature(F.col("sh"), _MH_N).alias("sig")
     )
     banded = sig.select(
         "doc_id",

@@ -207,3 +207,41 @@ def test_ivfpq_rerank_actually_reorders(spark):
     assert rer  # non-empty
     diffs = sum(1 for k, v in rer.items() if adc.get(k) != v)
     assert diffs > 0, "rerank returned the ADC order verbatim — stage not exercised"
+
+
+def test_minhash_signature_hof_matches_explode_groupby(spark):
+    """The r12 signature build (nested-HOF minhash_signature, no shuffle)
+    must be bit-identical to the explode → 16-column groupBy-min form it
+    replaced: same md5 calls, min over the same set, lexicographic string
+    ordering in both the array_min and the min aggregate."""
+    from spark_cherry_shuffle_service_spark.functions.text import (
+        minhash_signature,
+        shingles3,
+    )
+    from spark_cherry_shuffle_service_spark.operators.dedup import _MH_N
+
+    docs = (
+        table(spark, SF_CORRECT, "documents")
+        .select("doc_id", shingles3(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    hof = docs.select("doc_id", minhash_signature(F.col("sh"), _MH_N).alias("sig"))
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(_MH_N)
+        ],
+    )
+    legacy = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"h{s}") for s in range(_MH_N)])
+        .select(
+            "doc_id", F.array(*[F.col(f"h{s}") for s in range(_MH_N)]).alias("sig")
+        )
+    )
+    n_docs = docs.count()
+    joined = hof.alias("a").join(legacy.alias("b"), "doc_id")
+    assert joined.count() == n_docs  # same doc set (size(sh) guard holds)
+    assert joined.filter(F.expr("a.sig <> b.sig")).count() == 0
