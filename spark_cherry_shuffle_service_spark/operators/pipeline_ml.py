@@ -234,9 +234,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
     )
-    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    # Degree cap via a window over the SAME c the self-join probes (the
+    # pagerank degree-window move): the groupBy+join-back form evaluated the
+    # un-pinned pairs subtree TWICE (once for cdeg, once for the probe) and
+    # spent a join; count over (partition by c) on the distinct pairs is
+    # exactly cdeg.d, one evaluation, no join.
     kept = (
-        pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
+        pairs.withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("c")))
+        .filter(F.col("d") <= _CN_DEGCAP)
         .select("s", "c")
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
         # warm bench re-hits re-match this plan; blocks are LRU-bounded.
@@ -533,9 +538,11 @@ def graph_jaccard_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
     )
-    cdeg = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    # Same degree-cap-as-window move as graph_common_neighbors (one
+    # evaluation of pairs, no groupBy+join-back).
     kept = (
-        pairs.join(cdeg.filter(F.col("d") <= _CN_DEGCAP).select("c"), "c")
+        pairs.withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("c")))
+        .filter(F.col("d") <= _CN_DEGCAP)
         .select("s", "c")
         # Deliberately not unpersisted (graph_* precedent, BASELINE.md):
         # warm bench re-hits re-match this plan; blocks are LRU-bounded.
