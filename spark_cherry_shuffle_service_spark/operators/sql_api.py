@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_cherry_shuffle_service_spark.plans.registry import query
-from spark_cherry_shuffle_service_spark.sources.catalog import register_views, spread, table
+from spark_cherry_shuffle_service_spark.sources.catalog import (
+    ensure_view,
+    register_views,
+    spread,
+    table,
+)
 
 # TPC-H Q4 shape: correlated EXISTS + date filter + group/sort — one SQL
 # string, both engines (SURVEY.md §3.1 lifecycle entry point).
@@ -212,7 +217,7 @@ def _spread_view(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> Non
     over the view — decimal partial sums, join probes — parallelizes out of
     the lone single-row-group scan task (guide §2; no-op at cluster scale).
     The SQL text itself stays byte-identical."""
-    spread(table(spark, sf_dir, name), *cols).createOrReplaceTempView(name)
+    ensure_view(spark, name, spread(table(spark, sf_dir, name), *cols), "spread")
 
 
 @query("sql_text_q1", oracle=_Q_TPCH_Q1, tags=("sql", "tpch", "api"))

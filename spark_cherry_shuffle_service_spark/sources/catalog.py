@@ -200,6 +200,34 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+#: Per-session temp-view owners: view name → (tag, plan object). A
+#: createOrReplaceTempView costs a catalog round-trip per call, and every
+#: sql_text builder re-registers every fixture view on every construction;
+#: worse, the TPC-DS star shares the `customer` name with the TPC-H views,
+#: so re-registration IS load-bearing across families. Since table()/
+#: spread() memoize their plan objects per (session, path, mtime), "this
+#: view already holds exactly this plan" is an object-identity check: skip
+#: the catalog call when the same (tag, object) owns the name, re-register
+#: when another family overwrote it or the fixture was regenerated (new
+#: mtime → new memo object). Pure metadata caching — no data is cached.
+_VIEW_OWNERS: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def ensure_view(spark: SparkSession, name: str, df: DataFrame, tag: str) -> None:
+    """createOrReplaceTempView(name → df), skipped when `name` is already
+    registered to this exact (tag, plan object) in this session."""
+    try:
+        owners = _VIEW_OWNERS.setdefault(spark, {})
+    except TypeError:
+        df.createOrReplaceTempView(name)
+        return
+    prev = owners.get(name)
+    if prev is not None and prev[0] == tag and prev[1] is df:
+        return
+    df.createOrReplaceTempView(name)
+    owners[name] = (tag, df)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every table as a temp view (TPCDSQueryBenchmark.scala:71
     pattern). Per-table isolation: one unreadable/drifted table must not
@@ -210,7 +238,7 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name in TABLES:
         try:
             df = table(spark, sf_dir, name)
-            df.createOrReplaceTempView(name)
+            ensure_view(spark, name, df, "plain")
             dfs[name] = df
         except Exception as exc:  # noqa: BLE001 — collect, re-raise summarized
             errors[name] = exc

@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import warnings
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1485,6 +1486,10 @@ def gen_web_returns(base: DataFrame) -> DataFrame:
 #: same convention as bpe.py's _TRAIN_MEMO.
 _STAR_MEMO: dict[tuple[str, float], dict] = {}
 
+#: Per-session star-table plan memo, keyed (star path, manifest mtime,
+#: table) — the register_star_views analogue of catalog._TABLE_MEMO.
+_STAR_READ_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
 
 def generate_star(spark: SparkSession, sf_dir: str, force: bool = False) -> dict:
     """Write the 24-table star slice for `sf_dir`'s fixtures; idempotent
@@ -1603,6 +1608,26 @@ def register_star_views(spark: SparkSession, sf_dir: str, force: bool = False) -
     star dir."""
     generate_star(spark, sf_dir, force=force)
     out = star_dir(sf_dir)
+    # Per-build re-reads of 24 star tables cost ~50-100 ms of driver time
+    # apiece (relation resolution + footer schema). Memoize the plan per
+    # (session, star path, manifest mtime) — regeneration rewrites the
+    # manifest, so a stale memo cannot survive it — and route registration
+    # through ensure_view so warm rebuilds skip the catalog round-trips
+    # entirely (and a TPC-H build overwriting the shared `customer` name
+    # still forces exactly that view to re-register).
+    from spark_cherry_shuffle_service_spark.sources.catalog import ensure_view
+
+    try:
+        mtime = os.path.getmtime(os.path.join(out, MANIFEST))
+        cache = _STAR_READ_MEMO.setdefault(spark, {})
+    except (OSError, TypeError):
+        mtime, cache = None, None
     for name in TPCDS_TABLES:
-        spark.read.parquet(os.path.join(out, f"{name}.parquet")).createOrReplaceTempView(name)
+        key = (os.path.realpath(out), mtime, name)
+        df = cache.get(key) if cache is not None else None
+        if df is None:
+            df = spark.read.parquet(os.path.join(out, f"{name}.parquet"))
+            if cache is not None and mtime is not None:
+                cache[key] = df
+        ensure_view(spark, name, df, "star")
     return out
